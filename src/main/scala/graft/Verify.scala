@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver testdata carries TIMESTAMP(NANOS) parquet columns, which the
+      // Spark reader rejects unless surfaced as nanos-longs (graft converts
+      // them explicitly where used — see SparkEntry.eventsAsFabricJson)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

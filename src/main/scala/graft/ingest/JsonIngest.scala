@@ -1,0 +1,147 @@
+package graft.ingest
+
+import graft.schema.{CollectionId, EventSchema, FieldNames}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed two-pass ingest of dynamic-schema JSON events.
+  *
+  * Spark's streaming model fixes the analyzed schema per query, while the
+  * reference evolves schemas mid-batch (FabricJsonDeserializer.java:266-301).
+  * The Spark-native resolution (SURVEY.md §7.3) is:
+  *
+  *   pass 1  INFER  — one distributed sweep: per-partition type inference
+  *                    (tiny per-collection schemas cross the wire, never data),
+  *                    merged on the driver in partition order → deterministic
+  *                    authoritative order (existing-then-new, D9).
+  *   pass 2  PARSE  — per collection: filter on the pre-extracted routing
+  *                    columns (cheap; no JSON re-parse) then full-parse the
+  *                    matching rows against the now-fixed StructType.
+  *
+  * The raw batch is cached between passes, so the full JSON parse runs at
+  * most twice per record regardless of collection count — the same two-phase
+  * shape the reference uses (routing pre-pass + full parse, SURVEY §4).
+  * Nothing here accumulates data on the driver: only schemas do.
+  */
+object JsonIngest {
+
+  /** Routing pre-pass: `value` plus extracted `_project`/`_collection`
+    * columns (null = malformed / unroutable record, dropped downstream —
+    * record-skip semantics F3).
+    */
+  def withRouting(raw: Dataset[String], dialect: JsonDialect): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.mapPartitions { it =>
+      it.map { json =>
+        JsonEventParser.routing(json, dialect) match {
+          case Some(id) => (json, id.project, id.collection)
+          case None     => (json, null.asInstanceOf[String], null.asInstanceOf[String])
+        }
+      }
+    }.toDF("value", "_project", "_collection")
+  }
+
+  /** Pass 1: infer per-collection schemas across the whole dataset.
+    * Returns observed schemas in deterministic first-seen order (partition
+    * index, then document order within the partition).
+    */
+  def inferSchemas(raw: Dataset[String], dialect: JsonDialect,
+                   names: FieldNames = FieldNames()): Map[CollectionId, StructType] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    // Per-partition: merge every event's inferred fields into one schema per
+    // collection, then emit (partitionId, project, collection, schemaJson).
+    val partial: Array[(Int, String, String, String)] = raw.mapPartitions { it =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[CollectionId, StructType]
+      it.foreach { json =>
+        JsonEventParser.inferEvent(json, dialect, names).foreach { case (id, fields) =>
+          val observed = StructType(fields.toSeq.map { case (n, ft) =>
+            StructField(n, ft.sparkType, nullable = true)
+          })
+          acc(id) = acc.get(id) match {
+            case Some(cur) => EventSchema.evolve(cur, observed)
+            case None      => observed
+          }
+        }
+      }
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      acc.iterator.map { case (id, st) => (pid, id.project, id.collection, st.json) }
+    }.collect()
+
+    // Driver-side merge in partition order → deterministic column order.
+    val merged = scala.collection.mutable.LinkedHashMap.empty[CollectionId, StructType]
+    partial.sortBy(_._1).foreach { case (_, p, c, js) =>
+      val id = CollectionId(p, c)
+      val st = DataType.fromJson(js).asInstanceOf[StructType]
+      merged(id) = merged.get(id) match {
+        case Some(cur) => EventSchema.evolve(cur, st)
+        case None      => st
+      }
+    }
+    merged.toMap
+  }
+
+  /** Pass 2: parse the rows of one collection against its fixed schema.
+    * `routed` must be the output of [[withRouting]] (cached by [[ingest]]).
+    */
+  def parseCollection(routed: DataFrame, id: CollectionId, schema: StructType,
+                      dialect: JsonDialect, names: FieldNames = FieldNames()): DataFrame = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    val subset = routed
+      .filter($"_project" === id.project && $"_collection" === id.collection)
+      .select($"value").as[String]
+    val enc = Encoders.row(schema)
+    subset.mapPartitions { it =>
+      it.flatMap { json =>
+        JsonEventParser.parseEvent(json, dialect, schema, names).map(_._2)
+      }
+    }(enc)
+  }
+
+  /** Full batch ingest: route → infer → evolve registry → per-collection
+    * parse. Registry order is authoritative (metastore semantics D8/D9):
+    * existing columns first in registered order, new columns appended.
+    */
+  def ingest(raw: Dataset[String], registry: EventSchema.Registry,
+             dialect: JsonDialect = JsonDialect.Fabric,
+             names: FieldNames = FieldNames()): Map[CollectionId, DataFrame] = {
+    val routed = withRouting(raw, dialect)
+      .filter(col("_project").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val observed = inferSchemas(routed.select(col("value")).as(Encoders.STRING), dialect, names)
+      observed.map { case (id, obs) =>
+        registry.getOrCreate(id)
+        val authoritative = registry.addColumns(id, obs)
+        id -> parseCollection(routed, id, authoritative, dialect, names)
+          .localCheckpoint(false) // materialize off the shared cached batch
+      }
+    } finally {
+      // caller-visible DataFrames are checkpointed, safe to unpersist lazily
+      routed.unpersist(false)
+    }
+  }
+
+  /** Convenience for tests + the e2e query: run [[ingest]] but keep lazy
+    * plans (no checkpoint), returning also the routed cache handle so the
+    * caller controls unpersist timing.
+    */
+  def ingestLazy(raw: Dataset[String], registry: EventSchema.Registry,
+                 dialect: JsonDialect = JsonDialect.Fabric,
+                 names: FieldNames = FieldNames())
+      : (DataFrame, Map[CollectionId, DataFrame]) = {
+    val routed = withRouting(raw, dialect)
+      .filter(col("_project").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val observed = inferSchemas(routed.select(col("value")).as(Encoders.STRING), dialect, names)
+    val parsed = observed.map { case (id, obs) =>
+      registry.getOrCreate(id)
+      val authoritative = registry.addColumns(id, obs)
+      id -> parseCollection(routed, id, authoritative, dialect, names)
+    }
+    (routed, parsed)
+  }
+}

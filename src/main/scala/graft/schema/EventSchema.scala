@@ -1,0 +1,103 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Engine configuration for the reserved field names + default column types.
+  * Mirrors the reference's FieldNameConfig
+  * (/root/reference/src/main/java/io/rakam/presto/FieldNameConfig.java:21-107):
+  * `_time` (event time), `_user` (actor, configurable type), `_shard_time`
+  * (ingest checkpoint column, excluded from parsing and injected per batch).
+  */
+final case class FieldNames(
+    timeField: String = "_time",
+    userField: String = "_user",
+    checkpointField: String = "_shard_time",
+    userType: FieldType = FieldType.FString) {
+  def excludedFromParse: Set[String] = Set(checkpointField)
+}
+
+/** Schema bookkeeping for dynamically-evolving collections.
+  *
+  * The reference's metastore (`getColumns`/`addColumns`,
+  * DatabaseHandler.java:13-30) defines the authoritative column order:
+  * existing columns keep their registered order, brand-new columns append in
+  * first-seen order (tested by the reference's testComplexAlterSchema).
+  */
+object EventSchema {
+
+  /** Default schema for a brand-new collection: `_time TIMESTAMP, _user <cfg>`
+    * (MessageEventTransformer.generatePageBuilder, reference
+    * deserialization/MessageEventTransformer.java:44-61). The checkpoint
+    * column `_shard_time` is added by the sink, not the parser.
+    */
+  def defaultSchema(names: FieldNames = FieldNames()): StructType =
+    StructType(Seq(
+      StructField(names.timeField, TimestampType, nullable = true),
+      StructField(names.userField, names.userType.sparkType, nullable = true)))
+
+  /** Merge an existing (authoritative) schema with newly-observed fields:
+    * existing order preserved, new fields appended in their observed order,
+    * every column nullable. Type conflicts resolve with [[widen]].
+    */
+  def evolve(existing: StructType, observed: StructType): StructType = {
+    val byName = observed.fields.map(f => f.name -> f).toMap
+    val kept = existing.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(o) => StructField(f.name, widen(f.dataType, o.dataType), nullable = true)
+        case None    => f.copy(nullable = true)
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    val appended = observed.fields.filterNot(f => existingNames(f.name))
+      .map(_.copy(nullable = true))
+    StructType(kept ++ appended)
+  }
+
+  /** Monotonic type widening for batch-to-batch schema drift. The reference
+    * never widens in flight (mismatch ⇒ record skipped,
+    * JsonMessageEventTransformer.java:50-60) — at the *schema registry* level
+    * we resolve benign numeric drift and fall back to STRING otherwise so a
+    * multi-batch union is always well-typed.
+    */
+  def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y                     => x
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+    case (LongType, DoubleType) | (DoubleType, LongType)   => DoubleType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case (ArrayType(x, _), ArrayType(y, _))   => ArrayType(widen(x, y), containsNull = true)
+    case (MapType(_, x, _), MapType(_, y, _)) => MapType(StringType, widen(x, y), valueContainsNull = true)
+    case _                                    => StringType
+  }
+
+  /** In-memory, thread-safe schema registry — the engine's stand-in for the
+    * reference's MySQL/raptor metastore (MetadataDao.java:89-133). At rest the
+    * authoritative schema is the sink's (Delta log / parquet footers); this
+    * registry is the in-flight coordination point within one driver.
+    */
+  final class Registry(names: FieldNames = FieldNames()) extends Serializable {
+    private val schemas = new java.util.concurrent.ConcurrentHashMap[CollectionId, StructType]()
+
+    def get(id: CollectionId): Option[StructType] = Option(schemas.get(id))
+
+    /** getColumns with create-if-missing semantics (D8). */
+    def getOrCreate(id: CollectionId): StructType =
+      schemas.computeIfAbsent(id, _ => defaultSchema(names))
+
+    /** addColumns: merge observed fields into the authoritative order (D9).
+      * Returns the post-merge schema.
+      */
+    def addColumns(id: CollectionId, observed: StructType): StructType =
+      schemas.compute(id, (_, cur) => {
+        val base = if (cur == null) defaultSchema(names) else cur
+        evolve(base, observed)
+      })
+
+    def put(id: CollectionId, schema: StructType): Unit = schemas.put(id, schema)
+
+    def all: Map[CollectionId, StructType] = {
+      import scala.jdk.CollectionConverters._
+      schemas.asScala.toMap
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.ingest.{JsonDialect, JsonEventParser, JsonIngest}
+import graft.schema._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the dynamic-schema JSON parser — ports the reference's
+  * TestDeserializer/TestKafkaJsonDeserializer assertions (SURVEY.md §5) to
+  * row-level checks.
+  */
+class JsonEventParserSpec extends AnyFunSuite {
+  private val names = FieldNames()
+
+  private def infer(json: String, dialect: JsonDialect = JsonDialect.Fabric) =
+    JsonEventParser.inferEvent(json, dialect, names).get
+
+  test("all-types inference: numbers→DOUBLE, date/ts sniffing, arrays, maps") {
+    val json =
+      """{"id":"1","metadata":{},"data":{
+        |  "_project":"Proj","_collection":"Coll",
+        |  "colstring":"hello","colint":5,"coldouble":3.25,"colbool":true,
+        |  "coldate":"2024-03-01","colts":"2024-03-01 10:30:00",
+        |  "colarr":["a","b"],"colarrnum":[1,2],"colmap":{"k":1.5},
+        |  "colnull":null,"colemptyarr":[],"colemptyobj":{}
+        |}}""".stripMargin
+    val (id, fields) = infer(json)
+    assert(id == CollectionId("proj", "coll")) // project/collection lowercased
+    assert(fields("colstring") == FieldType.FString)
+    assert(fields("colint") == FieldType.FDouble)    // the load-bearing default
+    assert(fields("coldouble") == FieldType.FDouble)
+    assert(fields("colbool") == FieldType.FBoolean)
+    assert(fields("coldate") == FieldType.FDate)
+    assert(fields("colts") == FieldType.FTimestamp)
+    assert(fields("colarr") == FieldType.FArray(FieldType.FString))
+    assert(fields("colarrnum") == FieldType.FArray(FieldType.FDouble))
+    assert(fields("colmap") == FieldType.FMap(FieldType.FDouble))
+    // null / empty array / empty object do not create columns
+    assert(!fields.contains("colnull"))
+    assert(!fields.contains("colemptyarr"))
+    assert(!fields.contains("colemptyobj"))
+    // routing fields are not data columns
+    assert(!fields.contains("_project") && !fields.contains("_collection"))
+  }
+
+  test("_time is always TIMESTAMP; Fabric accepts epoch millis") {
+    val json = """{"data":{"_project":"p","_collection":"c","_time":1754956800000}}"""
+    val (_, fields) = infer(json)
+    assert(fields("_time") == FieldType.FTimestamp)
+    val schema = StructType(Seq(StructField("_time", TimestampType)))
+    val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
+    assert(row.getTimestamp(0).toInstant.toEpochMilli == 1754956800000L)
+  }
+
+  test("Rakam dialect: numeric timestamps → null, unknown top-level → skip") {
+    val schema = StructType(Seq(StructField("_time", TimestampType)))
+    val ok = """{"project":"p","collection":"c","properties":{"_time":"2026-08-12T00:00:00"}}"""
+    val (_, row) = JsonEventParser.parseEvent(ok, JsonDialect.Rakam, schema, names).get
+    assert(row.getTimestamp(0) != null)
+    // numeric _time would be epoch-coerced only via the _time rule; a generic
+    // timestamp column nulls numerics in the Rakam dialect:
+    val tsCol = StructType(Seq(StructField("ts", TimestampType)))
+    val numTs = """{"project":"p","collection":"c","properties":{"ts":123456}}"""
+    val (_, r2) = JsonEventParser.parseEvent(numTs, JsonDialect.Rakam, tsCol, names).get
+    assert(r2.isNullAt(0))
+    val unknown = """{"project":"p","collection":"c","extra":1,"properties":{}}"""
+    assert(JsonEventParser.parseEvent(unknown, JsonDialect.Rakam, tsCol, names).isEmpty)
+  }
+
+  test("strings truncated to 100 chars") {
+    val long = "x" * 250
+    val json = s"""{"data":{"_project":"p","_collection":"c","s":"$long"}}"""
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
+    assert(row.getString(0).length == 100)
+  }
+
+  test("duplicate keys: first value wins") {
+    val json = """{"data":{"_project":"p","_collection":"c","testcolumn":"1","testcolumn":"2"}}"""
+    val schema = StructType(Seq(StructField("testcolumn", StringType)))
+    val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
+    assert(row.getString(0) == "1")
+  }
+
+  test("unparseable date/timestamp → null; scalar mismatch → record skipped") {
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("t", TimestampType)))
+    val json = """{"data":{"_project":"p","_collection":"c","d":"not-a-date","t":"nope"}}"""
+    val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    val boolCol = StructType(Seq(StructField("b", BooleanType)))
+    val bad = """{"data":{"_project":"p","_collection":"c","b":"yes"}}"""
+    assert(JsonEventParser.parseEvent(bad, JsonDialect.Fabric, boolCol, names).isEmpty)
+  }
+
+  test("heterogeneous/nested arrays JSON-encode into ARRAY_STRING") {
+    val json = """{"data":{"_project":"p","_collection":"c","a":[{"x":1},{"y":2}]}}"""
+    val (_, fields) = infer(json)
+    assert(fields("a") == FieldType.FArray(FieldType.FString))
+    val schema = StructType(Seq(StructField("a", ArrayType(StringType))))
+    val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
+    assert(row.getSeq[String](0) == Seq("""{"x":1}""", """{"y":2}"""))
+  }
+
+  test("map values: key dedup first-wins, nested JSON-encoded for MAP_STRING") {
+    val json = """{"data":{"_project":"p","_collection":"c","m":{"k":{"n":1},"k":"dup"}}}"""
+    val schema = StructType(Seq(StructField("m", MapType(StringType, StringType))))
+    val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
+    assert(row.getMap[String, String](0) == Map("k" -> """{"n":1}"""))
+  }
+
+  test("schema evolution: existing order kept, new appended, types widen") {
+    val existing = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("a", DoubleType)))
+    val observed = StructType(Seq(
+      StructField("b", StringType), StructField("a", DoubleType)))
+    val evolved = EventSchema.evolve(existing, observed)
+    assert(evolved.fieldNames.toSeq == Seq("_time", "_user", "a", "b"))
+    assert(EventSchema.widen(DateType, TimestampType) == TimestampType)
+    assert(EventSchema.widen(DoubleType, StringType) == StringType)
+    assert(EventSchema.widen(IntegerType, DoubleType) == DoubleType)
+  }
+
+  test("default schema for a new collection") {
+    val s = EventSchema.defaultSchema()
+    assert(s.fieldNames.toSeq == Seq("_time", "_user"))
+    assert(s("_time").dataType == TimestampType)
+  }
+}
+
+class JsonIngestSpec extends SparkSpec {
+  test("distributed ingest: routing, inference merge, evolution, parse") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"data":{"_project":"p","_collection":"a","_time":1700000000000,"x":1,"s":"v1"}}""",
+      """{"data":{"_project":"p","_collection":"a","_time":1700000001000,"x":2.5,"newcol":"n"}}""",
+      """{"data":{"_project":"p","_collection":"b","flag":true}}""",
+      """not json at all""",
+      """{"data":{"_project":"p"}}"""
+    ).toDS.repartition(2)
+    val registry = new EventSchema.Registry()
+    val out = JsonIngest.ingest(raw, registry, JsonDialect.Fabric)
+    assert(out.keySet == Set(CollectionId("p", "a"), CollectionId("p", "b")))
+    val a = out(CollectionId("p", "a"))
+    // default columns first (registry order), then observed fields
+    assert(a.schema.fieldNames.take(2).toSeq == Seq("_time", "_user"))
+    assert(a.schema("x").dataType == DoubleType)
+    assert(a.count() == 2)
+    assert(a.where($"newcol".isNotNull).count() == 1) // null-filled for row 1
+    val b = out(CollectionId("p", "b"))
+    assert(b.schema("flag").dataType == BooleanType)
+    assert(b.count() == 1)
+  }
+}
