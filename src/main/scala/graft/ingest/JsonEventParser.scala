@@ -226,6 +226,69 @@ object JsonEventParser {
       } finally p.close()
     } catch { case _: Exception => None }
 
+  /** Pre-parse extraction of (routing, event-time) only — the reference's
+    * DecoupleMessage (KafkaDecoupleMessage.java:46-114): streams tokens,
+    * `skipChildren()` on everything else, early-exits once all three fields
+    * are seen. Time is returned as epoch millis (numeric value passed
+    * through; string value sniffed with [[parseTimestamp]]).
+    */
+  def decouple(json: String, dialect: JsonDialect, names: FieldNames)
+      : Option[(CollectionId, Option[Long])] =
+    try {
+      val p = factory.createParser(json)
+      try {
+        if (p.nextToken() != JsonToken.START_OBJECT) return None
+        val (projField, collField, propsScope) = dialect match {
+          case JsonDialect.Fabric => ("_project", "_collection", "data")
+          case JsonDialect.Rakam  => ("project", "collection", "properties")
+        }
+        var proj: String = null; var coll: String = null
+        var time: Option[Long] = None; var timeSeen = false
+        def inProps(): Unit = {
+          while (p.nextToken() != JsonToken.END_OBJECT) {
+            val name = p.currentName(); p.nextToken()
+            if (name == projField && p.currentToken() == JsonToken.VALUE_STRING) proj = p.getText
+            else if (name == collField && p.currentToken() == JsonToken.VALUE_STRING) coll = p.getText
+            else if (name == names.timeField && !timeSeen) {
+              timeSeen = true
+              p.currentToken() match {
+                case JsonToken.VALUE_NUMBER_INT => time = Some(p.getLongValue)
+                case JsonToken.VALUE_STRING => time = parseTimestamp(p.getText).map(_.getTime)
+                case _ => p.skipChildren()
+              }
+            } else p.skipChildren()
+            val needRouting = dialect == JsonDialect.Fabric
+            if ((!needRouting || (proj != null && coll != null)) && timeSeen) return
+          }
+        }
+        dialect match {
+          case JsonDialect.Fabric =>
+            // everything lives inside `data`
+            var done = false
+            while (!done && p.nextToken() != JsonToken.END_OBJECT) {
+              val name = p.currentName(); p.nextToken()
+              if (name == propsScope && p.currentToken() == JsonToken.START_OBJECT) {
+                inProps(); done = true
+              } else p.skipChildren()
+            }
+          case JsonDialect.Rakam =>
+            // routing at top level, `_time` inside `properties`
+            while (p.nextToken() != JsonToken.END_OBJECT &&
+                   !(proj != null && coll != null && timeSeen)) {
+              val name = p.currentName(); p.nextToken()
+              if (name == projField && p.currentToken() == JsonToken.VALUE_STRING) proj = p.getText
+              else if (name == collField && p.currentToken() == JsonToken.VALUE_STRING) coll = p.getText
+              else if (name == propsScope && p.currentToken() == JsonToken.START_OBJECT) inProps()
+              else p.skipChildren()
+            }
+        }
+        if (proj != null && coll != null && coll.nonEmpty &&
+            coll.length <= CollectionId.MaxCollectionLength)
+          Some((CollectionId.normalize(proj, coll), time))
+        else None
+      } finally p.close()
+    } catch { case _: Exception => None }
+
   // -------------------------------------------------------------- inference
 
   /** Infer the field types of one event. Returns the routing id plus fields

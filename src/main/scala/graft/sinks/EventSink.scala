@@ -1,0 +1,92 @@
+package graft.sinks
+
+import graft.schema.{CollectionId, EventSchema, FieldNames}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** K3 — the sink SPI. The Spark-native re-expression of the reference's
+  * 3-method `DatabaseHandler` contract (DatabaseHandler.java:13-30):
+  * `getColumns`/`addColumns` collapse into schema observation on the write
+  * path, `insert(Page)` becomes `insert(CollectionId, DataFrame)` inside a
+  * `foreachBatch` — which is itself the commit barrier (C2): the streaming
+  * offset commits only after every per-table insert of the batch returned.
+  */
+trait EventSink extends Serializable {
+  /** Authoritative schema of a collection at the sink, if it exists. */
+  def getColumns(id: CollectionId): Option[StructType]
+
+  /** One micro-batch insert for one collection. Must be atomic-or-retryable
+    * (at-least-once overall).
+    */
+  def insert(id: CollectionId, df: DataFrame): Unit
+}
+
+/** K1 (modernized) — columnar table sink. The reference's Raptor/ORC path
+  * (RaptorDatabaseHandler.java:311-339 + the whole in-memory ORC shard
+  * machinery) exists to get stats-bearing, compressed columnar files plus a
+  * transactional shard registry; Spark's parquet/ORC writers + catalog give
+  * both for free (footer stats replace `computeShardStats`, the partition
+  * layout replaces the MySQL shard table).
+  *
+  * Layout: `basePath/project=<p>/collection=<c>/…` so partition pruning on
+  * (project, collection) is free at query time. Schema evolution is
+  * append + `mergeSchema=true` on read — the D9 rebuild at rest.
+  */
+final class ColumnarSink(basePath: String, format: String = "parquet",
+                         compression: String = "snappy",
+                         maxRecordsPerFile: Long = 5000000)
+    extends EventSink {
+
+  def path(id: CollectionId): String =
+    s"$basePath/project=${id.project}/collection=${id.collection}"
+
+  override def getColumns(id: CollectionId): Option[StructType] = None // resolved from files on read
+
+  override def insert(id: CollectionId, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append)
+      .format(format)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .save(path(id))
+
+  /** Read a collection back with schema evolution across appended batches. */
+  def read(spark: SparkSession, id: CollectionId): DataFrame =
+    spark.read.option("mergeSchema", "true").format(format).load(path(id))
+}
+
+/** K2 — NDJSON-gzip object sink (S3DatabaseHandler.java:141-299). The
+  * reference serializes rows to newline-delimited JSON, gzips, and rolls
+  * files at a 256 MB cap per project; Spark's json writer with gzip codec +
+  * `maxRecordsPerFile` reproduces the format and the rolling policy, with
+  * dates as ISO and timestamps as ISO-8601 (documented deviation from the
+  * reference's locale-dependent FormatStyle.SHORT — SURVEY.md §7.4.5).
+  */
+final class NdjsonGzipSink(basePath: String, maxRecordsPerFile: Long = 1000000)
+    extends EventSink {
+
+  def path(id: CollectionId): String = s"$basePath/${id.project}/${id.collection}"
+
+  override def getColumns(id: CollectionId): Option[StructType] = None
+
+  override def insert(id: CollectionId, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("compression", "gzip")
+      .option("dateFormat", "yyyyMMdd") // BASIC_ISO_DATE, ref S3DatabaseHandler.java:241
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .json(path(id))
+}
+
+/** In-memory sink for tests + the commit-barrier specs (the reference's
+  * TestDatabaseHandler.java:18-124 equivalent).
+  */
+final class MemorySink extends EventSink {
+  val inserted = new java.util.concurrent.ConcurrentHashMap[CollectionId, Seq[DataFrame]]()
+  override def getColumns(id: CollectionId): Option[StructType] =
+    Option(inserted.get(id)).flatMap(_.lastOption).map(_.schema)
+  override def insert(id: CollectionId, df: DataFrame): Unit =
+    inserted.merge(id, Seq(df.localCheckpoint(true)), (a, b) => a ++ b)
+  def rows(id: CollectionId): Long =
+    Option(inserted.get(id)).map(_.map(_.count()).sum).getOrElse(0L)
+}

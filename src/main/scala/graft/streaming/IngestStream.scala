@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.ingest.{JsonDialect, JsonIngest}
+import graft.operators.EventOps
+import graft.schema.{EventSchema, FieldNames}
+import graft.sinks.EventSink
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** F5 — late-data re-publisher. The reference produces out-of-window records
+  * to a second Kafka topic (KafkaHistoricalDataHandler.java:40-69); the
+  * publish happens INSIDE the batch function so the offset-commit barrier
+  * (C2) covers it: the batch's offsets only commit after both the real-time
+  * inserts and the historical hand-off completed.
+  */
+trait HistoricalHandler extends Serializable {
+  def handle(raw: DataFrame): Unit
+}
+
+/** Historical re-publish to a Kafka topic (needs the kafka connector on the
+  * classpath at runtime).
+  */
+final class KafkaHistoricalHandler(bootstrap: String, topic: String) extends HistoricalHandler {
+  override def handle(raw: DataFrame): Unit =
+    raw.select(col("value").cast("binary").as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+}
+
+/** File-backed historical hand-off (test/local stand-in for the topic). */
+final class FileHistoricalHandler(path: String) extends HistoricalHandler {
+  override def handle(raw: DataFrame): Unit =
+    raw.select("value").write.mode("append").text(path)
+}
+
+/** Engine configuration — the reference's operating envelope
+  * (BASELINE.md): 15 s stream trigger, real-time day window, promotion
+  * heuristic, optional whitelist + dedup.
+  */
+final case class IngestConfig(
+    dialect: JsonDialect = JsonDialect.Fabric,
+    names: FieldNames = FieldNames(),
+    collectionWhitelist: Seq[String] = Nil,
+    outdatedDayIndex: Int = 1,                    // kafka.outdated-day-index
+    promoteMinRecords: Long = 1000,               // KafkaRealTimeWorker:370-384
+    promoteMinFraction: Double = 0.25,
+    triggerSeconds: Int = 15,                     // stream.max-flush-duration
+    dedupWithinWatermark: Option[String] = None)  // e.g. Some("30 days") ≈ RocksDB TTL
+
+/** The streaming ingest pipeline: the reference's Kafka/Kinesis worker loop
+  * (SURVEY.md §3.1) re-expressed as one Structured Streaming query.
+  *
+  * Mechanism the reference hand-rolls that Spark provides (SURVEY §7.1):
+  * polling, offset bookkeeping (C1), the multi-table commit barrier (C2 —
+  * `foreachBatch` returns ⇒ batch committed), retries (C4), backpressure
+  * (B5 — `maxOffsetsPerTrigger`), buffer cadence (B1 — trigger interval).
+  * What remains here is only semantics: decouple → whitelist → day-split →
+  * historical hand-off → infer/evolve → parse → `_shard_time` → per-table
+  * sink insert.
+  */
+object IngestStream {
+
+  /** Kafka raw source (S1/S2) — requires the spark-sql-kafka connector at
+    * runtime. `maxOffsetsPerTrigger` is the declarative replacement for the
+    * reference's memory-watermark pause/resume loop (B5).
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: String,
+                  maxOffsetsPerTrigger: Long = 300000): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** File-drop source of raw JSON lines (test/local stand-in for a topic). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).toDF("value")
+
+  /** F2 (streaming flavor) — duplicate drop keyed on `(_user, _time)` with
+    * TTL'd state, the Spark-native equivalent of the reference's RocksDB
+    * TtlDB (Deduplicator.java:26-88; 1-month TTL). Uses
+    * `dropDuplicatesWithinWatermark` so state is evicted once the watermark
+    * passes the TTL; backed by the RocksDB state store provider on a real
+    * cluster. Must run BEFORE foreachBatch (state ops live in the query).
+    */
+  def deduplicated(decoupled: DataFrame, ttl: String, names: FieldNames): DataFrame =
+    decoupled
+      .withColumn("_dedup_user", get_json_object(col("value"), s"$$.data.${names.userField}"))
+      .withWatermark("_time", ttl)
+      .dropDuplicatesWithinWatermark("_dedup_user", "_time")
+      .drop("_dedup_user")
+
+  /** One micro-batch of the pipeline — also the batch path for bulk loads.
+    * Returns per-collection inserted row counts.
+    */
+  def processBatch(spark: SparkSession, raw: Dataset[String],
+                   registry: EventSchema.Registry, sink: EventSink,
+                   historical: Option[HistoricalHandler], cfg: IngestConfig)
+      : Map[graft.schema.CollectionId, Long] = {
+    import spark.implicits._
+
+    // pre-parse decouple (D-split reads only _time/_collection, ref
+    // KafkaDecoupleMessage) + whitelist
+    val decoupled0 = EventOps.decouple(raw, cfg.dialect, cfg.names)
+      .filter(col("_project").isNotNull)
+    val decoupled = EventOps.whitelist(decoupled0, cfg.collectionWhitelist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val split = EventOps.daySplit(decoupled, col("_time"),
+        outdatedDayIndex = cfg.outdatedDayIndex,
+        promoteMinRecords = cfg.promoteMinRecords,
+        promoteMinFraction = cfg.promoteMinFraction)
+
+      // F5: hand historical records off INSIDE the barrier
+      historical.foreach(h => h.handle(split.historical))
+
+      // D1-D9: infer, evolve, parse the real-time slice; D10 + insert per table
+      val rawRt = split.realTime.select("value").as(Encoders.STRING)
+      val (routed, parsed) = JsonIngest.ingestLazy(rawRt, registry, cfg.dialect, cfg.names)
+      try {
+        parsed.map { case (id, df) =>
+          val withCheckpoint = EventOps.withShardTime(df, cfg.names)
+          sink.insert(id, withCheckpoint)
+          id -> withCheckpoint.count()
+        }
+      } finally routed.unpersist(false)
+    } finally decoupled.unpersist(false)
+  }
+
+  /** Start the continuous query. `source` must provide a string `value`
+    * column ([[kafkaSource]] / [[fileSource]]).
+    */
+  def start(spark: SparkSession, source: DataFrame, registry: EventSchema.Registry,
+            sink: EventSink, historical: Option[HistoricalHandler],
+            checkpointDir: String, cfg: IngestConfig = IngestConfig()): StreamingQuery = {
+    val base = cfg.dedupWithinWatermark match {
+      case Some(ttl) =>
+        val dec = EventOps.decouple(source.select(col("value")).as(Encoders.STRING),
+                                    cfg.dialect, cfg.names)
+        deduplicated(dec.filter(col("_project").isNotNull), ttl, cfg.names)
+          .select("value")
+      case None => source.select("value")
+    }
+    base.writeStream
+      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        processBatch(s, batch.select(col("value")).as(Encoders.STRING),
+                     registry, sink, historical, cfg)
+        () // barrier: returning commits the batch's offsets (C1/C2)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ingest.{JsonDialect, JsonEventParser}
+import graft.operators.EventOps
+import graft.schema.FieldNames
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def fabric(coll: String, time: String, extra: String = ""): String =
+    s"""{"data":{"_project":"p","_collection":"$coll","_time":$time$extra}}"""
+
+  test("decouple: reads only routing+time, early-exit, malformed → nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      fabric("a", "1700000000000"),
+      """{"data":{"_collection":"c","big":{"x":[1,2,3]},"_project":"p","_time":"2024-01-02 03:04:05"}}""",
+      """garbage""",
+      """{"data":{"_project":"p","_collection":"c"}}"""
+    ).toDS
+    val out = EventOps.decouple(rows, JsonDialect.Fabric).collect()
+    assert(out(0).getAs[String]("_collection") == "a")
+    assert(out(0).getAs[java.sql.Timestamp]("_time").getTime == 1700000000000L)
+    // routing fields after data fields still found (testOrdering equivalent)
+    assert(out(1).getAs[String]("_collection") == "c")
+    assert(out(1).getAs[java.sql.Timestamp]("_time").getTime ==
+      java.time.Instant.parse("2024-01-02T03:04:05Z").toEpochMilli)
+    assert(out(2).getAs[String]("_project") == null)
+    assert(out(3).getAs[String]("_collection") == "c") // no _time → null time
+    assert(out(3).getAs[java.sql.Timestamp]("_time") == null)
+  }
+
+  test("whitelist drops non-members") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_collection", "v")
+    val kept = EventOps.whitelist(df, Seq("A", "c")).collect().map(_.getString(0)).sorted
+    assert(kept.toSeq == Seq("a", "c"))
+    assert(EventOps.whitelist(df, Nil).count() == 3) // empty list = allow all
+  }
+
+  test("daySplit: window, promotion heuristic, null times → historical") {
+    import spark.implicits._
+    val today = java.sql.Date.valueOf("2024-03-10")
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    // 4 in-window, 1500 on one old day (promoted: >1000 and >25%), 3 on
+    // another old day (not promoted), 1 null
+    val rows =
+      (1 to 2).map(_ => ts("2024-03-10")) ++ (1 to 2).map(_ => ts("2024-03-09")) ++
+      (1 to 1500).map(_ => ts("2024-02-01")) ++ (1 to 3).map(_ => ts("2023-12-25")) :+
+      null.asInstanceOf[java.sql.Timestamp]
+    val df = rows.toDF("_time")
+    val split = EventOps.daySplit(df, col("_time"), today = lit(today))
+    assert(split.promotedDays == Set(38)) // 2024-02-01 is 38 days before today
+    assert(split.realTime.count() == 4 + 1500)
+    assert(split.historical.count() == 3 + 1)
+
+    // without the burst, the old day stays historical
+    val small = ((1 to 2).map(_ => ts("2024-03-10")) ++ (1 to 3).map(_ => ts("2024-02-01"))).toDF("_time")
+    val s2 = EventOps.daySplit(small, col("_time"), today = lit(today))
+    assert(s2.promotedDays.isEmpty && s2.realTime.count() == 2 && s2.historical.count() == 3)
+  }
+
+  test("dedupExact drops repeated (_user,_time) pairs") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(("u1", t, 1.0), ("u1", t, 2.0), ("u2", t, 3.0)).toDF("_user", "_time", "v")
+    assert(EventOps.dedupExact(df).count() == 2)
+  }
+
+  test("concatBatches aligns evolving schemas by name") {
+    import spark.implicits._
+    val a = Seq((1.0, "x")).toDF("v", "s")
+    val b = Seq((2.0, true)).toDF("v", "flag")
+    val merged = EventOps.concatBatches(Seq(a, b)).get
+    assert(merged.columns.sorted.toSeq == Seq("flag", "s", "v"))
+    assert(merged.count() == 2)
+    assert(merged.where($"flag".isNull).count() == 1)
+  }
+
+  test("withShardTime adds a constant timestamp column") {
+    import spark.implicits._
+    val df = EventOps.withShardTime(Seq(1, 2).toDF("v"))
+    assert(df.columns.contains("_shard_time"))
+    assert(df.select("_shard_time").distinct().count() == 1)
+  }
+}

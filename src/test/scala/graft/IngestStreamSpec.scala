@@ -1,0 +1,110 @@
+package graft
+
+import graft.ingest.JsonDialect
+import graft.schema.{CollectionId, EventSchema}
+import graft.sinks.{ColumnarSink, MemorySink}
+import graft.streaming.{FileHistoricalHandler, IngestConfig, IngestStream}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class IngestStreamSpec extends SparkSpec {
+
+  private def writeLines(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit = {
+    val tmp = Files.createTempFile("batch", ".json.tmp")
+    Files.write(tmp, String.join("\n", lines: _*).getBytes)
+    Files.move(tmp, dir.resolve(name)) // atomic drop for the file source
+  }
+
+  private def todayMillis: Long = System.currentTimeMillis()
+  private def fabric(coll: String, time: Long, extra: String = ""): String =
+    s"""{"data":{"_project":"p","_collection":"$coll","_time":$time,"_user":"u1"$extra}}"""
+
+  test("batch pipeline: split + historical handoff + evolve + sink insert") {
+    import spark.implicits._
+    val outBase = Files.createTempDirectory("sink").toString
+    val histPath = Files.createTempDirectory("hist").toString + "/data"
+    val registry = new EventSchema.Registry()
+    val sink = new ColumnarSink(outBase)
+    val old = java.time.Instant.now().minus(java.time.Duration.ofDays(40)).toEpochMilli
+    val raw = Seq(
+      fabric("clicks", todayMillis, ""","page":"/a","n":1"""),
+      fabric("clicks", todayMillis, ""","page":"/b","n":2.5,"extra":"x""""),
+      fabric("views", todayMillis),
+      fabric("clicks", old, ""","page":"/old""""), // → historical
+      "not-json"
+    ).toDS
+    val counts = IngestStream.processBatch(spark, raw, registry, sink,
+      Some(new FileHistoricalHandler(histPath)), IngestConfig())
+
+    assert(counts(CollectionId("p", "clicks")) == 2)
+    assert(counts(CollectionId("p", "views")) == 1)
+    // historical record handed off raw, not parsed
+    val hist = spark.read.text(histPath).collect().map(_.getString(0))
+    assert(hist.length == 1 && hist.head.contains("/old"))
+    // sink readable, schema evolved (n inferred DOUBLE, extra null-filled),
+    // _shard_time injected
+    val clicks = sink.read(spark, CollectionId("p", "clicks"))
+    assert(clicks.schema("n").dataType == DoubleType)
+    assert(clicks.schema.fieldNames.contains("_shard_time"))
+    assert(clicks.where($"extra".isNotNull).count() == 1)
+  }
+
+  test("streaming e2e: file source, two batches, schema evolution at rest") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("in")
+    val outBase = Files.createTempDirectory("sink").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val registry = new EventSchema.Registry()
+    val sink = new ColumnarSink(outBase)
+
+    writeLines(inDir, "b1.json", Seq(
+      fabric("clicks", todayMillis, ""","page":"/a""""),
+      fabric("clicks", todayMillis, ""","page":"/b"""")))
+
+    val q = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      registry, sink, None, ckpt, IngestConfig(triggerSeconds = 1))
+    try {
+      q.processAllAvailable()
+      // batch 2 brings a brand-new column and a new collection
+      writeLines(inDir, "b2.json", Seq(
+        fabric("clicks", todayMillis, ""","page":"/c","score":9"""),
+        fabric("installs", todayMillis)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val clicks = sink.read(spark, CollectionId("p", "clicks"))
+    assert(clicks.count() == 3)
+    assert(clicks.schema("score").dataType == DoubleType) // evolved at rest
+    assert(clicks.where($"score".isNotNull).count() == 1)
+    val installs = sink.read(spark, CollectionId("p", "installs"))
+    assert(installs.count() == 1)
+    // registry carries the authoritative in-flight order: defaults first
+    val reg = registry.get(CollectionId("p", "clicks")).get
+    assert(reg.fieldNames.take(2).toSeq == Seq("_time", "_user"))
+  }
+
+  test("streaming dedup drops repeated (_user,_time) across batches") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("in")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val registry = new EventSchema.Registry()
+    val sink = new MemorySink
+    val t = todayMillis
+    writeLines(inDir, "b1.json", Seq(
+      fabric("ev", t, ""","v":1"""),
+      fabric("ev", t, ""","v":2"""),   // same (_user,_time) → dropped
+      fabric("ev", t + 1000, ""","v":3""")))
+    val q = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      registry, sink, None, ckpt,
+      IngestConfig(triggerSeconds = 1, dedupWithinWatermark = Some("30 days")))
+    try {
+      q.processAllAvailable()
+      writeLines(inDir, "b2.json", Seq(
+        fabric("ev", t, ""","v":4"""))) // duplicate from batch 1 → dropped by state
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sink.rows(CollectionId("p", "ev")) == 2)
+  }
+}
