@@ -1,0 +1,204 @@
+package graft.ingest
+
+import graft.schema.{CollectionId, FieldNames}
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Avro wire path (SURVEY.md §2.1 S3-S5, §2.2 D5-D6).
+  *
+  * The spark-avro connector is the right tool when payloads are whole-record
+  * Avro; the reference's wire format is not — payloads carry a 1-byte type
+  * tag, optional embedded collection prefix, and a custom bulk framing
+  * (FIXTURES.md §3-4) — so decoding is done with avro-core
+  * (`GenericDatumReader` + `ResolvingDecoder`) inside `mapPartitions`,
+  * mirroring the reference's AvroPageDatumReader
+  * (m/org/apache/avro/io/AvroPageDatumReader.java:58-157) including the
+  * writer-schema-shorter-than-reader null-fill (:84-108) and the bulk
+  * truncated-schema projection (setLastColumnIndex:196-206).
+  */
+object AvroIngest {
+
+  /** Record-type demux (S5, KinesisRecordProcessor.java:79-99): first payload
+    * byte routes the record.
+    */
+  sealed trait RecordKind
+  object RecordKind {
+    /** tags 0/2: inline Avro event; collection from key (tag 0) or an Avro
+      * string prefix of the payload (tag 2). */
+    final case class Inline(collectionFromPayload: Boolean) extends RecordKind
+    /** tag 1: legacy bulk — an error in the reference. */
+    case object LegacyBulk extends RecordKind
+    /** tag 3: bulk pointer — payload carries an object-store key. */
+    case object BulkPointer extends RecordKind
+    final case class Unknown(tag: Byte) extends RecordKind
+  }
+
+  def kindOf(payload: Array[Byte]): RecordKind =
+    if (payload.isEmpty) RecordKind.Unknown(-1)
+    else payload(0) match {
+      case 0 => RecordKind.Inline(collectionFromPayload = false)
+      case 2 => RecordKind.Inline(collectionFromPayload = true)
+      case 1 => RecordKind.LegacyBulk
+      case 3 => RecordKind.BulkPointer
+      case t => RecordKind.Unknown(t)
+    }
+
+  /** Kafka key framing `project.collection` / Kinesis `project|collection`
+    * (KafkaAvroMessageTransformer.java:31-54, KinesisMessageEventTransformer.java:44-71).
+    */
+  def collectionFromKey(key: String, sep: Char): Option[CollectionId] = {
+    val i = key.indexOf(sep)
+    if (i <= 0 || i >= key.length - 1) None
+    else Some(CollectionId.normalize(key.substring(0, i), key.substring(i + 1)))
+  }
+
+  // ------------------------------------------------------------ schema map
+
+  /** StructType → Avro reader schema: nullable union per column, checkpoint
+    * column excluded; the reference's AvroUtil.convertAvroSchema type map
+    * (AvroUtil.java:44-72): VARCHAR→string, BIGINT/TIME/TIMESTAMP→long,
+    * DOUBLE→double, BOOLEAN→boolean, DATE/INTEGER→int, VARBINARY→bytes,
+    * ARRAY/MAP of nullable element. All fields default to null so a shorter
+    * writer schema resolves cleanly.
+    */
+  def avroSchema(st: StructType, name: String,
+                 names: FieldNames = FieldNames()): Schema = {
+    val fields = st.fields.toSeq
+      .filterNot(_.name == names.checkpointField)
+      .map { f =>
+        val s = Schema.createUnion(java.util.List.of(
+          Schema.create(Schema.Type.NULL), avroType(f.dataType)))
+        val fld = new Schema.Field(sanitize(f.name), s,
+          null, Schema.Field.NULL_DEFAULT_VALUE)
+        fld
+      }
+    val rec = Schema.createRecord(sanitize(name), null, "graft.avro", false)
+    rec.setFields(fields.asJava)
+    rec
+  }
+
+  private def sanitize(n: String): String =
+    if (n.headOption.exists(c => c.isLetter || c == '_')) n.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    else "_" + n.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+
+  private def avroType(dt: DataType): Schema = dt match {
+    case StringType    => Schema.create(Schema.Type.STRING)
+    case LongType      => Schema.create(Schema.Type.LONG)
+    case TimestampType => Schema.create(Schema.Type.LONG)   // epoch millis
+    case DoubleType    => Schema.create(Schema.Type.DOUBLE)
+    case BooleanType   => Schema.create(Schema.Type.BOOLEAN)
+    case DateType      => Schema.create(Schema.Type.INT)    // epoch days
+    case IntegerType   => Schema.create(Schema.Type.INT)
+    case BinaryType    => Schema.create(Schema.Type.BYTES)
+    case ArrayType(e, _) =>
+      Schema.createArray(Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), avroType(e))))
+    case MapType(StringType, v, _) =>
+      Schema.createMap(Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), avroType(v))))
+    case other => throw new IllegalArgumentException(s"no avro mapping for $other")
+  }
+
+  /** D6 — temporary-schema projection for bulk frames: writer declared fewer
+    * leading columns than the reader schema (AvroPageDatumReader.setLastColumnIndex).
+    */
+  def truncatedSchema(reader: Schema, colCount: Int): Schema = {
+    val fields = reader.getFields.asScala.take(colCount).map { f =>
+      new Schema.Field(f.name(), f.schema(), f.doc(), Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    val rec = Schema.createRecord(reader.getName + "_w" + colCount, null,
+      reader.getNamespace, false)
+    rec.setFields(fields.asJava)
+    rec
+  }
+
+  // -------------------------------------------------------------- decoding
+
+  /** Decode one inline Avro event against the collection schema, honoring a
+    * (possibly shorter) writer schema: missing trailing fields null-fill via
+    * Avro schema resolution (reader defaults).
+    */
+  def decodeRecord(payload: Array[Byte], offset: Int, writer: Schema,
+                   reader: Schema, rowSchema: StructType,
+                   names: FieldNames = FieldNames()): Row = {
+    val datum = new GenericDatumReader[GenericRecord](writer, reader)
+    val dec = DecoderFactory.get().binaryDecoder(payload, offset,
+      payload.length - offset, null)
+    toRow(datum.read(null, dec), rowSchema, names)
+  }
+
+  /** GenericRecord → external Row aligned to `rowSchema` (checkpoint column
+    * null — injected later by D10).
+    */
+  def toRow(rec: GenericRecord, rowSchema: StructType,
+            names: FieldNames = FieldNames()): Row = {
+    val values = rowSchema.fields.map { f =>
+      if (f.name == names.checkpointField) null
+      else {
+        val avroField = rec.getSchema.getField(sanitize(f.name))
+        if (avroField == null) null
+        else convert(rec.get(avroField.pos()), f.dataType)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      values.asInstanceOf[Array[Any]], rowSchema)
+  }
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (l: java.lang.Long, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(l))
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (b: ByteBuffer, BinaryType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (arr: java.util.Collection[_], ArrayType(e, _)) =>
+      arr.asScala.toSeq.map(convert(_, e))
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, mv) => k.toString -> convert(mv, vt) }.toMap
+    case (x, _) => x
+  }
+
+  // ------------------------------------------------------------- bulk frame
+
+  /** S4 — bulk object format (FIXTURES.md §4): Avro binary stream of
+    * `project:string` then repeated `{collection:string, columnCount:int,
+    * recordCount:int, records…}` until EOF. `schemaFor` supplies the reader
+    * schema per collection (metastore lookup in the reference,
+    * AvroMessageEventTransformer.java:100-123).
+    */
+  def readBulkObject(bytes: Array[Byte],
+                     schemaFor: CollectionId => (Schema, StructType),
+                     names: FieldNames = FieldNames())
+      : Seq[(CollectionId, Row)] = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    val out = Seq.newBuilder[(CollectionId, Row)]
+    val project = dec.readString()
+    while (!dec.isEnd) {
+      val collection = dec.readString()
+      val colCount = dec.readInt()
+      val recCount = dec.readInt()
+      val id = CollectionId.normalize(project, collection)
+      val (reader, rowSchema) = schemaFor(id)
+      val writer = if (colCount < reader.getFields.size) truncatedSchema(reader, colCount)
+                   else reader
+      val datum = new GenericDatumReader[GenericRecord](writer, reader)
+      var i = 0
+      while (i < recCount) {
+        out += id -> toRow(datum.read(null, dec), rowSchema, names)
+        i += 1
+      }
+    }
+    out.result()
+  }
+}
