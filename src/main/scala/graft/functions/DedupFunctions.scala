@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * Design stance: every variant reduces to hash-partitioned joins/aggregates
+  * on compact keys (fingerprints, band hashes, bit signatures) — never a
+  * cross-join of documents, never driver state — so each scales with
+  * `spark.sql.shuffle.partitions`, not with corpus size².
+  *
+  * The shared 60-bit deterministic hash `h(s) = int(md5(s)[0:15], 16)` is
+  * chosen for being reproducible in any engine (the DuckDB oracle mirrors it
+  * literally), seeded by prefixing `"<seed>|"`.
+  */
+object DedupFunctions {
+
+  /** Cross-engine 60-bit hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seed-i variant for minhash families. */
+  def seededHash60(seed: Int, c: Column): Column =
+    hash60(concat(lit(seed.toString), lit("|"), c))
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup on a fingerprint: one row per distinct normalized content,
+    * keeping the smallest id (deterministic winner). One hash-aggregate —
+    * the cheapest possible full-corpus dedup.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // --------------------------------------------------------------- minhash
+
+  /** MinHash signature over word `shingleSize`-shingles: `k` seeded hash
+    * functions, each keeping the min over the shingle set.
+    * transform/array_min stay codegen'd per row — no explode, no shuffle.
+    */
+  def minhashSignature(text: Column, k: Int, shingleSize: Int = 3): Column = {
+    val sh = TextFunctions.shingles(text, shingleSize)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s =>
+        hash60(concat(i.cast("string"), lit("|"), s)))))
+  }
+
+  /** LSH band keys: signature split into `nBands` bands of `rowsPerBand`,
+    * each band hashed to one string key. Two documents collide on a band
+    * key iff that band of their signatures matches exactly.
+    */
+  def bandKeys(signature: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => concat(b.cast("string"), lit(":"),
+        md5(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
+    *
+    * Scale shape: `posexplode(bands)` multiplies rows by nBands (cheap,
+    * narrow), then ONE shuffle on the band key joins colliding docs. Bucket
+    * sizes are bounded by collision probability, so the per-bucket pair
+    * expansion never approaches n² — this is the standard LSH join, the
+    * scale path for fuzzy dedup at 100 TB.
+    *
+    * Returns distinct (id_a < id_b) candidate pairs with their exact
+    * token-set Jaccard for threshold filtering downstream.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 12, nBands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = k / nBands
+    val sigs = df.select(
+        col(idCol).as("_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"),
+        minhashSignature(col(textCol), k, shingleSize).as("_sig"))
+      .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
+    val a = sigs.select(col("_band"), col("_id").as("id_a"), col("_toks").as("_toks_a"))
+    val b = sigs.select(col("_band"), col("_id").as("id_b"), col("_toks").as("_toks_b"))
+    a.join(b, Seq("_band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("_toks_a"), col("_toks_b")).as("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  /** Distinct-element Jaccard similarity of two token arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+                 size(array_union(a, b)))
+
+  /** n-gram Jaccard near-dup pairs inside explicit blocks (`blockCol`):
+    * the classic blocked-comparison pattern — equi-join on the block key
+    * (one shuffle), pairwise Jaccard only within blocks.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 3,
+                        threshold: Double = 0.0): DataFrame = {
+    val prepped = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+      array_distinct(TextFunctions.shingles(col(textCol), n)).as("_sh"))
+    val a = prepped.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = prepped.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    a.join(b, Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("_sh_a"), col("_sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over the token multiset: each token's 60-bit hash votes
+    * ±1 per bit position; the sign vector packs into one long. Pure
+    * higher-order-function pipeline (aggregate + zip_with) — per-row,
+    * codegen'd, shuffle-free.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 60),
+      (acc, t) => {
+        val h = hash60(t)
+        zip_with(acc,
+          transform(sequence(lit(0), lit(59)),
+            b => when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
+              lit(1L)).otherwise(lit(-1L))),
+          (x, y) => x + y)
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two packed simhashes. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs within blocks: equi-join on the
+    * block key, cosine over `zip_with`/`aggregate` (codegen'd), threshold
+    * filter. For unblocked corpora compose with
+    * [[SimilarityFunctions.lshBucket]] as the block key.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val a = v.select(col("_blk"), col("_id").as("id_a"), col("_v").as("_v_a"))
+    val b = v.select(col("_blk"), col("_id").as("id_b"), col("_v").as("_v_b"))
+    a.join(b, Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SimilarityFunctions.cosine(col("_v_a"), col("_v_b")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`/`Array[Double]`).
+  *
+  * Two tiers (SURVEY.md §7.2.10):
+  *  - brute-force top-k: broadcast the (small) query set, codegen'd cosine
+  *    against every corpus vector, per-query top-k window. Exact; scales
+  *    linearly in corpus size — the correctness baseline.
+  *  - LSH-bucketed: deterministic random-hyperplane sign buckets as a
+  *    pre-join blocking key; candidate set shrinks ~2^planes, turning the
+  *    broadcast-nested-loop into an equi-join — the 100 TB path.
+  */
+object SimilarityFunctions {
+
+  /** Σ aᵢbᵢ via zip_with + aggregate — stays inside codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 where either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    *
+    * `queries` is broadcast (it must be small — the typical "find neighbors
+    * of these N probes" shape); corpus-side scan is embarrassingly parallel;
+    * the only shuffle is the per-query top-k window, keyed by query id.
+    * Self-matches (same id) are excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_qv"), col("_cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * the shared 60-bit md5 hash mapped to [-1, 1]. Engine-independent (the
+    * oracle can rebuild the exact same planes).
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    DedupFunctions.hash60(concat(lit(s"plane$plane|"), dim.cast("string")))
+      .cast("double") / lit(1152921504606846975.0d) * 2.0 - 1.0
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane, packed into a
+    * long. Vectors in the same bucket are "probably close" — use as a
+    * blocking key for candidate generation.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0), size(vec) - 1).cast("array<double>"),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via multi-probe LSH: the corpus keeps ONE bucket per vector;
+    * each query probes its own bucket plus every bucket at Hamming distance
+    * 1 (the standard multi-probe trick — recall of many more planes at the
+    * candidate cost of a few). The join stays an equi-join on bucket id
+    * (one shuffle, no cross product) — the 100 TB path; the query-side
+    * explode is ×(nPlanes+1) on the SMALL side only.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8,
+              probeHamming1: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_bucket", lshBucket(col("_cv"), nPlanes))
+    val qBase = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("_b0", lshBucket(col("_qv"), nPlanes))
+    val probes =
+      if (!probeHamming1) array(col("_b0"))
+      else array(col("_b0") +:
+        (0 until nPlanes).map(p => col("_b0").bitwiseXOR(lit(1L << p))): _*)
+    val q = qBase.withColumn("_bucket", explode(probes)).drop("_b0")
+    val scored = c.join(q, Seq("_bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id")) // probe overlap dedup
+      .agg(first(col("_qv")).as("_qv"), first(col("_cv")).as("_cv"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_qv"), col("_cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All of these are pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd end-to-end, no UDFs, so they stay inside WholeStageCodegen and
+  * scale linearly with no shuffle. Every definition is mirrored 1:1 by an
+  * ANSI-SQL oracle in [[graft.SparkEntry.oracleSql]] (DuckDB-checked).
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count — the cheap token-budget estimator. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words plus punctuation marks counted as
+    * separate tokens (a regex stand-in for a real tokenizer's token count).
+    */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(lower(trim(text)), "[\\s]+|(?=[.,!?;:])"), t => length(t) > 0))
+
+  /** Word n-gram shingles, joined with single spaces (input order kept). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), count),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  /** Language marker stopwords (tiny per-language sets; distinct-match
+    * scoring). Mirrored literally in the SQL oracle — keep in sync.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "que", "pour"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有"))
+
+  /** n-gram/stopword language-ID heuristic: distinct marker hits per
+    * language; highest score wins, ties resolve in [[LangMarkers]] order;
+    * zero hits everywhere → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
+      when(s === best && s > 0, lit(lang)).otherwise(rest)
+    }
+  }
+
+  private val PunctChars = Seq(".", ",", "!", "?", ";", ":")
+
+  /** Punctuation-character fraction of the text (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val stripped = PunctChars.foldLeft(text)((c, p) => replace(c, lit(p), lit("")))
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(stripped)).cast("double") / length(text))
+  }
+
+  /** Heuristic document-quality score in [0,1]: token volume, low
+    * punctuation density, stopword presence, plausible mean word length.
+    * Weights are part of the operator contract (mirrored in SQL).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stopFrac = size(array_intersect(toks,
+      array(LangMarkers.flatMap(_._2).distinct.map(lit): _*))).cast("double") /
+      greatest(n, lit(1.0))
+    val avgWl = length(regexp_replace(text, "\\s+", "")).cast("double") / greatest(n, lit(1.0))
+    val score =
+      lit(0.3) * least(lit(1.0), n / 50.0) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio(text) * 10.0)) +
+      lit(0.2) * least(lit(1.0), stopFrac * 4.0) +
+      lit(0.2) * least(lit(1.0), greatest(avgWl - 2.0, lit(0.0)) / 8.0)
+    round(score, 4)
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text — the exact-dedup key that survives formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit polynomial rolling hash over the normalized text (base-257 mod
+    * 2^61-1), as a native codegen'd expression —
+    * [[graft.functions.expressions.RollingHash]].
+    */
+  def rollingHash(text: Column): Column =
+    expressions.RollingHash.rolling_hash(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
+}

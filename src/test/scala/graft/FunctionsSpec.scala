@@ -1,0 +1,178 @@
+package graft
+
+import graft.functions.{DedupFunctions, SimilarityFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  test("tokens / tokenCount / shingles") {
+    import spark.implicits._
+    val df = Seq("The quick  brown fox", "", "one").toDF("t")
+    val out = df.select(
+      TextFunctions.tokenCount($"t").as("n"),
+      TextFunctions.shingles($"t", 2).as("sh")).collect()
+    assert(out(0).getAs[Int]("n") == 4)
+    assert(out(0).getSeq[String](1).toSeq == Seq("the quick", "quick brown", "brown fox"))
+    assert(out(1).getAs[Int]("n") == 0)
+    assert(out(2).getSeq[String](1).toSeq == Seq("one")) // short text → whole text
+  }
+
+  test("langId picks marker language, und for no hits, en-first tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog is in a house",
+      "der hund ist nicht mit das katze und ein",
+      "xyzzy plugh") .toDF("t")
+    val langs = df.select(TextFunctions.langId($"t")).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore within [0,1], higher for richer text") {
+    import spark.implicits._
+    val df = Seq(
+      ("a" * 3, "low"),
+      ("the quick brown fox jumps over the lazy dog and runs through the " * 5, "high"))
+      .toDF("t", "tag")
+    val scores = df.select($"tag", TextFunctions.qualityScore($"t")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores("high") > scores("low"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rollingHash deterministic") {
+    import spark.implicits._
+    val df = Seq(("Hello   World", "hello world"), ("a", "b")).toDF("x", "y")
+    val rows = df.select(
+      (TextFunctions.fingerprint($"x") === TextFunctions.fingerprint($"y")).as("eq"),
+      TextFunctions.rollingHash($"x").as("hx"),
+      TextFunctions.rollingHash($"y").as("hy")).collect()
+    assert(rows(0).getBoolean(0))
+    assert(rows(0).getLong(1) == rows(0).getLong(2)) // normalized equal → same hash
+    assert(!rows(1).getBoolean(0) && rows(1).getLong(1) != rows(1).getLong(2))
+  }
+}
+
+class DedupFunctionsSpec extends SparkSpec {
+
+  test("hash60 is deterministic and 60-bit") {
+    import spark.implicits._
+    val h = Seq("hello").toDF("s").select(DedupFunctions.hash60($"s")).head.getLong(0)
+    // cross-checked against DuckDB ('0x'||substr(md5('hello'),1,15))::BIGINT
+    assert(h == 419982666956583591L)
+    assert(h >= 0 && h < (1L << 60))
+  }
+
+  test("exactDedup groups identical normalized content") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "unique")).toDF("id", "text")
+    val out = DedupFunctions.exactDedup(df, "id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("id") == 1L) // smallest id wins
+  }
+
+  test("minhash LSH finds near-duplicate pair, skips distinct docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val other = "completely different content about spark catalyst optimizer internals rules"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val cands = DedupFunctions.minhashCandidates(df, "id", "text", k = 12, nBands = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    assert(cands.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
+    assert(!cands.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simhash: near-dups close in hamming, distinct docs far") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (1L, base), (2L, base + " today"),
+      (3L, "unrelated words entirely about database query optimization internals")).toDF("id", "text")
+    val sh = df.select($"id", DedupFunctions.simhash64($"text").as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(2L)) <= 10)
+  }
+
+  test("ngram jaccard pairs within blocks") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g", "blk1"), (2L, "a b c d e f h", "blk1"),
+      (3L, "a b c d e f g", "blk2")).toDF("id", "text", "blk")
+    val pairs = DedupFunctions.ngramJaccardPairs(df, "id", "text", "blk", n = 2)
+      .collect()
+    // only the in-block pair compares; cross-block identical text doesn't
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.5)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine/dot/norm basics") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+    val cos = df.select(round(SimilarityFunctions.cosine($"a", $"b"), 6)).collect().map(_.getDouble(0))
+    assert(cos(0) == 0.0 && cos(1) == 1.0)
+  }
+
+  test("bruteForceTopK on real embeddings: k rows per query, ranked") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = SimilarityFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(sims.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    }
+  }
+
+  test("lshTopK recall against brute force is reasonable") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = SimilarityFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = SimilarityFunctions.lshTopK(emb, queries, "vec_id", "embedding", 3, nPlanes = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // multi-probe (Hamming-1) sign-LSH, 3 planes: probes 4 of 8 buckets;
+    // these synthetic embeddings are near-random (weak neighbor structure)
+    // so recall well above the 50% bucket coverage indicates real signal
+    assert(recall > 0.4, s"recall $recall too low")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.multimodal.{MediaKernels, Multimodal}
+
+  test("media plumbing: features, resize, frame sampling") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef" * 100), (2L, "zzzz" * 64)).toDF("id", "payload")
+      .select($"id", Multimodal.asMedia(encode($"payload", "utf-8"), lit("fake/raw")).as("media"))
+
+    val feats = Multimodal.extractFeatures(df, "id", "media", dim = 16).collect()
+    assert(feats.length == 2)
+    assert(feats.head.getSeq[Float](1).size == 16)
+    // deterministic: same bytes → same features
+    val again = Multimodal.extractFeatures(df, "id", "media", dim = 16).collect()
+    assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+
+    val resized = Multimodal.resize(df, "media", 8, 8).collect()
+    resized.foreach { r =>
+      val m = r.getStruct(1)
+      assert(m.getAs[Array[Byte]]("data").length == 64)
+      assert(m.getStruct(1).getAs[Int]("width") == 8)
+    }
+
+    val frames = Multimodal.sampleFrames(df, "id", "media", everyN = 2)
+    assert(frames.count() > 2)
+    assert(frames.columns.toSeq == Seq("id", "frame_idx", "frame"))
+  }
+}
