@@ -1,24 +1,34 @@
 package graft
 
-import graft.ingest.{JsonDialect, JsonIngest}
-import graft.schema.{CollectionId, EventSchema}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.{DedupFunctions, SimilarityFunctions, TextFunctions}
+import graft.ingest.{AvroIngest, JsonDialect, JsonIngest}
+import graft.operators.EventOps
+import graft.schema.{CollectionId, EventSchema, FieldNames}
+import graft.sinks.ColumnarSink
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` keys map to SURVEY.md §2 operator ids (d* = deserialization,
-  * f* = filters, b* = buffering, k* = sinks) plus the beyond-reference
-  * LLM-pipeline operators (dedup_*, ann_*, text_*).
+  * `queries` keys map to SURVEY.md §2 operator ids (prefixes s/d/f/b/k =
+  * ingestion dataflow operators; q/w = the relational query surface served
+  * by Catalyst; text_/dedup_/ann_/mm_ = the beyond-reference
+  * LLM-pipeline operators). Every key with a SQL-expressible result also
+  * appears in [[oracleSql]]; non-SQL-expressible ops (LSH buckets, stub
+  * kernels) are rows-only checked and covered by ScalaTest instead.
   */
 object SparkEntry {
 
+  private val names = FieldNames()
+
   /** Rebuild the driver `events` parquet as Fabric-envelope JSON lines —
     * the wire shape the reference ingests (FIXTURES.md §1). Collection =
-    * event_type, project = "demo"; props JSON object is inlined so its `k`
-    * field exercises dynamic inference.
+    * event_type, project = "demo"; the props JSON object is inlined so its
+    * `k` field exercises dynamic map inference.
     */
-  def eventsAsFabricJson(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsAsFabricJson(spark: SparkSession, sfDir: String): Dataset[String] = {
     // `ts` arrives as a nanos-long (spark.sql.legacy.parquet.nanosAsLong);
     // the Fabric wire format wants epoch millis.
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
@@ -29,50 +39,234 @@ object SparkEntry {
       lit(""""_user":"u"""), col("user_id"), lit("\","),
       lit(""""value":"""), col("value"), lit(","),
       lit(""""props":"""), col("props"),
-      lit("}}")).as("value"))
+      lit("}}")).as("value")).as(Encoders.STRING)
   }
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
-    * Full dynamic-schema ingest of the events stream: route → infer →
-    * evolve → parse, then a per-collection rollup of the result.
-    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Full JSON ingest of the events wire stream → per-collection frames. */
+  private def ingested(s: SparkSession, dir: String): Map[CollectionId, DataFrame] = {
+    val registry = new EventSchema.Registry()
+    val (_, parsed) = JsonIngest.ingestLazy(eventsAsFabricJson(s, dir), registry)
+    parsed
+  }
+
+  /** Stable union of the per-collection frames with a collection column. */
+  private def ingestedUnion(s: SparkSession, dir: String): DataFrame =
+    ingested(s, dir).toSeq.sortBy(_._1.collection).map { case (id, df) =>
+      df.withColumn("collection", lit(id.collection))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val raw = eventsAsFabricJson(spark, "/root/testdata/sf0.001").as[String]
-    val registry = new EventSchema.Registry()
-    val (_, parsed) = JsonIngest.ingestLazy(raw, registry, JsonDialect.Fabric)
-    val counts = parsed.toSeq.sortBy(_._1.collection).map { case (id, df) =>
-      df.agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
-        .select(lit(id.project).as("project"), lit(id.collection).as("collection"),
-                $"n", $"sum_value")
-    }
-    counts.reduce(_ unionAll _)
+    ingestedUnion(spark, "/root/testdata/sf0.001")
+      .groupBy($"collection")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"collection")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  // =================================================================
+  // queries
+  // =================================================================
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- ingestion dataflow operators (SURVEY §2) --------------------
+
     // D1-D7: dynamic-schema JSON ingest end-to-end (routing, inference,
     // evolution, coercion), rolled up per collection.
     "d7_ingest_route" -> ((s, dir) => {
       import s.implicits._
-      val raw = eventsAsFabricJson(s, dir).as[String]
-      val registry = new EventSchema.Registry()
-      val (_, parsed) = JsonIngest.ingestLazy(raw, registry, JsonDialect.Fabric)
-      parsed.toSeq.sortBy(_._1.collection).map { case (id, df) =>
-        df.agg(
+      ingestedUnion(s, dir).groupBy($"collection").agg(
           count(lit(1)).as("n_events"),
           round(sum($"value"), 2).as("sum_value"),
           round(sum(element_at($"props", "k")), 2).as("sum_props_k"),
           count($"_user").as("n_users"))
-         .select(lit(id.collection).as("collection"),
-                 $"n_events", $"sum_value", $"sum_props_k", $"n_users")
-      }.reduce(_ unionAll _)
+        .orderBy($"collection")
+    }),
+
+    // F1: collection whitelist pre-parse on the decoupled stream.
+    "f1_whitelist" -> ((s, dir) => {
+      import s.implicits._
+      val dec = EventOps.decouple(eventsAsFabricJson(s, dir), JsonDialect.Fabric)
+      EventOps.whitelist(dec, Seq("purchase", "view", "click"))
+        .groupBy($"_collection".as("collection")).count()
+        .orderBy($"collection")
+    }),
+
+    // F4: real-time/historical day-split (window anchored at the corpus
+    // max date so the result is deterministic) incl. promotion heuristic.
+    "f4_day_split" -> ((s, dir) => {
+      import s.implicits._
+      val dec = EventOps.decouple(eventsAsFabricJson(s, dir), JsonDialect.Fabric)
+        .filter($"_project".isNotNull)
+        .persist()
+      val maxDay = dec.agg(max(to_date($"_time"))).head.getDate(0)
+      val split = EventOps.daySplit(dec, $"_time", today = lit(maxDay))
+      val out = split.realTime.select(lit("realtime").as("bucket"))
+        .unionAll(split.historical.select(lit("historical").as("bucket")))
+        .groupBy($"bucket").agg(count(lit(1)).as("n")).orderBy($"bucket")
+      out.collect() // materialize before unpersist
+      dec.unpersist()
+      out
+    }),
+
+    // F2: exact dedup on the reference key (_user, _time) after ingest.
+    "f2_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val all = ingestedUnion(s, dir)
+      EventOps.dedupExact(all, names)
+        .groupBy($"collection").agg(count(lit(1)).as("n_distinct"))
+        .orderBy($"collection")
+    }),
+
+    // D5/D6: Avro wire roundtrip — rows encoded to tagged Avro binary
+    // (10% with a truncated writer schema missing the trailing column,
+    // exercising null-fill resolution), decoded back, aggregated.
+    "d5_avro_roundtrip" -> ((s, dir) => avroRoundtrip(s, dir)),
+
+    // K1+B4: columnar sink roundtrip — per-collection partitioned write
+    // with schema evolution at rest, read back through mergeSchema.
+    "k1_sink_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val sink = new ColumnarSink(base)
+      ingested(s, dir).foreach { case (id, df) => sink.insert(id, df) }
+      val back = s.read.option("mergeSchema", "true")
+        .parquet(s"$base/project=demo")
+      back.groupBy($"collection").agg(
+          count(lit(1)).as("n"),
+          round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"collection")
+    }),
+
+    // ---- relational query surface (Catalyst built-ins, SURVEY §2.8) --
+
+    // Pricing-summary style aggregate over lineitem.
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // 3-way join + top-N (broadcast the filtered dimension).
+    "q3_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      val cust = tbl(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    }),
+
+    // Multi-join star query with broadcast dims (region→nation→customer…).
+    "q5_region_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val region = tbl(s, dir, "region")
+      val nation = tbl(s, dir, "nation")
+      val cust = tbl(s, dir, "customer")
+      val ord = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy($"r_name")
+    }),
+
+    // Window functions: top order per customer (bounded output).
+    "w1_top_order_per_customer" -> ((s, dir) => {
+      import s.implicits._
+      val ord = tbl(s, dir, "orders").filter($"o_custkey" < 500)
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      ord.withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          round($"o_totalprice", 2).as("top_price"))
+        .orderBy($"o_custkey")
     }),
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
+  /** D5/D6 implementation: distributed Avro encode/decode roundtrip. */
+  private def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("value", DoubleType), StructField("k", DoubleType)))
+    val full = AvroIngest.avroSchema(rowSchema, "events")
+    val trunc = AvroIngest.truncatedSchema(full, 3) // drops trailing `k`
+
+    val src = tbl(s, dir, "events").select(
+      $"event_id",
+      expr("ts div 1000000").as("ms"),
+      concat(lit("u"), $"user_id").as("_user"),
+      $"value",
+      get_json_object($"props", "$.k").cast("double").as("k"))
+
+    val decoded = src.mapPartitions { rows =>
+      // writer/reader hoisted per partition (reference reuses decoders the
+      // same way, AvroMessageEventTransformer.java:42,68)
+      val wFull = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](full)
+      val wTrunc = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](trunc)
+      rows.map { r =>
+        val truncated = r.getLong(0) % 10 == 0
+        val schema = if (truncated) trunc else full
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("_time", r.getLong(1))
+        rec.put("_user", r.getString(2))
+        rec.put("value", r.getDouble(3))
+        if (!truncated) rec.put("k", if (r.isNullAt(4)) null else r.getDouble(4))
+        val out = new java.io.ByteArrayOutputStream()
+        val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(out, null)
+        (if (truncated) wTrunc else wFull).write(rec, enc)
+        enc.flush()
+        (truncated, out.toByteArray)
+      }
+    }.mapPartitions { recs =>
+      recs.map { case (truncated, bytes) =>
+        val writer = if (truncated) trunc else full
+        val row = AvroIngest.decodeRecord(bytes, 0, writer, full, rowSchema)
+        (row.getAs[java.sql.Timestamp]("_time"), row.getAs[String]("_user"),
+         Option(row.getAs[java.lang.Double]("value")).map(_.doubleValue),
+         Option(row.getAs[java.lang.Double]("k")).map(_.doubleValue))
+      }
+    }.toDF("_time", "_user", "value", "k")
+
+    decoded.agg(
+      count(lit(1)).as("n"),
+      round(sum($"value"), 2).as("sum_value"),
+      round(sum($"k"), 2).as("sum_k"),
+      count($"k").as("n_k"),
+      max($"_time").as("max_time"))
+  }
+
+  // =================================================================
+  // oracle SQL (DuckDB dialect differences handled: datediff arg order,
+  // regexp_replace 'g' flag, json_extract)
+  // =================================================================
+
   def oracleSql: Map[String, String] = Map(
     "d7_ingest_route" ->
       """SELECT event_type AS collection,
@@ -81,5 +275,84 @@ object SparkEntry {
         |       round(sum(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS sum_props_k,
         |       count(*) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f1_whitelist" ->
+      """SELECT event_type AS collection, count(*) AS count
+        |FROM events WHERE event_type IN ('purchase','view','click')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f4_day_split" ->
+      """WITH t AS (
+        |  SELECT date_diff('day', CAST(ts AS DATE),
+        |                   (SELECT max(CAST(ts AS DATE)) FROM events)) AS di
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n FROM t),
+        |hist AS (SELECT di, count(*) AS c FROM t WHERE di > 1 GROUP BY di),
+        |promoted AS (SELECT di FROM hist, tot WHERE c > 1000 AND c > 0.25 * n)
+        |SELECT CASE WHEN di <= 1 OR di IN (SELECT di FROM promoted)
+        |            THEN 'realtime' ELSE 'historical' END AS bucket,
+        |       count(*) AS n
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f2_dedup_exact" ->
+      """SELECT event_type AS collection, count(*) AS n_distinct FROM (
+        |  SELECT DISTINCT event_type, user_id, epoch_ms(CAST(ts AS TIMESTAMP))
+        |  FROM events)
+        |t(event_type, user_id, ms) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d5_avro_roundtrip" ->
+      """SELECT count(*) AS n,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(sum(CASE WHEN event_id % 10 = 0 THEN NULL
+        |                 ELSE CAST(json_extract(props, '$.k') AS DOUBLE) END), 2) AS sum_k,
+        |       count(CASE WHEN event_id % 10 = 0 THEN NULL ELSE 1 END) AS n_k,
+        |       max(make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000)) AS max_time
+        |FROM events""".stripMargin,
+
+    "k1_sink_roundtrip" ->
+      """SELECT event_type AS collection, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w1_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders WHERE o_custkey < 500)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
   )
 }
