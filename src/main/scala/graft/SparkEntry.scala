@@ -205,6 +205,139 @@ object SparkEntry {
           round($"o_totalprice", 2).as("top_price"))
         .orderBy($"o_custkey")
     }),
+
+    // K2: NDJSON-gzip sink roundtrip (file rolling + serialization), read
+    // back per collection.
+    "k2_ndjson_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_ndjson").toString
+      val sink = new graft.sinks.NdjsonGzipSink(base)
+      val parsed = ingested(s, dir)
+      parsed.foreach { case (id, df) => sink.insert(id, df) }
+      parsed.keys.toSeq.sortBy(_.collection).map { id =>
+        s.read.json(sink.path(id))
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+          .select(lit(id.collection).as("collection"), $"n", $"sum_value")
+      }.reduce(_ unionAll _)
+    }),
+
+    // ---- LLM-pipeline operators: text analysis ----------------------
+
+    // Per-document text analysis: token count, punctuation ratio,
+    // language-ID heuristic, quality score, content fingerprint.
+    "text_stats" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+          $"doc_id",
+          TextFunctions.tokenCount($"text").as("n_tokens"),
+          round(TextFunctions.punctRatio($"text"), 4).as("punct_ratio"),
+          TextFunctions.langId($"text").as("lang_pred"),
+          TextFunctions.qualityScore($"text").as("quality"),
+          TextFunctions.fingerprint($"text").as("fingerprint"))
+        .orderBy($"doc_id")
+    }),
+
+    // Rolling-hash fingerprint (native Catalyst expression) — rows-only
+    // (no SQL mirror for the per-byte fold; covered by ScalaTest).
+    "text_rolling_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+        TextFunctions.rollingHash($"text").as("rhash")).orderBy($"doc_id")
+    }),
+
+    // ---- LLM-pipeline operators: dedup family -----------------------
+
+    // Exact dedup via normalized-content fingerprint.
+    "dedup_exact_docs" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.exactDedup(docs(s, dir), "doc_id", "text")
+        .select($"_fp".as("fp"), $"doc_id", $"n_copies")
+        .orderBy($"doc_id")
+    }),
+
+    // MinHash signatures (k=12 over 3-shingles), collapsed to per-doc
+    // sum/min/max so the oracle compares scalars, not arrays.
+    "dedup_minhash_sig" -> ((s, dir) => {
+      import s.implicits._
+      val sig = DedupFunctions.minhashSignature($"text", 12, 3)
+      docs(s, dir).select(
+          $"doc_id",
+          aggregate(sig, lit(0L), (a, x) => a + x).as("sig_sum"),
+          array_min(sig).as("sig_min"),
+          array_max(sig).as("sig_max"))
+        .orderBy($"doc_id")
+    }),
+
+    // MinHash-LSH candidate pairs (banded bucket join) with exact
+    // token-Jaccard on each candidate.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.minhashCandidates(docs(s, dir), "doc_id", "text",
+          k = 12, nBands = 4, shingleSize = 3)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SimHash (60-bit, token multiset) per document.
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+          DedupFunctions.simhash64($"text").as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // Blocked n-gram Jaccard near-dup pairs (block = lang × source).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).withColumn("blk", concat($"lang", lit("|"), $"source"))
+      DedupFunctions.ngramJaccardPairs(d, "doc_id", "text", "blk", n = 3,
+          threshold = 0.05)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Embedding-cosine near-dup pairs blocked by label.
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.embeddingNearDups(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- LLM-pipeline operators: similarity search ------------------
+
+    // Exact brute-force cosine top-5 for the probe set (vec_id < 20).
+    "ann_brute_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityFunctions.bruteForceTopK(
+          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Multi-probe LSH ANN — approximate by construction, so rows-only
+    // (recall vs brute force asserted in ScalaTest).
+    "ann_lsh_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityFunctions.lshTopK(
+          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5, nPlanes = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // ---- LLM-pipeline operators: multimodal plumbing ----------------
+
+    // Binary media columns + stub feature kernel (deterministic fake;
+    // real dataflow) — rows-only.
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id",
+        graft.multimodal.Multimodal.asMedia(encode($"text", "utf-8"),
+          lit("text/plain")).as("media"))
+      graft.multimodal.Multimodal.extractFeatures(media, "doc_id", "media", 16)
+        .select($"doc_id", round(aggregate($"features",
+          lit(0.0d), (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+        .orderBy($"doc_id")
+    }),
   )
 
   /** D5/D6 implementation: distributed Avro encode/decode roundtrip. */
@@ -266,6 +399,26 @@ object SparkEntry {
   // oracle SQL (DuckDB dialect differences handled: datediff arg order,
   // regexp_replace 'g' flag, json_extract)
   // =================================================================
+
+  /** Shared SQL fragments mirroring TextFunctions/DedupFunctions exactly —
+    * tokens, shingles, the 60-bit md5 hash, language marker sets.
+    */
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)"""
+
+  private val shinglesSql = // word 3-shingles with the short-text fallback
+    """CASE WHEN len(toks) >= 3
+      |  THEN list_transform(generate_series(1, len(toks) - 2),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  private val jaccardSql = // distinct-element jaccard of toks_a/toks_b
+    """CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+      |     ELSE len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |          len(list_distinct(list_concat(a.toks, b.toks))) END""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d7_ingest_route" ->
@@ -354,5 +507,116 @@ object SparkEntry {
         |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders WHERE o_custkey < 500)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "k2_ndjson_roundtrip" ->
+      """SELECT event_type AS collection, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_stats" -> {
+      val langScores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        s"len(list_intersect(toks, ${sqlList(ms)})) AS s_$lang"
+      }.mkString(",\n    ")
+      val langCase = TextFunctions.LangMarkers.map { case (lang, _) =>
+        s"WHEN s_$lang = g AND s_$lang > 0 THEN '$lang'"
+      }.mkString(" ")
+      val allMarkers = sqlList(TextFunctions.LangMarkers.flatMap(_._2).distinct)
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      (length(text) - length(replace(replace(replace(replace(replace(replace(
+         |         text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')))::DOUBLE
+         |      / length(text) END AS punct,
+         |    $langScores,
+         |    len(list_intersect(toks, $allMarkers)) AS stopn,
+         |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+         |      / greatest(len(toks), 1) AS avg_wl
+         |  FROM t)
+         |SELECT doc_id, n_tokens, round(punct, 4) AS punct_ratio,
+         |  CASE $langCase ELSE 'und' END AS lang_pred,
+         |  round(0.3 * least(1.0, n_tokens / 50.0)
+         |      + 0.3 * (1.0 - least(1.0, punct * 10.0))
+         |      + 0.2 * least(1.0, (stopn::DOUBLE / greatest(n_tokens, 1)) * 4.0)
+         |      + 0.2 * least(1.0, greatest(avg_wl - 2.0, 0.0) / 8.0), 4) AS quality,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_exact_docs" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
+         |sig AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 11),
+         |    i -> list_min(list_transform(shingles,
+         |      s -> ('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 15))::BIGINT))) AS sig
+         |  FROM sh)
+         |SELECT doc_id, list_sum(sig)::BIGINT AS sig_sum,
+         |       list_min(sig) AS sig_min, list_max(sig) AS sig_max
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, toks, $shinglesSql AS shingles FROM t),
+         |sig AS (
+         |  SELECT doc_id, toks, list_transform(generate_series(0, 11),
+         |    i -> list_min(list_transform(shingles,
+         |      s -> ('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 15))::BIGINT))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, toks, unnest(list_transform(generate_series(0, 3),
+         |    b -> b::VARCHAR || ':' ||
+         |         md5(array_to_string(sig[(b*3+1):(b*3+3)], ',')))) AS band
+         |  FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round($jaccardSql, 4) AS jaccard
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |bits AS (
+         |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, unnest(generate_series(0, 59)) AS g(b) GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t0 AS (SELECT doc_id, lang || '|' || source AS blk, $tokensSql AS toks
+         |            FROM documents),
+         |t AS (SELECT doc_id, blk, list_distinct($shinglesSql) AS toks FROM t0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, round($jaccardSql, 4) AS jaccard
+         |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE round($jaccardSql, 4) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |             round(list_cosine_similarity(qv, cv), 4) AS cosine
+        |      FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

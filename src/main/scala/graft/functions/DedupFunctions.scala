@@ -55,7 +55,9 @@ object DedupFunctions {
   def bandKeys(signature: Column, nBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)),
       b => concat(b.cast("string"), lit(":"),
-        md5(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
+        md5(concat_ws(",",
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string"))))))
 
   /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket-join.
     *
