@@ -260,9 +260,12 @@ object SparkEntry {
     "dedup_minhash_sig" -> ((s, dir) => {
       import s.implicits._
       val sig = DedupFunctions.minhashSignature($"text", 12, 3)
+      // checksum the signature with a modded sum: 12 values < 2^61 would
+      // overflow an int64 sum for short (few-shingle) documents
       docs(s, dir).select(
           $"doc_id",
-          aggregate(sig, lit(0L), (a, x) => a + x).as("sig_sum"),
+          aggregate(transform(sig, x => x % 1000003L), lit(0L), (a, x) => a + x)
+            .as("sig_sum"),
           array_min(sig).as("sig_min"),
           array_max(sig).as("sig_max"))
         .orderBy($"doc_id")
@@ -420,6 +423,16 @@ object SparkEntry {
       |     ELSE len(list_intersect(a.toks, b.toks))::DOUBLE /
       |          len(list_distinct(list_concat(a.toks, b.toks))) END""".stripMargin
 
+  private val hash60Sql = // Hash60 contract: int(md5(s)[0:15], 16)
+    """('0x' || substr(md5(s), 1, 15))::BIGINT"""
+
+  private val seededSigSql = // MinHash60 contract (see expressions.Hash60)
+    """list_transform(generate_series(0, 11),
+      |    i -> list_min(list_transform(hs,
+      |      h -> (((1103515245*i + 12345) % 1073741789 + 1) * (h & 1073741823)
+      |          + ((134775813*i + 1) % 1073741789 + 1) * (h >> 30)
+      |          + i) % 2305843009213693951)))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "d7_ingest_route" ->
       """SELECT event_type AS collection,
@@ -553,23 +566,19 @@ object SparkEntry {
     "dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
-         |sig AS (
-         |  SELECT doc_id, list_transform(generate_series(0, 11),
-         |    i -> list_min(list_transform(shingles,
-         |      s -> ('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 15))::BIGINT))) AS sig
-         |  FROM sh)
-         |SELECT doc_id, list_sum(sig)::BIGINT AS sig_sum,
+         |hs AS (SELECT doc_id, list_transform(shingles, s -> $hash60Sql) AS hs FROM sh),
+         |sig AS (SELECT doc_id, $seededSigSql AS sig FROM hs)
+         |SELECT doc_id,
+         |       list_sum(list_transform(sig, x -> x % 1000003))::BIGINT AS sig_sum,
          |       list_min(sig) AS sig_min, list_max(sig) AS sig_max
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |sh AS (SELECT doc_id, toks, $shinglesSql AS shingles FROM t),
-         |sig AS (
-         |  SELECT doc_id, toks, list_transform(generate_series(0, 11),
-         |    i -> list_min(list_transform(shingles,
-         |      s -> ('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 15))::BIGINT))) AS sig
-         |  FROM sh),
+         |hs AS (SELECT doc_id, toks,
+         |       list_transform(shingles, s -> $hash60Sql) AS hs FROM sh),
+         |sig AS (SELECT doc_id, toks, $seededSigSql AS sig FROM hs),
          |bands AS (
          |  SELECT doc_id, toks, unnest(list_transform(generate_series(0, 3),
          |    b -> b::VARCHAR || ':' ||
@@ -593,7 +602,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH t0 AS (SELECT doc_id, lang || '|' || source AS blk, $tokensSql AS toks
          |            FROM documents),
-         |t AS (SELECT doc_id, blk, list_distinct($shinglesSql) AS toks FROM t0)
+         |t AS (SELECT doc_id, blk,
+         |      list_distinct(list_transform($shinglesSql, s -> $hash60Sql)) AS toks
+         |      FROM t0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, round($jaccardSql, 4) AS jaccard
          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
          |WHERE round($jaccardSql, 4) >= 0.05

@@ -38,15 +38,14 @@ object DedupFunctions {
   // --------------------------------------------------------------- minhash
 
   /** MinHash signature over word `shingleSize`-shingles: `k` seeded hash
-    * functions, each keeping the min over the shingle set.
-    * transform/array_min stay codegen'd per row — no explode, no shuffle.
+    * functions, each keeping the min over the shingle set. Native
+    * expression ([[expressions.MinHash60]]): ONE md5 per shingle plus k
+    * arithmetic seeded variants in a tight loop — per-row, shuffle-free,
+    * and ~10× cheaper than the equivalent higher-order-function pipeline
+    * (which Spark evaluates with interpreted lambdas).
     */
-  def minhashSignature(text: Column, k: Int, shingleSize: Int = 3): Column = {
-    val sh = TextFunctions.shingles(text, shingleSize)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s =>
-        hash60(concat(i.cast("string"), lit("|"), s)))))
-  }
+  def minhashSignature(text: Column, k: Int, shingleSize: Int = 3): Column =
+    expressions.MinHash60.minhash60(TextFunctions.shingles(text, shingleSize), k)
 
   /** LSH band keys: signature split into `nBands` bands of `rowsPerBand`,
     * each band hashed to one string key. Two documents collide on a band
@@ -73,11 +72,15 @@ object DedupFunctions {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, nBands: Int = 4, shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = k / nBands
+    // materialize signatures once — the self-join would otherwise recompute
+    // the full shingle+hash pipeline on both sides (at scale: stage this to
+    // storage instead of recomputing over the corpus twice)
     val sigs = df.select(
         col(idCol).as("_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"),
         minhashSignature(col(textCol), k, shingleSize).as("_sig"))
       .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("_band"), col("_id").as("id_a"), col("_toks").as("_toks_a"))
     val b = sigs.select(col("_band"), col("_id").as("id_b"), col("_toks").as("_toks_b"))
     a.join(b, Seq("_band"))
@@ -96,47 +99,39 @@ object DedupFunctions {
 
   /** n-gram Jaccard near-dup pairs inside explicit blocks (`blockCol`):
     * the classic blocked-comparison pattern — equi-join on the block key
-    * (one shuffle), pairwise Jaccard only within blocks.
+    * (one shuffle), pairwise Jaccard only within blocks. Shingles are
+    * pre-hashed to 60-bit longs ONCE per document, so the per-pair
+    * intersect/union works on compact long arrays instead of re-hashing
+    * strings 2× per candidate pair.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.0): DataFrame = {
+    // persist: both self-join sides read this; without the boundary the
+    // shingle+hash projection would execute twice over the corpus
     val prepped = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
-      array_distinct(TextFunctions.shingles(col(textCol), n)).as("_sh"))
+      sort_array(array_distinct(transform(TextFunctions.shingles(col(textCol), n),
+        s => hash60(s)))).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prepped.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = prepped.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("_sh_a"), col("_sh_b")), 4).as("jaccard"))
+        round(expressions.SortedJaccard.sorted_jaccard(col("_sh_a"), col("_sh_b")), 4)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over the token multiset: each token's 60-bit hash votes
-    * ±1 per bit position; the sign vector packs into one long. Pure
-    * higher-order-function pipeline (aggregate + zip_with) — per-row,
-    * codegen'd, shuffle-free.
+  /** 60-bit SimHash over the token multiset: each token's 60-bit hash votes
+    * ±1 per bit position; the sign vector packs into one long. Native
+    * expression ([[expressions.SimHash60]]) — per-row, shuffle-free, one
+    * md5 + 60 integer ops per token.
     */
-  def simhash64(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 60),
-      (acc, t) => {
-        val h = hash60(t)
-        zip_with(acc,
-          transform(sequence(lit(0), lit(59)),
-            b => when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
-              lit(1L)).otherwise(lit(-1L))),
-          (x, y) => x + y)
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(59)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+  def simhash64(text: Column): Column =
+    expressions.SimHash60.simhash60(TextFunctions.tokens(text))
 
   /** Hamming distance between two packed simhashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

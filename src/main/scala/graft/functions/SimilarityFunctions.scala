@@ -17,17 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  /** Σ aᵢbᵢ via zip_with + aggregate — stays inside codegen. */
+  /** Σ aᵢbᵢ via zip_with + aggregate (SQL-mirrorable composition form). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (0 where either norm is 0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity (0 where either norm is 0) — native tight-loop
+    * expression ([[graft.functions.expressions.CosineSim]]); the pairwise
+    * joins below evaluate this millions of times per task, where the
+    * interpreted higher-order-function pipeline was the bottleneck.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.CosineSim.cosine_sim(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** Exact brute-force top-k neighbors for each query vector.
     *

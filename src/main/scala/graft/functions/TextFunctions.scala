@@ -25,14 +25,12 @@ object TextFunctions {
   def subwordCountEstimate(text: Column): Column =
     size(filter(split(lower(trim(text)), "[\\s]+|(?=[.,!?;:])"), t => length(t) > 0))
 
-  /** Word n-gram shingles, joined with single spaces (input order kept). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), count),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-  }
+  /** Word n-gram shingles, joined with single spaces (input order kept).
+    * Native single-pass expression — the composed transform/element_at
+    * form re-split the text per element under interpreted lambda eval.
+    */
+  def shingles(text: Column, n: Int): Column =
+    expressions.WordShingles.word_shingles(text, n)
 
   /** Language marker stopwords (tiny per-language sets; distinct-match
     * scoring). Mirrored literally in the SQL oracle — keep in sync.

@@ -1,0 +1,281 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Shared 60-bit md5 hash + seeded variants.
+  *
+  * Cross-engine contract (mirrored literally in the DuckDB oracle SQL):
+  *   h(s)    = int(md5(s)[0:15], 16)                       — 60 bits
+  *   lo      = h & (2^30-1);  hi = h >> 30
+  *   a_i     = (1103515245*i + 12345) % 1073741789 + 1
+  *   b_i     = (134775813*i + 1)     % 1073741789 + 1
+  *   h_i(s)  = (a_i*lo + b_i*hi + i) % (2^61-1)
+  * All intermediates stay < 2^62 — overflow-free in any engine's int64.
+  */
+object Hash60 {
+  val M61 = 2305843009213693951L // 2^61 - 1
+
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** int(md5(bytes)[0:15], 16): first 60 bits of the md5 digest. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4 // 64 → 60 bits = 15 hex digits
+  }
+
+  def hash60(s: UTF8String): Long = hash60(s.getBytes)
+
+  def seeded(h: Long, i: Int): Long = {
+    val lo = h & 1073741823L
+    val hi = h >>> 30
+    val a = (1103515245L * i + 12345L) % 1073741789L + 1L
+    val b = (134775813L * i + 1L) % 1073741789L + 1L
+    (a * lo + b * hi + i) % M61
+  }
+}
+
+/** MinHash signature over an array<string> of shingles → array<long> of
+  * length k. ONE md5 per shingle + k arithmetic seeded variants, in a tight
+  * loop — replaces the interpreted higher-order-function formulation that
+  * recomputed k md5 hashes per shingle (12× hashing + lambda overhead).
+  */
+case class MinHash60(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash60 needs array<string>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash60.compute(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.MinHash60.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHash60 =
+    copy(child = newChild)
+}
+
+object MinHash60 {
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val h = Hash60.hash60(shingles.getUTF8String(j))
+        var i = 0
+        while (i < k) {
+          val hi = Hash60.seeded(h, i)
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhash60(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHash60(ColumnBridge.expression(c), k))
+}
+
+/** 60-bit SimHash over an array<string> of tokens → long. Definition
+  * (mirrored in SQL): each token's hash60 votes ±1 per bit; positive vote
+  * sums set the bit. Token multiset semantics (duplicates vote repeatedly).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash60 needs array<string>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.SimHash60.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = Hash60.hash60(tokens.getUTF8String(j))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simhash60(c: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(c)))
+}
+
+/** Word n-gram shingles of a text column — single-pass native expression.
+  *
+  * Contract (mirrored by the SQL oracle): tokens = lower(trim(text)) split
+  * on whitespace runs, empties dropped; shingles = space-joined n-grams in
+  * order; fewer than n tokens → one shingle of all tokens joined.
+  *
+  * The composed higher-order-function form re-evaluated the token split per
+  * `element_at` inside the interpreted lambda — O(tokens²) per document;
+  * this is one pass.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"word_shingles needs string, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.WordShingles.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def tokenize(s: UTF8String): Array[String] = {
+    val str = s.toLowerCase.toString.trim
+    if (str.isEmpty) Array.empty[String]
+    else str.split("\\s+").filter(_.nonEmpty)
+  }
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def word_shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+}
+
+/** Distinct-element Jaccard similarity of two SORTED array<long> columns —
+  * merge-scan, zero allocation per pair. Callers sort once per document
+  * (`sort_array(array_distinct(...))`), so the per-pair cost in a blocked
+  * self-join drops from two hash-set builds + two array materializations
+  * to one linear merge.
+  */
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sorted_jaccard needs two array<long>, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.SortedJaccard.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+    copy(left = l, right = r)
+}
+
+object SortedJaccard {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Cosine similarity of two array<double> — tight-loop native expression
+  * replacing the interpreted zip_with/aggregate pipeline in pairwise joins
+  * (left-to-right accumulation, matching the SQL mirror's evaluation
+  * order). Returns 0.0 when either norm is 0.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"cosine needs two array<double>, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.CosineSim.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object CosineSim {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
