@@ -48,7 +48,8 @@ final case class IngestConfig(
     promoteMinRecords: Long = 1000,               // KafkaRealTimeWorker:370-384
     promoteMinFraction: Double = 0.25,
     triggerSeconds: Int = 15,                     // stream.max-flush-duration
-    dedupWithinWatermark: Option[String] = None)  // e.g. Some("30 days") ≈ RocksDB TTL
+    dedupWithinWatermark: Option[String] = None,  // e.g. Some("30 days") ≈ RocksDB TTL
+    splitEnabled: Boolean = true)                 // false on the historical drain
 
 /** The streaming ingest pipeline: the reference's Kafka/Kinesis worker loop
   * (SURVEY.md §3.1) re-expressed as one Structured Streaming query.
@@ -111,16 +112,20 @@ object IngestStream {
     val decoupled = EventOps.whitelist(decoupled0, cfg.collectionWhitelist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val split = EventOps.daySplit(decoupled, col("_time"),
-        outdatedDayIndex = cfg.outdatedDayIndex,
-        promoteMinRecords = cfg.promoteMinRecords,
-        promoteMinFraction = cfg.promoteMinFraction)
-
-      // F5: hand historical records off INSIDE the barrier
-      historical.foreach(h => h.handle(split.historical))
+      val realTime =
+        if (!cfg.splitEnabled) decoupled
+        else {
+          val split = EventOps.daySplit(decoupled, col("_time"),
+            outdatedDayIndex = cfg.outdatedDayIndex,
+            promoteMinRecords = cfg.promoteMinRecords,
+            promoteMinFraction = cfg.promoteMinFraction)
+          // F5: hand historical records off INSIDE the barrier
+          historical.foreach(h => h.handle(split.historical))
+          split.realTime
+        }
 
       // D1-D9: infer, evolve, parse the real-time slice; D10 + insert per table
-      val rawRt = split.realTime.select("value").as(Encoders.STRING)
+      val rawRt = realTime.select("value").as(Encoders.STRING)
       val (routed, parsed) = JsonIngest.ingestLazy(rawRt, registry, cfg.dialect, cfg.names)
       try {
         parsed.map { case (id, df) =>
@@ -131,6 +136,21 @@ object IngestStream {
       } finally routed.unpersist(false)
     } finally decoupled.unpersist(false)
   }
+
+  /** S2 — historical (late-data) drain: a second query over the historical
+    * topic/path with a slow cadence and a bounded per-trigger intake — the
+    * declarative equivalents of the reference's 30-min/500k-lag gate and
+    * memory checks (KafkaHistoricalWorker.java:114-219). Runs the same
+    * pipeline with the day-split disabled (everything here is already
+    * historical and must insert rather than re-route forever).
+    */
+  def startHistoricalDrain(spark: SparkSession, source: DataFrame,
+                           registry: EventSchema.Registry, sink: EventSink,
+                           checkpointDir: String,
+                           cfg: IngestConfig = IngestConfig(),
+                           drainIntervalSeconds: Int = 1800): StreamingQuery =
+    start(spark, source, registry, sink, historical = None, checkpointDir,
+      cfg.copy(splitEnabled = false, triggerSeconds = drainIntervalSeconds))
 
   /** Start the continuous query. `source` must provide a string `value`
     * column ([[kafkaSource]] / [[fileSource]]).
