@@ -38,6 +38,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup: JIT + codegen + parquet footer caches; keeps the
+    // per-query numbers comparable regardless of execution order
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.queries("q1_agg")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
+
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -31,7 +31,10 @@ object SparkEntry {
   def eventsAsFabricJson(spark: SparkSession, sfDir: String): Dataset[String] = {
     // `ts` arrives as a nanos-long (spark.sql.legacy.parquet.nanosAsLong);
     // the Fabric wire format wants epoch millis.
+    // one parquet file < maxPartitionBytes = ONE scan partition; spread the
+    // wire stream across the cluster before the (CPU-bound) parse passes
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     ev.select(concat(
       lit("""{"id":""""), col("event_id"), lit("""","metadata":{},"data":{"""),
       lit(""""_project":"demo","_collection":""""), col("event_type"), lit("\","),
@@ -352,7 +355,9 @@ object SparkEntry {
     val full = AvroIngest.avroSchema(rowSchema, "events")
     val trunc = AvroIngest.truncatedSchema(full, 3) // drops trailing `k`
 
-    val src = tbl(s, dir, "events").select(
+    val src = tbl(s, dir, "events")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       $"event_id",
       expr("ts div 1000000").as("ms"),
       concat(lit("u"), $"user_id").as("_user"),

@@ -70,6 +70,43 @@ object MicroBench {
       DedupFunctions.minhashCandidates(docs, "doc_id", "text", 12, 4, 3)
         .write.mode("overwrite").format("noop").save()
     }
+
+    // ingest pipeline stages
+    val raw = graft.SparkEntry.eventsAsFabricJson(spark, dir)
+    time("json synthesis only") {
+      raw.write.mode("overwrite").format("noop").save()
+    }
+    val routed = graft.ingest.JsonIngest.withRouting(raw, graft.ingest.JsonDialect.Fabric)
+    time("routing pass") {
+      routed.write.mode("overwrite").format("noop").save()
+    }
+    val routedCached = routed.filter($"_project".isNotNull).persist()
+    time("routed materialize") { routedCached.count() }
+    time("infer pass") {
+      graft.ingest.JsonIngest.inferSchemas(
+        routedCached.select($"value").as[String], graft.ingest.JsonDialect.Fabric)
+    }
+    val registry = new graft.schema.EventSchema.Registry()
+    val obs = graft.ingest.JsonIngest.inferSchemas(
+      routedCached.select($"value").as[String], graft.ingest.JsonDialect.Fabric)
+    time("parse pass (all collections)") {
+      obs.foreach { case (id, o) =>
+        registry.getOrCreate(id)
+        val auth = registry.addColumns(id, o)
+        graft.ingest.JsonIngest.parseCollection(routedCached, id, auth,
+          graft.ingest.JsonDialect.Fabric)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+    routedCached.unpersist()
+    time("d7_ingest_route full query") {
+      graft.SparkEntry.queries("d7_ingest_route")(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("d7_ingest_route again") {
+      graft.SparkEntry.queries("d7_ingest_route")(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.stop()
   }
 }
