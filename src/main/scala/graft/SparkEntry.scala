@@ -240,6 +240,14 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Token-budget estimate (portable BPE-ish arithmetic).
+    "text_token_estimate" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+          TextFunctions.subwordCountEstimate($"text").cast("long").as("est_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // Rolling-hash fingerprint (native Catalyst expression) — rows-only
     // (no SQL mirror for the per-byte fold; covered by ScalaTest).
     "text_rolling_fingerprint" -> ((s, dir) => {
@@ -562,6 +570,16 @@ object SparkEntry {
          |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "text_token_estimate" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  (len(toks)
+         |   + (length(text) - length(replace(replace(replace(replace(replace(replace(
+         |        text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')))
+         |   + coalesce(list_sum(list_transform(toks, x -> length(x) // 8)), 0))::BIGINT
+         |  AS est_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "dedup_exact_docs" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -19,11 +19,20 @@ object TextFunctions {
   /** Whitespace token count — the cheap token-budget estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count estimate: words plus punctuation marks counted as
-    * separate tokens (a regex stand-in for a real tokenizer's token count).
+  /** BPE-ish token-budget estimate: whitespace words + punctuation marks
+    * counted as separate tokens, plus an extra token per 8 characters of
+    * long words (approximating subword splits). Pure arithmetic — portable
+    * to any SQL engine (mirrored in the oracle).
     */
-  def subwordCountEstimate(text: Column): Column =
-    size(filter(split(lower(trim(text)), "[\\s]+|(?=[.,!?;:])"), t => length(t) > 0))
+  def subwordCountEstimate(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val punct = length(text) - length(PunctChars.foldLeft(text)((c, p) =>
+      replace(c, lit(p), lit(""))))
+    val longWordExtra = aggregate(toks, lit(0),
+      (acc, t) => acc + floor(length(t) / 8).cast("int"))
+    n + punct + longWordExtra
+  }
 
   /** Word n-gram shingles, joined with single spaces (input order kept).
     * Native single-pass expression — the composed transform/element_at

@@ -49,7 +49,9 @@ final case class IngestConfig(
     promoteMinFraction: Double = 0.25,
     triggerSeconds: Int = 15,                     // stream.max-flush-duration
     dedupWithinWatermark: Option[String] = None,  // e.g. Some("30 days") ≈ RocksDB TTL
-    splitEnabled: Boolean = true)                 // false on the historical drain
+    splitEnabled: Boolean = true,                 // false on the historical drain
+    commitRetries: Int = 3,                       // C4, TargetConnectorCommitter.java:35-39
+    commitRetryBaseMillis: Long = 1000)
 
 /** The streaming ingest pipeline: the reference's Kafka/Kinesis worker loop
   * (SURVEY.md §3.1) re-expressed as one Structured Streaming query.
@@ -82,6 +84,42 @@ object IngestStream {
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.text(dir).toDF("value")
 
+  /** S3 — Kinesis raw source: requires the spark-sql-kinesis connector
+    * (e.g. the Qubole/AWS `spark-streaming-sql-kinesis` artifact) at
+    * runtime; Spark's checkpoint replaces the KCL DynamoDB lease table
+    * (KinesisRecordProcessor.java:119-134).
+    */
+  def kinesisSource(spark: SparkSession, streamName: String, region: String,
+                    endpoint: Option[String] = None): DataFrame = {
+    val b = spark.readStream.format("aws-kinesis")
+      .option("kinesis.streamName", streamName)
+      .option("kinesis.region", region)
+      .option("kinesis.startingposition", "TRIM_HORIZON")
+    endpoint.foreach(e => b.option("kinesis.endpointUrl", e))
+    b.load().selectExpr("CAST(data AS STRING) AS value")
+  }
+
+  /** C4 — commit retry with exponential backoff (reference: Failsafe 1→60 s,
+    * jitter 0.1, ≤3 retries, TargetConnectorCommitter.java:29-46). Wraps
+    * sink inserts; task-level failures inside the job are already retried by
+    * `spark.task.maxFailures` — this guards job-level sink errors.
+    */
+  def withRetry[T](maxRetries: Int = 3, baseDelayMillis: Long = 1000,
+                   maxDelayMillis: Long = 60000)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if attempt < maxRetries =>
+          val delay = math.min(maxDelayMillis, baseDelayMillis << attempt)
+          val jitter = (delay * 0.1 * (attempt % 3 - 1)).toLong
+          Thread.sleep(math.max(0, delay + jitter))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** F2 (streaming flavor) — duplicate drop keyed on `(_user, _time)` with
     * TTL'd state, the Spark-native equivalent of the reference's RocksDB
     * TtlDB (Deduplicator.java:26-88; 1-month TTL). Uses
@@ -96,12 +134,25 @@ object IngestStream {
       .dropDuplicatesWithinWatermark("_dedup_user", "_time")
       .drop("_dedup_user")
 
+  /** C7 — dead-letter target for batches a sink permanently rejects. The
+    * reference SKIPS poisoned batches (commitSync past them,
+    * KafkaRealTimeWorker.java:288-292) — silent data loss; we preserve the
+    * records instead and still let the stream advance (SURVEY §7.4.4).
+    */
+  final class DeadLetter(path: String) extends Serializable {
+    def handle(id: graft.schema.CollectionId, raw: DataFrame, cause: Throwable): Unit = {
+      raw.select(col("value"))
+        .write.mode("append").text(s"$path/${id.project}/${id.collection}")
+    }
+  }
+
   /** One micro-batch of the pipeline — also the batch path for bulk loads.
     * Returns per-collection inserted row counts.
     */
   def processBatch(spark: SparkSession, raw: Dataset[String],
                    registry: EventSchema.Registry, sink: EventSink,
-                   historical: Option[HistoricalHandler], cfg: IngestConfig)
+                   historical: Option[HistoricalHandler], cfg: IngestConfig,
+                   deadLetter: Option[DeadLetter] = None)
       : Map[graft.schema.CollectionId, Long] = {
     import spark.implicits._
 
@@ -130,8 +181,20 @@ object IngestStream {
       try {
         parsed.map { case (id, df) =>
           val withCheckpoint = EventOps.withShardTime(df, cfg.names)
-          sink.insert(id, withCheckpoint)
-          id -> withCheckpoint.count()
+          try {
+            // C4: job-level retry with backoff around the sink commit
+            withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
+              sink.insert(id, withCheckpoint))
+            id -> withCheckpoint.count()
+          } catch {
+            case e: Throwable =>
+              deadLetter match {
+                case Some(dl) => // C7: preserve + advance instead of skip/abort
+                  dl.handle(id, routed.filter(col("_collection") === id.collection), e)
+                  id -> 0L
+                case None => throw e // abort the batch: offsets never commit
+              }
+          }
         }
       } finally routed.unpersist(false)
     } finally decoupled.unpersist(false)

@@ -53,10 +53,36 @@ class PipelineParitySpec extends SparkSpec {
     }
     val raw = Seq(fabric("a", System.currentTimeMillis())).toDS
     // foreachBatch semantics: an exception escaping the batch function
-    // means the offsets never commit (C2/C7 — we dead-letter, not skip)
+    // means the offsets never commit (C2 — without a dead-letter target the
+    // batch aborts after the C4 retries)
     intercept[RuntimeException] {
-      IngestStream.processBatch(spark, raw, registry, failing, None, IngestConfig())
+      IngestStream.processBatch(spark, raw, registry, failing, None,
+        IngestConfig(commitRetries = 1, commitRetryBaseMillis = 1))
     }
+  }
+
+  test("C7 dead-letter: failing sink preserves raw records, batch continues") {
+    import spark.implicits._
+    val registry = new EventSchema.Registry()
+    val dlDir = Files.createTempDirectory("dl").toString
+    val memory = new MemorySink
+    val failFor = CollectionId("p", "bad")
+    val partial = new EventSink {
+      override def getColumns(id: CollectionId) = None
+      override def insert(id: CollectionId, df: DataFrame): Unit =
+        if (id == failFor) throw new RuntimeException("poison") else memory.insert(id, df)
+    }
+    val raw = Seq(
+      fabric("good", System.currentTimeMillis()),
+      fabric("bad", System.currentTimeMillis(), ""","x":1""")).toDS
+    val counts = IngestStream.processBatch(spark, raw, registry, partial, None,
+      IngestConfig(commitRetries = 1, commitRetryBaseMillis = 1),
+      deadLetter = Some(new IngestStream.DeadLetter(dlDir)))
+    assert(counts(CollectionId("p", "good")) == 1)
+    assert(counts(failFor) == 0L)
+    assert(memory.rows(CollectionId("p", "good")) == 1)
+    val dl = spark.read.text(s"$dlDir/p/bad").collect().map(_.getString(0))
+    assert(dl.length == 1 && dl.head.contains("\"x\":1"))
   }
 
   test("metastore column order is authoritative over insertion order") {
