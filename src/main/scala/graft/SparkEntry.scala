@@ -147,7 +147,60 @@ object SparkEntry {
         .orderBy($"collection")
     }),
 
+    // Full pipeline e2e (BASELINE.md bench shape): decouple → day-split →
+    // infer/evolve/parse → per-collection dedup → _shard_time → columnar
+    // sink → read back.
+    "e2e_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val dec = EventOps.decouple(eventsAsFabricJson(s, dir), JsonDialect.Fabric)
+        .filter($"_project".isNotNull).persist()
+      val maxDay = dec.agg(max(to_date($"_time"))).head.getDate(0)
+      val split = EventOps.daySplit(dec, $"_time", today = lit(maxDay))
+      val registry = new EventSchema.Registry()
+      val (routed, parsed) = JsonIngest.ingestLazy(
+        split.realTime.select("value").as(Encoders.STRING), registry)
+      val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+      val sink = new ColumnarSink(base)
+      parsed.foreach { case (id, df) =>
+        sink.insert(id, EventOps.withShardTime(EventOps.dedupExact(df, names)))
+      }
+      routed.unpersist(); dec.unpersist()
+      s.read.option("mergeSchema", "true").parquet(s"$base/project=demo")
+        .groupBy($"collection").agg(count(lit(1)).as("n"))
+        .orderBy($"collection")
+    }),
+
     // ---- relational query surface (Catalyst built-ins, SURVEY §2.8) --
+
+    // Semi join (EXISTS): orders with any heavy lineitem, counted by
+    // priority.
+    "q4_semi_exists" -> ((s, dir) => {
+      import s.implicits._
+      val heavy = tbl(s, dir, "lineitem").filter($"l_quantity" > 45)
+      tbl(s, dir, "orders")
+        .join(heavy, $"o_orderkey" === heavy("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Anti join (NOT EXISTS): customers with no orders, by segment.
+    "q6_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val ord = tbl(s, dir, "orders")
+      tbl(s, dir, "customer")
+        .join(ord, $"c_custkey" === ord("o_custkey"), "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Grouping sets: rollup over returnflag/linestatus.
+    "q7_rollup" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
 
     // Pricing-summary style aggregate over lineitem.
     "q1_agg" -> ((s, dir) => {
@@ -492,6 +545,40 @@ object SparkEntry {
       """SELECT event_type AS collection, count(*) AS n,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e2e_pipeline" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+        |         date_diff('day', CAST(ts AS DATE),
+        |                   (SELECT max(CAST(ts AS DATE)) FROM events)) AS di
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n FROM t),
+        |hist AS (SELECT di, count(*) AS c FROM t WHERE di > 1 GROUP BY di),
+        |promoted AS (SELECT di FROM hist, tot WHERE c > 1000 AND c > 0.25 * n),
+        |rt AS (SELECT * FROM t WHERE di <= 1 OR di IN (SELECT di FROM promoted)),
+        |d AS (SELECT DISTINCT event_type, user_id, ms FROM rt)
+        |SELECT event_type AS collection, count(*) AS n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_semi_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

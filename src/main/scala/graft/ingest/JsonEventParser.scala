@@ -138,6 +138,14 @@ object JsonEventParser {
 
   private val factory = new JsonFactory()
 
+  /** Parse an arbitrary JSON document to the first-wins value tree (used by
+    * registry persistence and tooling, not the event hot path).
+    */
+  def mapperRead(json: String): JVal.JVal = {
+    val p = factory.createParser(json)
+    try { p.nextToken(); JVal.read(p) } finally p.close()
+  }
+
   // ------------------------------------------------------------- envelope
 
   /** Full parse of the envelope: routing id + the properties object. */

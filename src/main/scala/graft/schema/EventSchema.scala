@@ -99,5 +99,37 @@ object EventSchema {
       import scala.jdk.CollectionConverters._
       schemas.asScala.toMap
     }
+
+    /** K4 at-rest persistence: serialize the registry as JSON so a restarted
+      * driver resumes with the authoritative column order (the reference
+      * persists this in MySQL `tables`/`columns`; schema JSON on the
+      * checkpoint volume plays that role here).
+      */
+    def save(path: java.nio.file.Path): Unit = {
+      val entries = all.toSeq.sortBy(e => (e._1.project, e._1.collection))
+        .map { case (id, st) =>
+          s"""{"project":"${id.project}","collection":"${id.collection}",
+             |"schema":${st.json}}""".stripMargin.replace("\n", "")
+        }
+      java.nio.file.Files.writeString(path, entries.mkString("[", ",", "]"))
+    }
+
+    def load(path: java.nio.file.Path): Unit = {
+      val root = graft.ingest.JsonEventParser.mapperRead(
+        java.nio.file.Files.readString(path))
+      root match {
+        case graft.ingest.JVal.JArr(items) => items.foreach {
+          case o: graft.ingest.JVal.JObj =>
+            (o.toMap.get("project"), o.toMap.get("collection"), o.toMap.get("schema")) match {
+              case (Some(graft.ingest.JVal.JStr(p)), Some(graft.ingest.JVal.JStr(c)), Some(sch)) =>
+                put(CollectionId(p, c), org.apache.spark.sql.types.DataType
+                  .fromJson(graft.ingest.JVal.encode(sch)).asInstanceOf[StructType])
+              case _ => ()
+            }
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
   }
 }

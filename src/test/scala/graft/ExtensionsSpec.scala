@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.SkewOps
+import graft.schema.{CollectionId, EventSchema}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions registers native expressions as SQL functions") {
+    // getOrCreate would return the shared extension-less session; register
+    // on it directly (same builders the extensions path injects)
+    val s = spark
+    GraftExtensions.register(s)
+    locally {
+      val row = s.sql(
+        """SELECT rolling_hash('hello world') AS rh,
+          |       word_shingles('a b c d', 3) AS ws,
+          |       simhash60(array('x','y')) AS sh,
+          |       minhash60(array('a b c'), 4) AS mh,
+          |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+          |       sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS sj
+          |""".stripMargin).head
+      assert(row.getLong(0) != 0L)
+      assert(row.getSeq[String](1).toSeq == Seq("a b c", "b c d"))
+      assert(row.getLong(2) != 0L)
+      assert(row.getSeq[Long](3).size == 4)
+      assert(row.getDouble(4) == 1.0)
+      assert(row.getDouble(5) == 0.5)
+    }
+  }
+
+  test("saltedJoin equals plain join; saltedCount equals plain count") {
+    import spark.implicits._
+    // skewed: 90% of rows share key 1
+    val large = ((1 to 900).map(i => (1, s"v$i")) ++ (1 to 100).map(i => (i + 1, s"w$i")))
+      .toDF("k", "v")
+    val small = (1 to 101).map(i => (i, s"dim$i")).toDF("k", "d")
+    val plain = large.join(small, Seq("k")).count()
+    val salted = SkewOps.saltedJoin(large, small, "k", salts = 8).count()
+    assert(plain == salted)
+    val counts = SkewOps.saltedCount(large, "k", salts = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(1) == 900 && counts(50) == 1)
+  }
+
+  test("registry save/load round-trips authoritative order") {
+    val reg = new EventSchema.Registry()
+    val id = CollectionId("p", "c")
+    reg.put(id, StructType(Seq(
+      StructField("_time", TimestampType), StructField("zed", DoubleType),
+      StructField("arr", ArrayType(StringType)))))
+    val f = java.nio.file.Files.createTempFile("reg", ".json")
+    reg.save(f)
+    val reg2 = new EventSchema.Registry()
+    reg2.load(f)
+    assert(reg2.get(id).get.fieldNames.toSeq == Seq("_time", "zed", "arr"))
+    assert(reg2.get(id).get("arr").dataType == ArrayType(StringType))
+  }
+}
