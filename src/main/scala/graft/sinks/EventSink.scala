@@ -20,6 +20,13 @@ trait EventSink extends Serializable {
     * (at-least-once overall).
     */
   def insert(id: CollectionId, df: DataFrame): Unit
+
+  /** Streaming insert with the micro-batch id: sinks that can use it for
+    * idempotence override this (`ColumnarSink.insertBatch`); default is the
+    * plain at-least-once append.
+    */
+  def insert(id: CollectionId, df: DataFrame, batchId: Long): Unit =
+    insert(id, df)
 }
 
 /** K1 (modernized) — columnar table sink. The reference's Raptor/ORC path
@@ -50,9 +57,40 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .save(path(id))
 
+  /** Idempotent variant for streaming replays: `foreachBatch` is
+    * at-least-once, so a crashed batch can re-run. A batch manifest under
+    * `_graft_commits/` makes the re-run a no-op — the file-level analogue
+    * of the reference's transactional shard registry in MySQL
+    * (InMemoryOrcStorageManager shard commits). Data for a replayed batch
+    * lands in a batch-scoped subdirectory, so a partially-written first
+    * attempt is superseded in place (last write wins per batch id).
+    */
+  override def insert(id: CollectionId, df: DataFrame, batchId: Long): Unit =
+    insertBatch(id, df, batchId)
+
+  def insertBatch(id: CollectionId, df: DataFrame, batchId: Long): Unit = {
+    val commitDir = java.nio.file.Paths.get(s"$basePath/_graft_commits")
+    val marker = commitDir.resolve(s"${id.project}_${id.collection}_$batchId")
+    if (java.nio.file.Files.exists(marker)) return // replay: already committed
+    df.write.mode(SaveMode.Overwrite)
+      .format(format)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .save(s"${path(id)}/batch=$batchId")
+    java.nio.file.Files.createDirectories(commitDir)
+    java.nio.file.Files.createFile(marker)
+  }
+
   /** Read a collection back with schema evolution across appended batches. */
   def read(spark: SparkSession, id: CollectionId): DataFrame =
     spark.read.option("mergeSchema", "true").format(format).load(path(id))
+
+  /** Read the whole sink (all projects/collections) with partition pruning
+    * on the (project, collection) directory columns.
+    */
+  def readAll(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").option("basePath", basePath)
+      .format(format).load(basePath)
 }
 
 /** K2 — NDJSON-gzip object sink (S3DatabaseHandler.java:141-299). The

@@ -152,7 +152,8 @@ object IngestStream {
   def processBatch(spark: SparkSession, raw: Dataset[String],
                    registry: EventSchema.Registry, sink: EventSink,
                    historical: Option[HistoricalHandler], cfg: IngestConfig,
-                   deadLetter: Option[DeadLetter] = None)
+                   deadLetter: Option[DeadLetter] = None,
+                   batchId: Long = -1L)
       : Map[graft.schema.CollectionId, Long] = {
     import spark.implicits._
 
@@ -182,9 +183,11 @@ object IngestStream {
         parsed.map { case (id, df) =>
           val withCheckpoint = EventOps.withShardTime(df, cfg.names)
           try {
-            // C4: job-level retry with backoff around the sink commit
+            // C4: job-level retry with backoff around the sink commit;
+            // batch id flows through for sink-side idempotence
             withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
-              sink.insert(id, withCheckpoint))
+              if (batchId >= 0) sink.insert(id, withCheckpoint, batchId)
+              else sink.insert(id, withCheckpoint))
             id -> withCheckpoint.count()
           } catch {
             case e: Throwable =>
@@ -232,10 +235,10 @@ object IngestStream {
     base.writeStream
       .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         processBatch(s, batch.select(col("value")).as(Encoders.STRING),
-                     registry, sink, historical, cfg)
+                     registry, sink, historical, cfg, batchId = batchId)
         () // barrier: returning commits the batch's offsets (C1/C2)
       }
       .start()

@@ -1,0 +1,44 @@
+package graft
+
+import graft.schema.CollectionId
+import graft.sinks.ColumnarSink
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class SinkSpec extends SparkSpec {
+
+  test("insertBatch is idempotent across replays (at-least-once → effectively-once)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sink").toString
+    val sink = new ColumnarSink(base)
+    val id = CollectionId("p", "c")
+    val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
+    sink.insertBatch(id, df, batchId = 7)
+    // replay of the same batch (crash between write and checkpoint commit)
+    sink.insertBatch(id, df, batchId = 7)
+    assert(sink.read(spark, id).count() == 2)
+    // a new batch appends
+    sink.insertBatch(id, Seq((3, "c")).toDF("n", "s"), batchId = 8)
+    assert(sink.read(spark, id).count() == 3)
+  }
+
+  test("sink layout prunes partitions on (project, collection) filters") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sink").toString
+    val sink = new ColumnarSink(base)
+    sink.insert(CollectionId("p", "clicks"), Seq((1, "a")).toDF("n", "s"))
+    sink.insert(CollectionId("p", "views"), Seq((2, "b")).toDF("n", "s"))
+
+    val filtered = sink.readAll(spark).filter($"collection" === "clicks")
+    assert(filtered.count() == 1)
+    // the scan must read only the clicks directory (partition pruning)
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty && files.forall(_.contains("collection=clicks")))
+  }
+}
