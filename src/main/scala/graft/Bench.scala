@@ -12,13 +12,15 @@ object Bench {
     * probes (whitelist etc.) are excluded from timing but still verified.
     */
   val headline: Seq[String] = Seq(
+    "e2e_pipeline",         // full ingest pipeline incl. split+dedup+sink
     "d7_ingest_route",      // full dynamic-schema JSON ingest
     "d5_avro_roundtrip",    // avro encode/decode wire path
     "f4_day_split",         // decouple + split heuristic
     "k1_sink_roundtrip",    // columnar sink write+read
     "q1_agg", "q3_top_orders", "q5_region_revenue",
-    "w1_top_order_per_customer",
-    "text_stats",
+    "w1_top_order_per_customer", "w2_tumbling_window",
+    "q4_semi_exists", "q6_anti_join", "q7_rollup",
+    "text_stats", "text_token_estimate",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_brute_topk", "ann_lsh_topk",

@@ -262,6 +262,18 @@ object SparkEntry {
         .orderBy($"o_custkey")
     }),
 
+    // Event-time tumbling-window aggregation (beyond-reference: the
+    // reference re-routes late data but has no windowed aggregation).
+    "w2_tumbling_window" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "events")
+        .select(timestamp_millis(expr("ts div 1000000")).as("ts"), $"value")
+        .groupBy(window($"ts", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"w.start".as("day_start"), $"n", $"sum_value")
+        .orderBy($"day_start")
+    }),
+
     // K2: NDJSON-gzip sink roundtrip (file rolling + serialization), read
     // back per collection.
     "k2_ndjson_roundtrip" -> ((s, dir) => {
@@ -620,6 +632,11 @@ object SparkEntry {
         |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders WHERE o_custkey < 500)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "w2_tumbling_window" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "k2_ndjson_roundtrip" ->
       """SELECT event_type AS collection, count(*) AS n,

@@ -85,6 +85,34 @@ class IngestStreamSpec extends SparkSpec {
     assert(reg.fieldNames.take(2).toSeq == Seq("_time", "_user"))
   }
 
+  test("watermarked event-time window aggregation over the parsed stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("in")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val t0 = java.time.Instant.parse("2026-08-10T00:00:00Z").toEpochMilli
+    writeLines(inDir, "b1.json", Seq(
+      fabric("ev", t0, ""","v":1"""), fabric("ev", t0 + 600000, ""","v":2"""),
+      fabric("ev", t0 + 3600000, ""","v":3""")))
+    // event-time windows + watermark on the decoupled stream — a windowed
+    // aggregation the reference cannot express (SURVEY §2.8)
+    val dec = graft.operators.EventOps.decouple(
+      spark.readStream.text(inDir.toString).select("value").as[String],
+      graft.ingest.JsonDialect.Fabric)
+    val agg = dec.filter($"_time".isNotNull)
+      .withWatermark("_time", "1 hour")
+      .groupBy(window($"_time", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_agg").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("win_agg")
+      .select($"window.start".cast("long").as("start"), $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(t0 / 1000) == 2)            // first 30-min window: 2 events
+    assert(out(t0 / 1000 + 3600) == 1)     // the +1h event in its own window
+  }
+
   test("streaming dedup drops repeated (_user,_time) across batches") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("in")
