@@ -81,6 +81,8 @@ object DedupFunctions {
         minhashSignature(col(textCol), k, shingleSize).as("_sig"))
       .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // eager: both join sides racing to fill the cache would
+                 // otherwise each recompute partitions
     val a = sigs.select(col("_band"), col("_id").as("id_a"), col("_toks").as("_toks_a"))
     val b = sigs.select(col("_band"), col("_id").as("id_b"), col("_toks").as("_toks_b"))
     a.join(b, Seq("_band"))
@@ -113,6 +115,7 @@ object DedupFunctions {
       sort_array(array_distinct(transform(TextFunctions.shingles(col(textCol), n),
         s => hash60(s)))).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prepped.count() // eager for the same cache-race reason as above
     val a = prepped.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = prepped.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_blk"))

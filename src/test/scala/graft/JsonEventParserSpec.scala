@@ -109,6 +109,27 @@ class JsonEventParserSpec extends AnyFunSuite {
     assert(row.getMap[String, String](0) == Map("k" -> """{"n":1}"""))
   }
 
+  test("declared-schema coercions: LONG, INTEGER, TIME, DECIMAL, BINARY") {
+    // these types are never inferred — they exist only via a pre-declared
+    // (metastore) schema (SURVEY §1.2)
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("t", IntegerType),          // TIME = seconds-of-day convention
+      StructField("d", DecimalType(38, 18)), StructField("b", BinaryType)))
+    val json =
+      """{"data":{"_project":"p","_collection":"c",
+        |"l":9007199254740993,"i":42,"t":86399,"d":1.25,"b":"aGVsbG8="}}""".stripMargin
+    val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
+    assert(row.getLong(0) == 9007199254740993L) // exact: no double roundtrip
+    assert(row.getInt(1) == 42 && row.getInt(2) == 86399)
+    assert(row.getDecimal(3) == new java.math.BigDecimal("1.25"))
+    assert(new String(row.getAs[Array[Byte]](4)) == "hello")
+    // string into LONG column = scalar mismatch → record skipped
+    val bad = """{"data":{"_project":"p","_collection":"c","l":"nope"}}"""
+    assert(JsonEventParser.parseEvent(bad, JsonDialect.Fabric,
+      StructType(Seq(StructField("l", LongType))), names).isEmpty)
+  }
+
   test("schema evolution: existing order kept, new appended, types widen") {
     val existing = StructType(Seq(
       StructField("_time", TimestampType), StructField("_user", StringType),
