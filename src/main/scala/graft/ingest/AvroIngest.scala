@@ -169,6 +169,41 @@ object AvroIngest {
     case (x, _) => x
   }
 
+  /** Full tagged-record decode (the per-record path of the reference's
+    * KafkaAvroMessageTransformer/KinesisMessageEventTransformer): tag
+    * demux (S5) + key/payload routing + inline decode. Returns None for
+    * legacy-bulk/unknown tags and unroutable records (record-skip, F3);
+    * bulk pointers (tag 3) must be handled by the caller via
+    * [[readBulkObject]] after fetching the object.
+    */
+  def decodeTagged(key: String, payload: Array[Byte], keySep: Char,
+                   schemaFor: CollectionId => Option[(Schema, StructType)],
+                   names: FieldNames = FieldNames())
+      : Option[(CollectionId, Row)] =
+    kindOf(payload) match {
+      case RecordKind.Inline(fromPayload) =>
+        try {
+          if (fromPayload) {
+            // tag 2: collection = avro-string prefix `project|collection`
+            val dec = DecoderFactory.get().binaryDecoder(payload, 1, payload.length - 1, null)
+            val embedded = dec.readString()
+            val offset = 1 + (payload.length - 1 - dec.inputStream().available())
+            collectionFromKey(embedded, keySep).flatMap { id =>
+              schemaFor(id).map { case (reader, rowSchema) =>
+                id -> decodeRecord(payload, offset, reader, reader, rowSchema, names)
+              }
+            }
+          } else {
+            collectionFromKey(key, keySep).flatMap { id =>
+              schemaFor(id).map { case (reader, rowSchema) =>
+                id -> decodeRecord(payload, 1, reader, reader, rowSchema, names)
+              }
+            }
+          }
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
   // ------------------------------------------------------------- bulk frame
 
   /** S4 — bulk object format (FIXTURES.md §4): Avro binary stream of

@@ -125,6 +125,26 @@ object JsonIngest {
     }
   }
 
+  /** Schema-fixed fast path (the reference's fixed-schema mode: unknown
+    * collections are skipped rather than created,
+    * MessageEventTransformer.java:65-93): no inference job, no driver
+    * round-trip — one routing pass + one parse pass against the registry's
+    * authoritative schemas. Use when the stream's schemas are stable
+    * (`IngestConfig.schemaFixed`).
+    */
+  def ingestFixed(raw: Dataset[String], registry: EventSchema.Registry,
+                  dialect: JsonDialect = JsonDialect.Fabric,
+                  names: FieldNames = FieldNames())
+      : (DataFrame, Map[CollectionId, DataFrame]) = {
+    val routed = withRouting(raw, dialect)
+      .filter(col("_project").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parsed = registry.all.map { case (id, schema) =>
+      id -> parseCollection(routed, id, schema, dialect, names)
+    }
+    (routed, parsed)
+  }
+
   /** Convenience for tests + the e2e query: run [[ingest]] but keep lazy
     * plans (no checkpoint), returning also the routed cache handle so the
     * caller controls unpersist timing.

@@ -51,7 +51,8 @@ final case class IngestConfig(
     dedupWithinWatermark: Option[String] = None,  // e.g. Some("30 days") ≈ RocksDB TTL
     splitEnabled: Boolean = true,                 // false on the historical drain
     commitRetries: Int = 3,                       // C4, TargetConnectorCommitter.java:35-39
-    commitRetryBaseMillis: Long = 1000)
+    commitRetryBaseMillis: Long = 1000,
+    schemaFixed: Boolean = false)                 // registry authoritative; skip inference
 
 /** The streaming ingest pipeline: the reference's Kafka/Kinesis worker loop
   * (SURVEY.md §3.1) re-expressed as one Structured Streaming query.
@@ -178,7 +179,9 @@ object IngestStream {
 
       // D1-D9: infer, evolve, parse the real-time slice; D10 + insert per table
       val rawRt = realTime.select("value").as(Encoders.STRING)
-      val (routed, parsed) = JsonIngest.ingestLazy(rawRt, registry, cfg.dialect, cfg.names)
+      val (routed, parsed) =
+        if (cfg.schemaFixed) JsonIngest.ingestFixed(rawRt, registry, cfg.dialect, cfg.names)
+        else JsonIngest.ingestLazy(rawRt, registry, cfg.dialect, cfg.names)
       try {
         parsed.map { case (id, df) =>
           val withCheckpoint = EventOps.withShardTime(df, cfg.names)

@@ -69,6 +69,31 @@ class AvroIngestSpec extends AnyFunSuite {
     assert(row.isNullAt(rowSchema.fieldIndex("d")))
   }
 
+  test("decodeTagged: key routing (tag 0), payload-prefix routing (tag 2), skip tags") {
+    val body = encode(avro, { r => r.put("_time", 1700000000000L); r.put("_user", "u9") })
+    val schemaFor = (id: CollectionId) =>
+      if (id == CollectionId("proj", "coll")) Some((avro, rowSchema)) else None
+
+    // tag 0: collection from the kafka key `project.collection`
+    val tagged0 = Array[Byte](0) ++ body
+    val Some((id0, row0)) = AvroIngest.decodeTagged("proj.coll", tagged0, '.', schemaFor)
+    assert(id0 == CollectionId("proj", "coll") && row0.getAs[String]("_user") == "u9")
+
+    // tag 2: collection from an avro-string prefix of the payload
+    val prefix = {
+      val out = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      enc.writeString("proj|coll"); enc.flush(); out.toByteArray
+    }
+    val tagged2 = Array[Byte](2) ++ prefix ++ body
+    val Some((id2, row2)) = AvroIngest.decodeTagged("ignored", tagged2, '|', schemaFor)
+    assert(id2 == CollectionId("proj", "coll") && row2.getAs[String]("_user") == "u9")
+
+    // legacy bulk (1) and unknown tags are skipped; unknown collection skipped
+    assert(AvroIngest.decodeTagged("proj.coll", Array[Byte](1) ++ body, '.', schemaFor).isEmpty)
+    assert(AvroIngest.decodeTagged("other.coll", tagged0, '.', schemaFor).isEmpty)
+  }
+
   test("bulk object: project prefix, per-collection frames, truncated schema") {
     val out = new ByteArrayOutputStream()
     val enc = EncoderFactory.get().directBinaryEncoder(out, null)

@@ -151,6 +151,28 @@ class JsonEventParserSpec extends AnyFunSuite {
 }
 
 class JsonIngestSpec extends SparkSpec {
+  test("entry (driver smoke): returns rows at sf0.001") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.length == 5 && rows.map(_.getAs[Long]("n")).sum == 1000)
+  }
+
+  test("schema-fixed fast path: parses known collections, skips unknown") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val registry = new EventSchema.Registry()
+    registry.put(CollectionId("p", "known"), StructType(Seq(
+      StructField("_time", TimestampType), StructField("x", DoubleType))))
+    val raw = Seq(
+      """{"data":{"_project":"p","_collection":"known","_time":1700000000000,"x":1}}""",
+      """{"data":{"_project":"p","_collection":"unknown","_time":1700000000000}}"""
+    ).toDS
+    val (routed, parsed) = JsonIngest.ingestFixed(raw, registry)
+    try {
+      assert(parsed.keySet == Set(CollectionId("p", "known"))) // unknown skipped
+      assert(parsed.values.head.count() == 1)
+      assert(parsed.values.head.schema.fieldNames.toSeq == Seq("_time", "x"))
+    } finally routed.unpersist()
+  }
   test("distributed ingest: routing, inference merge, evolution, parse") {
     import spark.implicits._
     val raw = Seq(
