@@ -380,41 +380,73 @@ object JsonEventParser {
   private def fieldIndex(schema: StructType): Map[String, Int] =
     indexCache.computeIfAbsent(schema, s => s.fieldNames.zipWithIndex.toMap)
 
-  /** getValue (ref :313-495). Throws MalformedEventException on scalar type
-    * mismatch (⇒ record skip); returns null for un-parseable date/timestamp.
+  /** getValue (ref :313-495) — faithful to the reference's leniency model:
+    *
+    *  - scalar targets use Jackson's lenient `getValueAs*` coercions
+    *    (numeric strings parse into numeric columns, garbage → 0/false,
+    *    booleans → 0/1) — matching the reference byte-for-byte
+    *  - a container value in a scalar column: STRING ⇒ compact-JSON-encoded
+    *    (untruncated, ref :488-493); other scalars ⇒ null (skipChildren)
+    *  - a mismatched container (array in a MAP column etc.) ⇒ null
+    *    (ref :404-407, :457-462)
+    *  - the ONLY record-skip: a nested container inside an ARRAY/MAP whose
+    *    element type is not STRING (ref :437-444, :471-478)
+    *  - un-parseable date/timestamp strings ⇒ null
+    *
+    * Documented deviations: DECIMAL parses properly (the reference writes
+    * null — a TODO in its source); TIME accepts numbers as seconds-of-day
+    * and parses `LocalTime` strings to seconds-of-day (the reference's
+    * `LocalTime.getSecond()` keeps only the seconds-of-minute component).
     */
   def coerce(v: JVal, target: FieldType, isTime: Boolean, dialect: JsonDialect): Any = {
     if (v == JNull) return null
     target match {
       case FieldType.FString => v match {
         case JStr(s)  => truncate(s) // ref :325-328
-        case JNum(t)  => t
+        case JNum(t)  => truncate(t)
         case JBool(b) => b.toString
-        case _        => throw new MalformedEventException("container for STRING column")
+        case c        => JVal.encode(c) // container → JSON-encoded, ref :488-490
       }
       case FieldType.FBoolean => v match {
         case JBool(b) => java.lang.Boolean.valueOf(b)
-        case _        => throw new MalformedEventException("non-boolean for BOOLEAN column")
+        case JNum(t)  => java.lang.Boolean.valueOf(asLongLenient(t) != 0L)
+        case JStr(s)  => java.lang.Boolean.valueOf(s.trim.equalsIgnoreCase("true"))
+        case _        => null
       }
       case FieldType.FDouble => v match {
-        case n: JNum => java.lang.Double.valueOf(n.toDouble)
-        case _       => throw new MalformedEventException("non-number for DOUBLE column")
+        case n: JNum  => java.lang.Double.valueOf(n.toDouble)
+        case JStr(s)  => java.lang.Double.valueOf(asDoubleLenient(s))
+        case JBool(b) => java.lang.Double.valueOf(if (b) 1.0 else 0.0)
+        case _        => null
       }
       case FieldType.FLong => v match {
-        case n: JNum => java.lang.Long.valueOf(n.toLong)
-        case _       => throw new MalformedEventException("non-number for LONG column")
+        case n: JNum  => java.lang.Long.valueOf(n.toLong)
+        case JStr(s)  => java.lang.Long.valueOf(asLongLenient(s))
+        case JBool(b) => java.lang.Long.valueOf(if (b) 1L else 0L)
+        case _        => null
       }
-      case FieldType.FInteger | FieldType.FTime => v match {
-        case n: JNum => java.lang.Integer.valueOf(n.toLong.toInt)
-        case _       => throw new MalformedEventException("non-number for INT column")
+      case FieldType.FInteger => v match {
+        case n: JNum  => java.lang.Integer.valueOf(n.toLong.toInt)
+        case JStr(s)  => java.lang.Integer.valueOf(asLongLenient(s).toInt)
+        case JBool(b) => java.lang.Integer.valueOf(if (b) 1 else 0)
+        case _        => null
+      }
+      case FieldType.FTime => v match {
+        case n: JNum => java.lang.Integer.valueOf(n.toLong.toInt) // seconds-of-day
+        case JStr(s) =>
+          try java.lang.Integer.valueOf(java.time.LocalTime.parse(s).toSecondOfDay)
+          catch { case _: Exception => null }
+        case _ => null
       }
       case FieldType.FDecimal => v match {
         case JNum(t) => new java.math.BigDecimal(t)
-        case _       => throw new MalformedEventException("non-number for DECIMAL column")
+        case JStr(s) => try new java.math.BigDecimal(s.trim)
+                        catch { case _: Exception => null }
+        case _       => null
       }
       case FieldType.FDate => v match {
         case JStr(s) => parseDate(s).orNull // un-parseable → null (ref :356-372)
-        case _       => null
+        case _       => null // numeric → null (ref :360-362)
       }
       case FieldType.FTimestamp => v match {
         case n: JNum =>
@@ -427,8 +459,9 @@ object JsonEventParser {
         case _       => null
       }
       case FieldType.FBinary => v match {
-        case JStr(s) => java.util.Base64.getDecoder.decode(s)
-        case _       => throw new MalformedEventException("non-string for BINARY column")
+        case JStr(s) => try java.util.Base64.getDecoder.decode(s)
+                        catch { case _: Exception => null }
+        case _       => null
       }
       case FieldType.FArray(elem) => v match {
         case JArr(items) =>
@@ -436,13 +469,11 @@ object JsonEventParser {
             case JNull => null
             case el @ (_: JArr | _: JObj) =>
               if (elem == FieldType.FString) JVal.encode(el)
-              else throw new MalformedEventException("nested array element for non-string array")
-            case el if mismatchScalar(el, elem) =>
-              if (elem == FieldType.FString) JVal.encode(el)
-              else throw new MalformedEventException("heterogeneous array element")
+              else throw new MalformedEventException( // record skip, ref :471-478
+                "nested array element for non-string array")
             case el => coerce(el, elem, isTime = false, dialect)
           }
-        case _ => throw new MalformedEventException("non-array for ARRAY column")
+        case _ => null // non-array for ARRAY column → null (ref :457-462)
       }
       case FieldType.FMap(valueT) => v match {
         case JObj(fields) => // key dedup first-wins already applied by JVal.read
@@ -451,28 +482,33 @@ object JsonEventParser {
               case JNull => null
               case nested @ (_: JArr | _: JObj) =>
                 if (valueT == FieldType.FString) JVal.encode(nested)
-                else throw new MalformedEventException("nested map value for non-string map")
-              case el if mismatchScalar(el, valueT) =>
-                if (valueT == FieldType.FString) JVal.encode(el)
-                else throw new MalformedEventException("heterogeneous map value")
+                else throw new MalformedEventException( // record skip, ref :437-444
+                  "nested map value for non-string map")
               case el => coerce(el, valueT, isTime = false, dialect)
             }
             k -> coerced
           }.toMap
-        case _ => throw new MalformedEventException("non-object for MAP column")
+        case _ => null // non-object for MAP column → null (ref :404-407)
       }
     }
   }
 
-  /** A scalar that cannot sit in a column of type `t` without error. */
-  private def mismatchScalar(v: JVal, t: FieldType): Boolean = t match {
-    case FieldType.FString  => false // any scalar stringifies
-    case FieldType.FBoolean => !v.isInstanceOf[JBool]
-    case FieldType.FDouble | FieldType.FLong | FieldType.FInteger |
-         FieldType.FTime | FieldType.FDecimal => !v.isInstanceOf[JNum]
-    case FieldType.FDate | FieldType.FTimestamp => false // unparseable → null
-    case _ => false
+  /** Jackson `NumberInput.parseAsLong` semantics: integral parse, fall back
+    * to double-truncation, then 0.
+    */
+  private def asLongLenient(s: String): Long = {
+    val t = s.trim
+    try java.lang.Long.parseLong(t)
+    catch {
+      case _: NumberFormatException =>
+        try java.lang.Double.parseDouble(t).toLong
+        catch { case _: NumberFormatException => 0L }
+    }
   }
+
+  private def asDoubleLenient(s: String): Double =
+    try java.lang.Double.parseDouble(s.trim)
+    catch { case _: NumberFormatException => 0.0 }
 
   private def truncate(s: String): String =
     if (s.length > MaxStringLength) s.substring(0, MaxStringLength) else s

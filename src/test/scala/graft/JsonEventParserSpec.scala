@@ -82,15 +82,40 @@ class JsonEventParserSpec extends AnyFunSuite {
     assert(row.getString(0) == "1")
   }
 
-  test("unparseable date/timestamp → null; scalar mismatch → record skipped") {
+  test("unparseable date/timestamp → null; lenient Jackson scalar coercions") {
     val schema = StructType(Seq(
       StructField("d", DateType), StructField("t", TimestampType)))
     val json = """{"data":{"_project":"p","_collection":"c","d":"not-a-date","t":"nope"}}"""
     val (_, row) = JsonEventParser.parseEvent(json, JsonDialect.Fabric, schema, names).get
     assert(row.isNullAt(0) && row.isNullAt(1))
-    val boolCol = StructType(Seq(StructField("b", BooleanType)))
-    val bad = """{"data":{"_project":"p","_collection":"c","b":"yes"}}"""
-    assert(JsonEventParser.parseEvent(bad, JsonDialect.Fabric, boolCol, names).isEmpty)
+
+    // reference parity: scalar targets coerce leniently (getValueAs*)
+    val schema2 = StructType(Seq(
+      StructField("b1", BooleanType), StructField("b2", BooleanType),
+      StructField("n1", DoubleType), StructField("n2", DoubleType),
+      StructField("l", LongType), StructField("s", StringType)))
+    val json2 =
+      """{"data":{"_project":"p","_collection":"c",
+        |"b1":"true","b2":"yes","n1":"2.5","n2":"junk","l":true,"s":{"k":1}}}""".stripMargin
+    val (_, r2) = JsonEventParser.parseEvent(json2, JsonDialect.Fabric, schema2, names).get
+    assert(r2.getBoolean(0) && !r2.getBoolean(1))     // "true"→true, garbage→false
+    assert(r2.getDouble(2) == 2.5 && r2.getDouble(3) == 0.0) // garbage→0
+    assert(r2.getLong(4) == 1L)                       // bool→1
+    assert(r2.getString(5) == """{"k":1}""")          // container→JSON into STRING
+
+    // mismatched container in a non-string scalar/array/map column → null
+    val schema3 = StructType(Seq(
+      StructField("x", DoubleType), StructField("a", ArrayType(DoubleType)),
+      StructField("m", MapType(StringType, DoubleType))))
+    val json3 =
+      """{"data":{"_project":"p","_collection":"c","x":[1],"a":{"k":1},"m":[2]}}"""
+    val (_, r3) = JsonEventParser.parseEvent(json3, JsonDialect.Fabric, schema3, names).get
+    assert(r3.isNullAt(0) && r3.isNullAt(1) && r3.isNullAt(2))
+
+    // the ONLY record-skip: nested container inside a non-STRING array/map
+    val arrD = StructType(Seq(StructField("a", ArrayType(DoubleType))))
+    val nested = """{"data":{"_project":"p","_collection":"c","a":[1,{"x":1}]}}"""
+    assert(JsonEventParser.parseEvent(nested, JsonDialect.Fabric, arrD, names).isEmpty)
   }
 
   test("heterogeneous/nested arrays JSON-encode into ARRAY_STRING") {
@@ -124,10 +149,18 @@ class JsonEventParserSpec extends AnyFunSuite {
     assert(row.getInt(1) == 42 && row.getInt(2) == 86399)
     assert(row.getDecimal(3) == new java.math.BigDecimal("1.25"))
     assert(new String(row.getAs[Array[Byte]](4)) == "hello")
-    // string into LONG column = scalar mismatch → record skipped
+    // lenient numeric coercion: unparseable string into LONG column → 0
     val bad = """{"data":{"_project":"p","_collection":"c","l":"nope"}}"""
-    assert(JsonEventParser.parseEvent(bad, JsonDialect.Fabric,
-      StructType(Seq(StructField("l", LongType))), names).isEmpty)
+    val (_, r) = JsonEventParser.parseEvent(bad, JsonDialect.Fabric,
+      StructType(Seq(StructField("l", LongType))), names).get
+    assert(r.getLong(0) == 0L)
+    // TIME (declared-FieldType-only; IntegerType round-trips as FInteger):
+    // LocalTime strings parse to seconds-of-day, numbers pass through
+    import graft.ingest.JVal
+    assert(JsonEventParser.coerce(JVal.JStr("01:02:03"), FieldType.FTime,
+      isTime = false, JsonDialect.Fabric) == 3723)
+    assert(JsonEventParser.coerce(JVal.JNum("86399"), FieldType.FTime,
+      isTime = false, JsonDialect.Fabric) == 86399)
   }
 
   test("schema evolution: existing order kept, new appended, types widen") {
