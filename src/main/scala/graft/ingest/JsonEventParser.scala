@@ -334,15 +334,22 @@ object JsonEventParser {
         if (items.isEmpty) None // empty array: no column, ref :535-540
         else items.head match {
           case _: JArr | _: JObj => Some(FieldType.FArray(FieldType.FString)) // nested → JSON-encoded
-          case JNull             => None
-          case first             => inferValue(first, "", names).map(FieldType.FArray(_))
+          case JNull => // null first element: container later ⇒ ARRAY_STRING,
+                        // all-scalar ⇒ no column (ref :549-560)
+            if (items.exists(i => i.isInstanceOf[JArr] || i.isInstanceOf[JObj]))
+              Some(FieldType.FArray(FieldType.FString))
+            else None
+          case first => inferValue(first, "", names).map(FieldType.FArray(_))
         }
       case JObj(fields) =>
         if (fields.isEmpty) None // empty object: no column, ref :550-571
         else fields.head._2 match {
           case _: JArr | _: JObj => Some(FieldType.FMap(FieldType.FString))
-          case JNull             => None
-          case first             => inferValue(first, "", names).map(FieldType.FMap(_))
+          case JNull => // same null-first fallback as arrays (ref :580-593)
+            if (fields.exists { case (_, fv) => fv.isInstanceOf[JArr] || fv.isInstanceOf[JObj] })
+              Some(FieldType.FMap(FieldType.FString))
+            else None
+          case first => inferValue(first, "", names).map(FieldType.FMap(_))
         }
     }
   }
