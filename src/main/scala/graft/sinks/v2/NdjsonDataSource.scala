@@ -1,0 +1,193 @@
+package graft.sinks.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import java.util.zip.GZIPOutputStream
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** K3 "full integration": the event sink as a first-class DataSourceV2
+  * table (`format("graft-ndjson")`), batch + streaming.
+  *
+  * Input contract: rows of `(project string, collection string, value
+  * string)` — the serialized event stream (use `to_json(struct(...))` or
+  * the raw wire value upstream). Each task writes gzip NDJSON files rolled
+  * at `maxBytes` under `_staging/<query>/<task>`, the driver commit renames
+  * them into `path/<project>/<collection>/` — the same two-phase commit the
+  * reference implements by queueing batches in its s3-writer thread
+  * (S3DatabaseHandler.java:389-479), here with Spark's WriterCommitMessage
+  * protocol providing the barrier and abort cleanup.
+  */
+class NdjsonDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-ndjson"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NdjsonDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new NdjsonTable(properties.asScala.toMap)
+}
+
+object NdjsonDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("project", StringType, nullable = false),
+    StructField("collection", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+final class NdjsonTable(properties: Map[String, String]) extends Table with SupportsWrite {
+  private val path = properties.getOrElse("path",
+    throw new IllegalArgumentException("graft-ndjson requires a path"))
+
+  override def name(): String = s"graft-ndjson(`$path`)"
+  override def schema(): StructType = NdjsonDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val maxBytes = info.options.getLong("maxBytes", 256L * 1024 * 1024) // ref 256 MB cap
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new NdjsonBatchWrite(path, info.queryId(), maxBytes)
+        override def toStreaming: StreamingWrite =
+          new NdjsonStreamingWrite(path, info.queryId(), maxBytes)
+      }
+    }
+  }
+}
+
+/** Commit message: staged file → final relative path. */
+final case class StagedFiles(files: Seq[(String, String)]) extends WriterCommitMessage
+
+class NdjsonBatchWrite(path: String, queryId: String, maxBytes: Long) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    NdjsonCommit.rename(path, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    NdjsonCommit.cleanup(path, queryId)
+}
+
+class NdjsonStreamingWrite(path: String, queryId: String, maxBytes: Long) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    NdjsonCommit.rename(path, messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    NdjsonCommit.cleanup(path, queryId)
+}
+
+object NdjsonCommit {
+  private def fs(base: String): (FileSystem, Path) = {
+    val p = new Path(base)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
+  /** Driver-side commit barrier: every staged file renamed into place;
+    * only after all tasks succeeded (Spark guarantees message completeness).
+    */
+  def rename(base: String, messages: Array[WriterCommitMessage]): Unit = {
+    val (filesystem, basePath) = fs(base)
+    messages.foreach {
+      case StagedFiles(files) => files.foreach { case (staged, relative) =>
+        val target = new Path(basePath, relative)
+        filesystem.mkdirs(target.getParent)
+        if (!filesystem.rename(new Path(staged), target))
+          throw new java.io.IOException(s"commit rename failed: $staged -> $target")
+      }
+      case _ => ()
+    }
+    filesystem.delete(new Path(basePath, "_staging"), true)
+  }
+
+  def cleanup(base: String, queryId: String): Unit = {
+    val (filesystem, basePath) = fs(base)
+    filesystem.delete(new Path(basePath, s"_staging/$queryId"), true)
+  }
+}
+
+class NdjsonWriterFactory(path: String, queryId: String, maxBytes: Long, epoch: Long)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NdjsonDataWriter(path, queryId, maxBytes, partitionId, epoch)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new NdjsonDataWriter(path, queryId, maxBytes, partitionId, epochId)
+}
+
+/** Per-task writer: one rolling gzip stream per (project, collection) seen
+  * in this task's partition. Files land in the task's private staging dir;
+  * the commit message carries their final destinations.
+  */
+class NdjsonDataWriter(base: String, queryId: String, maxBytes: Long,
+                       partitionId: Int, epoch: Long)
+    extends DataWriter[InternalRow] {
+
+  private val taskDir = s"$base/_staging/$queryId/task-${UUID.randomUUID()}"
+  private val (filesystem, _) = {
+    val p = new Path(base)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
+  private final class Roller(project: String, collection: String) {
+    var bytes = 0L
+    var n = 0
+    var out: java.io.OutputStream = _
+    var staged: String = _
+    val done = mutable.Buffer[(String, String)]()
+
+    def open(): Unit = {
+      val name = f"part-$partitionId%05d-$n-e$epoch.ndjson.gz"
+      staged = s"$taskDir/$project/$collection/$name"
+      done += ((staged, s"$project/$collection/$name"))
+      out = new GZIPOutputStream(filesystem.create(new Path(staged), true))
+      bytes = 0L; n += 1
+    }
+
+    def write(line: Array[Byte]): Unit = {
+      if (out == null || bytes > maxBytes) { close(); open() } // size-rolled files
+      out.write(line); out.write('\n')
+      bytes += line.length + 1
+    }
+
+    def close(): Unit = if (out != null) { out.close(); out = null }
+  }
+
+  private val rollers = mutable.HashMap.empty[(String, String), Roller]
+
+  override def write(row: InternalRow): Unit = {
+    val project = row.getUTF8String(0).toString
+    val collection = row.getUTF8String(1).toString
+    val value = row.getUTF8String(2).getBytes
+    rollers.getOrElseUpdate((project, collection),
+      new Roller(project, collection)).write(value)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    rollers.values.foreach(_.close())
+    StagedFiles(rollers.values.flatMap(_.done).toSeq)
+  }
+
+  override def abort(): Unit = {
+    rollers.values.foreach(_.close())
+    filesystem.delete(new Path(taskDir), true)
+  }
+
+  override def close(): Unit = rollers.values.foreach(_.close())
+}

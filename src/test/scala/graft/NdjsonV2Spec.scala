@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPInputStream
+import scala.jdk.CollectionConverters._
+
+class NdjsonV2Spec extends SparkSpec {
+
+  private def gzLines(dir: Path): Seq[String] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".ndjson.gz"))
+      .flatMap { p =>
+        val r = new BufferedReader(new InputStreamReader(
+          new GZIPInputStream(Files.newInputStream(p))))
+        try Iterator.continually(r.readLine()).takeWhile(_ != null).toList
+        finally r.close()
+      }.toSeq
+
+  test("DSv2 batch write: staged commit, per-collection layout, gzip NDJSON") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("v2out")
+    Seq(
+      ("demo", "clicks", """{"a":1}"""),
+      ("demo", "clicks", """{"a":2}"""),
+      ("demo", "views", """{"b":1}"""))
+      .toDF("project", "collection", "value")
+      .write.format("graft-ndjson").mode("append").save(out.toString)
+
+    assert(!Files.exists(out.resolve("_staging"))) // staging cleaned on commit
+    val clicks = gzLines(out.resolve("demo/clicks"))
+    assert(clicks.toSet == Set("""{"a":1}""", """{"a":2}"""))
+    assert(gzLines(out.resolve("demo/views")) == Seq("""{"b":1}"""))
+  }
+
+  test("DSv2 streaming write: epochs commit through the same protocol") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("v2in")
+    val out = Files.createTempDirectory("v2out")
+    val ckpt = Files.createTempDirectory("v2ckpt")
+    Files.write(in.resolve("batch1.txt"), "x1\nx2".getBytes)
+
+    val q = spark.readStream.text(in.toString)
+      .select(lit("demo").as("project"), lit("ev").as("collection"),
+        $"value")
+      .writeStream.format("graft-ndjson")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(gzLines(out.resolve("demo/ev")).toSet == Set("x1", "x2"))
+  }
+}
