@@ -298,9 +298,9 @@ object SparkEntry {
       docs(s, dir).select(
           $"doc_id",
           TextFunctions.tokenCount($"text").as("n_tokens"),
-          round(TextFunctions.punctRatio($"text"), 4).as("punct_ratio"),
+          TextFunctions.basisPoints(TextFunctions.punctRatio($"text")).as("punct_bp"),
           TextFunctions.langId($"text").as("lang_pred"),
-          TextFunctions.qualityScore($"text").as("quality"),
+          TextFunctions.basisPoints(TextFunctions.qualityScore($"text")).as("quality_bp"),
           TextFunctions.fingerprint($"text").as("fingerprint"))
         .orderBy($"doc_id")
     }),
@@ -353,7 +353,8 @@ object SparkEntry {
       import s.implicits._
       DedupFunctions.minhashCandidates(docs(s, dir), "doc_id", "text",
           k = 12, nBands = 4, shingleSize = 3)
-        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .select($"id_a", $"id_b",
+          TextFunctions.basisPoints($"jaccard").as("jaccard_bp"))
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -371,6 +372,8 @@ object SparkEntry {
       val d = docs(s, dir).withColumn("blk", concat($"lang", lit("|"), $"source"))
       DedupFunctions.ngramJaccardPairs(d, "doc_id", "text", "blk", n = 3,
           threshold = 0.05)
+        .select($"id_a", $"id_b",
+          TextFunctions.basisPoints($"jaccard").as("jaccard_bp"))
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -379,6 +382,8 @@ object SparkEntry {
       import s.implicits._
       DedupFunctions.embeddingNearDups(
           tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
+        .select($"id_a", $"id_b",
+          TextFunctions.basisPoints($"cosine").as("cosine_bp"))
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -503,6 +508,24 @@ object SparkEntry {
 
   private val hash60Sql = // Hash60 contract: int(md5(s)[0:15], 16)
     """('0x' || substr(md5(s), 1, 15))::BIGINT"""
+
+  /** floor(x*10000 + 0.5) — see TextFunctions.basisPoints: round() at exact
+    * half-boundaries differs between engines on the same double.
+    */
+  private def bpSql(x: String): String = s"floor(($x) * 10000 + 0.5)::BIGINT"
+
+  /** Cosine mirroring expressions.CosineSim exactly: per-accumulator
+    * left-to-right sums (bit-identical to the native loop), 0 on zero norm.
+    * `list_cosine_similarity` is avoided — its internal accumulation order
+    * is unspecified.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x)))
+       |        * sqrt(list_sum(list_transform($b, x -> x*x))) = 0 THEN 0.0
+       |     ELSE list_sum(list_transform(generate_series(1, len($a)),
+       |            i -> ($a)[i] * ($b)[i]))
+       |        / (sqrt(list_sum(list_transform($a, x -> x*x)))
+       |           * sqrt(list_sum(list_transform($b, x -> x*x)))) END""".stripMargin
 
   private val seededSigSql = // MinHash60 contract (see expressions.Hash60)
     """list_transform(generate_series(0, 11),
@@ -664,12 +687,13 @@ object SparkEntry {
          |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
          |      / greatest(len(toks), 1) AS avg_wl
          |  FROM t)
-         |SELECT doc_id, n_tokens, round(punct, 4) AS punct_ratio,
+         |SELECT doc_id, n_tokens, ${bpSql("punct")} AS punct_bp,
          |  CASE $langCase ELSE 'und' END AS lang_pred,
-         |  round(0.3 * least(1.0, n_tokens / 50.0)
-         |      + 0.3 * (1.0 - least(1.0, punct * 10.0))
-         |      + 0.2 * least(1.0, (stopn::DOUBLE / greatest(n_tokens, 1)) * 4.0)
-         |      + 0.2 * least(1.0, greatest(avg_wl - 2.0, 0.0) / 8.0), 4) AS quality,
+         |  ${bpSql(
+            """0.3 * least(1.0, n_tokens / 50.0)
+              |      + 0.3 * (1.0 - least(1.0, punct * 10.0))
+              |      + 0.2 * least(1.0, (stopn::DOUBLE / greatest(n_tokens, 1)) * 4.0)
+              |      + 0.2 * least(1.0, greatest(avg_wl - 2.0, 0.0) / 8.0)""".stripMargin)} AS quality_bp,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
          |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s)
          |ORDER BY doc_id""".stripMargin
@@ -712,7 +736,7 @@ object SparkEntry {
          |         md5(array_to_string(sig[(b*3+1):(b*3+3)], ',')))) AS band
          |  FROM sig)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       round($jaccardSql, 4) AS jaccard
+         |       ${bpSql(jaccardSql)} AS jaccard_bp
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -732,29 +756,30 @@ object SparkEntry {
          |t AS (SELECT doc_id, blk,
          |      list_distinct(list_transform($shinglesSql, s -> $hash60Sql)) AS toks
          |      FROM t0)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, round($jaccardSql, 4) AS jaccard
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${bpSql(jaccardSql)} AS jaccard_bp
          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |WHERE round($jaccardSql, 4) >= 0.05
+         |WHERE $jaccardSql >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_pairs" ->
-      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
-        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |             ${cosineSql("a.e", "b.e")} AS cos
+         |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, ${bpSql("cos")} AS cosine_bp
+         |FROM p WHERE cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id,
-        |             round(list_cosine_similarity(qv, cv), 4) AS cosine
-        |      FROM q, c WHERE query_id <> neighbor_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |                ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
-        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |             ${bpSql(cosineSql("qv", "cv"))} AS cosine_bp
+         |      FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine_bp DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cosine_bp, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -121,7 +121,7 @@ object DedupFunctions {
     a.join(b, Seq("_blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(expressions.SortedJaccard.sorted_jaccard(col("_sh_a"), col("_sh_b")), 4)
+        expressions.SortedJaccard.sorted_jaccard(col("_sh_a"), col("_sh_b"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -155,7 +155,7 @@ object DedupFunctions {
     a.join(b, Seq("_blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(SimilarityFunctions.cosine(col("_v_a"), col("_v_b")), 4).as("cosine"))
+        SimilarityFunctions.cosine(col("_v_a"), col("_v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

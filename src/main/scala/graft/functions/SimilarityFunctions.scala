@@ -47,9 +47,11 @@ object SimilarityFunctions {
       col(vecCol).cast("array<double>").as("_qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("_qv"), col("_cv")), 4).as("cosine"))
+        // integer basis points: cross-engine-stable ranking/compare (see
+        // SparkEntry oracle notes — round() half-boundaries differ by engine)
+        floor(cosine(col("_qv"), col("_cv")) * 10000 + 0.5).cast("long").as("cosine_bp"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(col("cosine_bp").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -104,9 +106,9 @@ object SimilarityFunctions {
       .groupBy(col("query_id"), col("neighbor_id")) // probe overlap dedup
       .agg(first(col("_qv")).as("_qv"), first(col("_cv")).as("_cv"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("_qv"), col("_cv")), 4).as("cosine"))
+        floor(cosine(col("_qv"), col("_cv")) * 10000 + 0.5).cast("long").as("cosine_bp"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(col("cosine_bp").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

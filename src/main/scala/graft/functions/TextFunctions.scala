@@ -86,13 +86,18 @@ object TextFunctions {
       array(LangMarkers.flatMap(_._2).distinct.map(lit): _*))).cast("double") /
       greatest(n, lit(1.0))
     val avgWl = length(regexp_replace(text, "\\s+", "")).cast("double") / greatest(n, lit(1.0))
-    val score =
-      lit(0.3) * least(lit(1.0), n / 50.0) +
+    lit(0.3) * least(lit(1.0), n / 50.0) +
       lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio(text) * 10.0)) +
       lit(0.2) * least(lit(1.0), stopFrac * 4.0) +
       lit(0.2) * least(lit(1.0), greatest(avgWl - 2.0, lit(0.0)) / 8.0)
-    round(score, 4)
   }
+
+  /** Cross-engine-stable presentation of a [0,1] score: integer basis
+    * points via `floor(x*10000 + 0.5)`. `round(x, 4)` is NOT stable across
+    * engines — at an exact half-boundary (e.g. 0.53375) Spark's
+    * BigDecimal HALF_UP and DuckDB's rounding disagree on the same double.
+    */
+  def basisPoints(x: Column): Column = floor(x * 10000 + 0.5).cast("long")
 
   /** Content fingerprint: md5 of the whitespace-normalized, lower-cased
     * text — the exact-dedup key that survives formatting noise.

@@ -125,6 +125,23 @@ object JsonIngest {
     }
   }
 
+  /** Ingest a batch whose routing columns are ALREADY extracted (the
+    * streaming pipeline's decouple pre-pass produces `value`/`_project`/
+    * `_collection` — re-running [[withRouting]] would parse every record a
+    * second time for nothing). `routed` must be persisted by the caller.
+    */
+  def ingestRouted(routed: DataFrame, registry: EventSchema.Registry,
+                   dialect: JsonDialect = JsonDialect.Fabric,
+                   names: FieldNames = FieldNames())
+      : Map[CollectionId, DataFrame] = {
+    val observed = inferSchemas(routed.select(col("value")).as(Encoders.STRING), dialect, names)
+    observed.map { case (id, obs) =>
+      registry.getOrCreate(id)
+      val authoritative = registry.addColumns(id, obs)
+      id -> parseCollection(routed, id, authoritative, dialect, names)
+    }
+  }
+
   /** Schema-fixed fast path (the reference's fixed-schema mode: unknown
     * collections are skipped rather than created,
     * MessageEventTransformer.java:65-93): no inference job, no driver

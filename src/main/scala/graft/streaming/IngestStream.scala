@@ -177,11 +177,17 @@ object IngestStream {
           split.realTime
         }
 
-      // D1-D9: infer, evolve, parse the real-time slice; D10 + insert per table
-      val rawRt = realTime.select("value").as(Encoders.STRING)
-      val (routed, parsed) =
-        if (cfg.schemaFixed) JsonIngest.ingestFixed(rawRt, registry, cfg.dialect, cfg.names)
-        else JsonIngest.ingestLazy(rawRt, registry, cfg.dialect, cfg.names)
+      // D1-D9: infer, evolve, parse the real-time slice; D10 + insert per
+      // table. The decouple pre-pass already extracted routing columns, so
+      // ingest reuses them instead of re-parsing (`ingestRouted`).
+      val routed = realTime.select("value", "_project", "_collection")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val parsed =
+        if (cfg.schemaFixed)
+          registry.all.map { case (id, schema) =>
+            id -> JsonIngest.parseCollection(routed, id, schema, cfg.dialect, cfg.names)
+          }
+        else JsonIngest.ingestRouted(routed, registry, cfg.dialect, cfg.names)
       try {
         parsed.map { case (id, df) =>
           val withCheckpoint = EventOps.withShardTime(df, cfg.names)

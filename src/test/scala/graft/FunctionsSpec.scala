@@ -129,7 +129,7 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length == 15)
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
     byQ.values.foreach { rs =>
-      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cosine_bp"))
       assert(sims.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
     }
   }
