@@ -85,6 +85,38 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
   def read(spark: SparkSession, id: CollectionId): DataFrame =
     spark.read.option("mergeSchema", "true").format(format).load(path(id))
 
+  /** B3 at rest — small-file compaction. A 15 s trigger cadence writes many
+    * small files per collection (the problem the reference's middleware
+    * buffer dwell solves in memory); compaction rewrites the collection
+    * into ~`targetBytes` files under a fresh `batch=compact-<ts>` dir and
+    * removes the old dirs. Run OUT OF BAND (same role as Delta OPTIMIZE);
+    * readers racing the final delete may briefly double-read — schedule
+    * around query windows or layer a manifest.
+    */
+  def compact(spark: SparkSession, id: CollectionId,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new java.io.File(path(id).stripPrefix("file:"))
+    if (!dir.exists()) return
+    val oldEntries = dir.listFiles().toSeq // snapshot before the rewrite
+    var bytes = 0L
+    java.nio.file.Files.walk(dir.toPath).forEach(p =>
+      if (java.nio.file.Files.isRegularFile(p)) bytes += java.nio.file.Files.size(p))
+    val nFiles = math.max(1, (bytes / targetBytes).toInt)
+    val df = {
+      val raw = read(spark, id)
+      if (raw.columns.contains("batch")) raw.drop("batch") else raw
+    }
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      .format(format).option("compression", compression)
+      .save(s"${path(id)}/batch=compact-${System.currentTimeMillis()}")
+    oldEntries.foreach(deleteRecursive)
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete()
+  }
+
   /** Read the whole sink (all projects/collections) with partition pruning
     * on the (project, collection) directory columns.
     */

@@ -24,6 +24,21 @@ class SinkSpec extends SparkSpec {
     assert(sink.read(spark, id).count() == 3)
   }
 
+  test("compaction rewrites many small batches into one, preserving rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sink").toString
+    val sink = new ColumnarSink(base)
+    val id = CollectionId("p", "c")
+    (0 until 5).foreach(b =>
+      sink.insertBatch(id, Seq((b, s"v$b")).toDF("n", "s"), batchId = b))
+    assert(sink.read(spark, id).count() == 5)
+    sink.compact(spark, id)
+    assert(sink.read(spark, id).count() == 5)
+    val dirs = new java.io.File(s"$base/project=p/collection=c").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.length == 1 && dirs.head.startsWith("batch=compact-"))
+  }
+
   test("sink layout prunes partitions on (project, collection) filters") {
     import spark.implicits._
     val base = Files.createTempDirectory("sink").toString
