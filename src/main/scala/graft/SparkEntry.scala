@@ -289,6 +289,31 @@ object SparkEntry {
       }.reduce(_ unionAll _)
     }),
 
+    // Correlated-aggregate filter (TPC-H q17 shape): lineitems under 50%
+    // of their part's average quantity.
+    "q8_below_avg_qty" -> ((s, dir) => {
+      import s.implicits._
+      val li = tbl(s, dir, "lineitem")
+      val avgQty = li.groupBy($"l_partkey".as("p_key"))
+        .agg(avg($"l_quantity").as("avg_qty"))
+      li.join(avgQty, $"l_partkey" === $"p_key")
+        .where($"l_quantity" < $"avg_qty" * 0.5)
+        .agg(count(lit(1)).as("n"),
+             round(sum($"l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    // Exact interpolated quantiles (DuckDB quantile_cont ≡ Spark
+    // percentile); thousandths via the stable floor form.
+    "q9_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          floor(expr("percentile(l_quantity, 0.5)") * 1000 + 0.5).cast("long").as("p50_qty_milli"),
+          floor(expr("percentile(l_extendedprice, 0.9)") * 1000 + 0.5).cast("long").as("p90_price_milli"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- LLM-pipeline operators: text analysis ----------------------
 
     // Per-document text analysis: token count, punctuation ratio,
@@ -614,6 +639,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q8_below_avg_qty" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.p_key
+        |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+
+    "q9_quantiles" ->
+      """SELECT l_returnflag,
+        |       floor(quantile_cont(l_quantity, 0.5) * 1000 + 0.5)::BIGINT AS p50_qty_milli,
+        |       floor(quantile_cont(l_extendedprice, 0.9) * 1000 + 0.5)::BIGINT AS p90_price_milli
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -113,6 +113,30 @@ class IngestStreamSpec extends SparkSpec {
     assert(out(t0 / 1000 + 3600) == 1)     // the +1h event in its own window
   }
 
+  test("session windows: gap-based event grouping on the decoupled stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("in")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val t0 = java.time.Instant.parse("2026-08-10T00:00:00Z").toEpochMilli
+    // two bursts 2h apart → with a 30-min gap they form two sessions
+    writeLines(inDir, "b1.json", Seq(
+      fabric("ev", t0), fabric("ev", t0 + 60000), fabric("ev", t0 + 120000),
+      fabric("ev", t0 + 7200000), fabric("ev", t0 + 7260000)))
+    val dec = graft.operators.EventOps.decouple(
+      spark.readStream.text(inDir.toString).select("value").as[String],
+      graft.ingest.JsonDialect.Fabric)
+    val sessions = dec.filter($"_time".isNotNull)
+      .withWatermark("_time", "1 hour")
+      .groupBy(session_window($"_time", "30 minutes"), $"_collection")
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_agg").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val ns = spark.table("sess_agg").select($"n").collect().map(_.getLong(0)).sorted
+    assert(ns.toSeq == Seq(2L, 3L))
+  }
+
   test("streaming dedup drops repeated (_user,_time) across batches") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("in")
