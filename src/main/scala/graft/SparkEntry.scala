@@ -314,6 +314,17 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Set operations: nations present in segment A but not B, and in both.
+    "q10_setops" -> ((s, dir) => {
+      import s.implicits._
+      val cust = tbl(s, dir, "customer")
+      val a = cust.filter($"c_mktsegment" === "BUILDING").select($"c_nationkey")
+      val b = cust.filter($"c_mktsegment" === "MACHINERY").select($"c_nationkey")
+      a.except(b).select($"c_nationkey", lit("only_building").as("tag"))
+        .unionAll(a.intersect(b).select($"c_nationkey", lit("both").as("tag")))
+        .orderBy($"tag", $"c_nationkey")
+    }),
+
     // ---- LLM-pipeline operators: text analysis ----------------------
 
     // Per-document text analysis: token count, punctuation ratio,
@@ -652,6 +663,14 @@ object SparkEntry {
         |       floor(quantile_cont(l_quantity, 0.5) * 1000 + 0.5)::BIGINT AS p50_qty_milli,
         |       floor(quantile_cont(l_extendedprice, 0.9) * 1000 + 0.5)::BIGINT AS p90_price_milli
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_setops" ->
+      """WITH a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |SELECT c_nationkey, 'only_building' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT c_nationkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |ORDER BY tag, c_nationkey""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
