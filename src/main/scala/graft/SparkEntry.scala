@@ -314,6 +314,22 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // As-of join (custom operator): each purchase matched to the user's
+    // latest prior click — union+sort+window formulation, one shuffle.
+    "asof_purchase_click" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "events").select($"event_id", $"user_id",
+        timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      graft.operators.AsOfJoin.asOfJoin(
+          purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select($"event_id", $"click_id")
+        .orderBy($"event_id")
+    }),
+
     // Set operations: nations present in segment A but not B, and in both.
     "q10_setops" -> ((s, dir) => {
       import s.implicits._
@@ -663,6 +679,15 @@ object SparkEntry {
         |       floor(quantile_cont(l_quantity, 0.5) * 1000 + 0.5)::BIGINT AS p50_qty_milli,
         |       floor(quantile_cont(l_extendedprice, 0.9) * 1000 + 0.5)::BIGINT AS p90_price_milli
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "asof_purchase_click" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q10_setops" ->
       """WITH a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at or before the left time") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:05"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 99.0), // exactly at a quote time
+      ("B", ts("2024-01-01 10:00:01"), 50.0),
+      ("C", ts("2024-01-01 10:00:01"), 10.0)) // no quotes for C
+      .toDF("sym", "trade_ts", "price")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 98.5),
+      ("A", ts("2024-01-01 10:00:03"), 98.9),
+      ("A", ts("2024-01-01 10:00:06"), 99.9), // after both trades
+      ("B", ts("2024-01-01 09:59:00"), 49.5))
+      .toDF("sym", "quote_ts", "bid")
+
+    val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "trade_ts", "quote_ts")
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("trade_ts"),
+        Option(r.getAs[java.lang.Double]("bid")).map(_.doubleValue))).toSet
+    assert(out == Set(
+      ("A", ts("2024-01-01 10:00:05"), Some(98.9)),
+      ("A", ts("2024-01-01 10:00:00"), Some(98.5)), // >= semantics: equal matches
+      ("B", ts("2024-01-01 10:00:01"), Some(49.5)),
+      ("C", ts("2024-01-01 10:00:01"), None)))
+  }
+
+  test("tolerance nulls out stale matches") {
+    import spark.implicits._
+    val l = Seq(("A", ts("2024-01-01 12:00:00"), 1)).toDF("k", "lt", "v")
+    val r = Seq(("A", ts("2024-01-01 10:00:00"), 7)).toDF("k", "rt", "w")
+    val within = AsOfJoin.asOfJoin(l, r, Seq("k"), "lt", "rt",
+      Some(expr("INTERVAL 3 HOURS"))).head
+    assert(within.getAs[java.lang.Integer]("w") == 7)
+    val stale = AsOfJoin.asOfJoin(l, r, Seq("k"), "lt", "rt",
+      Some(expr("INTERVAL 1 HOUR"))).head
+    assert(stale.getAs[java.lang.Integer]("w") == null)
+  }
+
+  test("matches brute-force as-of on real events (purchases → prior click)") {
+    import spark.implicits._
+    val ev = sf("events").select($"event_id", $"user_id",
+      timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+
+    val fast = AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+      .select($"event_id", $"click_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("click_id"))).toMap
+
+    // brute force: max click_ts <= ts per purchase via join + groupBy
+    val brute = purchases.join(clicks, Seq("user_id"))
+      .where($"click_ts" <= $"ts")
+      .groupBy($"event_id")
+      .agg(max(struct($"click_ts", $"click_id")).as("m"))
+      .select($"event_id", $"m.click_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(fast.size == purchases.count())
+    brute.foreach { case (eid, cid) => assert(fast(eid).contains(cid), s"event $eid") }
+    fast.foreach { case (eid, cid) => if (cid.isEmpty) assert(!brute.contains(eid)) }
+  }
+}
