@@ -330,6 +330,20 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // Range join (custom operator): lineitem prices into overlapping price
+    // bands — bucketized equi-join, no cross product.
+    "range_price_bands" -> ((s, dir) => {
+      import s.implicits._
+      val bands = s.range(0, 40).select($"id".as("band"),
+        ($"id" * 1500.0).as("lo"), ($"id" * 1500.0 + 3000.0).as("hi"))
+      val li = tbl(s, dir, "lineitem").select($"l_extendedprice")
+      graft.operators.RangeJoin.rangeJoin(li, "l_extendedprice",
+          bands, "lo", "hi", bucketWidth = 3000.0)
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .orderBy($"band")
+    }),
+
     // Set operations: nations present in segment A but not B, and in both.
     "q10_setops" -> ((s, dir) => {
       import s.implicits._
@@ -679,6 +693,15 @@ object SparkEntry {
         |       floor(quantile_cont(l_quantity, 0.5) * 1000 + 0.5)::BIGINT AS p50_qty_milli,
         |       floor(quantile_cont(l_extendedprice, 0.9) * 1000 + 0.5)::BIGINT AS p90_price_milli
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "range_price_bands" ->
+      """WITH bands AS (
+        |  SELECT i AS band, i * 1500.0 AS lo, i * 1500.0 + 3000.0 AS hi
+        |  FROM unnest(generate_series(0, 39)) AS t(i))
+        |SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "asof_purchase_click" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -43,6 +43,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(stale.getAs[java.lang.Integer]("w") == null)
   }
 
+  test("range join equals the naive inequality join, without a cross product") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val points = (1 to 500).map(i => (i.toLong, i * 7.3 % 100)).toDF("id", "p")
+    val intervals = (0 until 40).map(i => (i.toLong, i * 2.5, i * 2.5 + 6.0))
+      .toDF("band", "lo", "hi") // overlapping intervals
+    val fast = RangeJoin.rangeJoin(points, "p", intervals, "lo", "hi", bucketWidth = 5.0)
+      .select($"id", $"band").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+      .select($"id", $"band").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive && fast.nonEmpty)
+    // plan stays an equi-join on the bucket key — no cartesian/BNLJ
+    val plan = RangeJoin.rangeJoin(points, "p", intervals, "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("matches brute-force as-of on real events (purchases → prior click)") {
     import spark.implicits._
     val ev = sf("events").select($"event_id", $"user_id",
