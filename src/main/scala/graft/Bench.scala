@@ -20,7 +20,9 @@ object Bench {
     "q1_agg", "q3_top_orders", "q5_region_revenue",
     "w1_top_order_per_customer", "w2_tumbling_window",
     "q4_semi_exists", "q6_anti_join", "q7_rollup",
-    "text_stats", "text_token_estimate",
+    "q8_below_avg_qty", "q9_quantiles",
+    "asof_purchase_click", "range_price_bands",
+    "text_stats", "text_token_estimate", "text_vocab_topk",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "ann_brute_topk", "ann_lsh_topk",

@@ -371,6 +371,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Cleaning normalization: stopword-stripped, whitespace-collapsed text.
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val stop = TextFunctions.LangMarkers.toMap.apply("en")
+      docs(s, dir).select($"doc_id",
+          TextFunctions.normalize($"text", stop).as("normalized"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus vocabulary: top-20 tokens by document frequency.
+    "text_vocab_topk" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", explode(array_distinct(TextFunctions.tokens($"text"))).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"tok".asc)
+        .limit(20)
+    }),
+
     // Token-budget estimate (portable BPE-ish arithmetic).
     "text_token_estimate" -> ((s, dir) => {
       import s.implicits._
@@ -803,6 +822,21 @@ object SparkEntry {
          |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "text_normalize" -> {
+      val stop = sqlList(TextFunctions.LangMarkers.toMap.apply("en"))
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_filter(toks, x -> NOT list_contains($stop, x)), ' ')
+         |    AS normalized
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "text_vocab_topk" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |d AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t)
+         |SELECT tok, count(*) AS df FROM d GROUP BY 1
+         |ORDER BY df DESC, tok ASC LIMIT 20""".stripMargin,
 
     "text_token_estimate" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

@@ -99,6 +99,14 @@ object TextFunctions {
     */
   def basisPoints(x: Column): Column = floor(x * 10000 + 0.5).cast("long")
 
+  /** Cleaning normalization: lower-case, collapse whitespace, drop
+    * stopwords — the standard pre-tokenization scrub of a training-data
+    * pipeline. Stays codegen-composable (filter + array_join).
+    */
+  def normalize(text: Column, stopwords: Seq[String]): Column =
+    array_join(filter(tokens(text),
+      t => !t.isin(stopwords.map(lit(_).cast("string")): _*)), " ")
+
   /** Content fingerprint: md5 of the whitespace-normalized, lower-cased
     * text — the exact-dedup key that survives formatting noise.
     */
