@@ -483,6 +483,17 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF ANN (k-means coarse quantizer, nProbe cells) — approximate,
+    // rows-only (recall vs brute force asserted in ScalaTest).
+    "ann_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityFunctions.ivfTopK(
+          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5,
+          cells = 16, nProbe = 4)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Multi-probe LSH ANN — approximate by construction, so rows-only
     // (recall vs brute force asserted in ScalaTest).
     "ann_lsh_topk" -> ((s, dir) => {

@@ -80,6 +80,54 @@ object SimilarityFunctions {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * corpus vector to one centroid cell; each query probes its `nProbe`
+    * nearest cells. The probe is an equi-join on the cell id — the
+    * standard billion-scale ANN layout (cells ≈ √n at scale; the centroid
+    * set stays tiny and broadcasts). Recall is governed by nProbe/cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, cells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val train = c.withColumn("features", array_to_vector(col("_cv")))
+    val model = new KMeans().setK(cells).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("_cell", "_centroid") // tiny: broadcasts
+
+    val assigned = model.transform(train)
+      .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
+
+    // queries rank ALL centroids (tiny cross join) and keep the nProbe best
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cdist").asc, col("_cell").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("_cdist", -cosine(col("_qv"), col("_centroid")))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell"))
+
+    val scored = assigned.join(probes, Seq("_cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(cosine(col("_qv"), col("_cv")) * 10000 + 0.5).cast("long").as("cosine_bp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_bp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** ANN top-k via multi-probe LSH: the corpus keeps ONE bucket per vector;
     * each query probes its own bucket plus every bucket at Hamming distance
     * 1 (the standard multi-probe trick — recall of many more planes at the

@@ -134,6 +134,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK recall beats single-shot LSH at the same candidate budget") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = SimilarityFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = SimilarityFunctions.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        cells = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // 4 of 8 cells probed, but cells follow the data distribution — recall
+    // should clearly beat the 50% coverage ratio
+    assert(recall > 0.6, s"recall $recall too low")
+  }
+
   test("lshTopK recall against brute force is reasonable") {
     val emb = sf("embeddings")
     val queries = emb.filter(col("vec_id") < 20)
