@@ -204,6 +204,52 @@ object AvroIngest {
       case _ => None
     }
 
+  /** Batch/stream processing of tagged Avro records: decode every inline
+    * record against the registry's declared schemas (Avro is always
+    * schema-fixed — the wire format carries no field names), group by
+    * collection, hand each frame to the sink. The Avro analogue of the
+    * JSON `IngestStream.processBatch` with `schemaFixed = true`.
+    *
+    * `records` needs `key: string` and `value: binary` columns (the Kafka
+    * source shape). Bulk pointers (tag 3) are surfaced to `onBulk` for the
+    * caller to fetch + [[readBulkObject]] (object-store access is
+    * environment-specific).
+    */
+  def processBatch(records: org.apache.spark.sql.DataFrame,
+                   registry: graft.schema.EventSchema.Registry,
+                   sink: graft.sinks.EventSink,
+                   keySep: Char = '.',
+                   names: FieldNames = FieldNames())
+      : Map[CollectionId, Long] = {
+    val spark = records.sparkSession
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.functions.col
+
+    val schemas = registry.all // (tiny) driver-side snapshot, serialized to tasks
+    val schemaPairs: Map[CollectionId, (String, StructType)] = schemas.map {
+      case (id, st) => id -> (avroSchema(st, id.collection, names).toString, st)
+    }
+
+    schemas.keys.flatMap { id =>
+      val (avroJson, rowSchema) = schemaPairs(id)
+      val enc = Encoders.row(rowSchema)
+      val df = records.select(col("key").cast("string"), col("value"))
+        .mapPartitions { rows =>
+          // parse the avro schema once per partition, not per record
+          val reader = new Schema.Parser().parse(avroJson)
+          val lookup = (cid: CollectionId) =>
+            if (cid == id) Some((reader, rowSchema)) else None
+          rows.flatMap { r =>
+            val key = r.getString(0)
+            val payload = r.getAs[Array[Byte]](1)
+            decodeTagged(key, payload, keySep, lookup, names).map(_._2)
+          }
+        }(enc)
+      val count = df.count()
+      if (count > 0) { sink.insert(id, df); Some(id -> count) } else None
+    }.toMap
+  }
+
   // ------------------------------------------------------------- bulk frame
 
   /** S4 — bulk object format (FIXTURES.md §4): Avro binary stream of

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ingest.AvroIngest
+import graft.schema.{CollectionId, EventSchema}
+import graft.sinks.MemorySink
+import graft.streaming.{IngestConfig, IngestStream}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.types._
+
+import java.io.ByteArrayOutputStream
+
+/** Scaled-down analogue of the reference's KafkaStressTest
+  * (t/io/rakam/presto/KafkaStressTest.java:46-260: 30k events/poll over 100
+  * collections with ~10% late data): a 10k-event batch over 50 collections
+  * through the full pipeline, asserting routing/split bookkeeping.
+  */
+class StressSpec extends SparkSpec {
+
+  test("stress shape: 10k events / 50 collections / ~10% late") {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    val old = now - 40L * 24 * 3600 * 1000
+    val raw = spark.range(10000).select(
+      concat(
+        lit("""{"data":{"_project":"stress","_collection":"c"""),
+        ($"id" % 50), lit("\","),
+        lit(""""_time":"""),
+        when($"id" % 10 === 0, old).otherwise(now), lit(","),
+        lit(""""_user":"u"""), ($"id" % 97), lit("\","),
+        lit(""""n":"""), $"id", lit("}}")).as("value")
+    ).as[String]
+
+    val registry = new EventSchema.Registry()
+    val sink = new MemorySink
+    val counts = IngestStream.processBatch(spark, raw, registry, sink, None,
+      IngestConfig())
+
+    // 10% late → historical; lateness (id%10) correlates with 5 of the 50
+    // collections (50 ≡ 0 mod 10), so those are entirely late and never
+    // materialize in the real-time path
+    assert(counts.size == 45)
+    assert(counts.values.sum == 9000)
+    assert(registry.all.size == 45)
+    registry.all.values.foreach { st =>
+      assert(st.fieldNames.toSeq == Seq("_time", "_user", "n"))
+      assert(st("n").dataType == DoubleType) // numbers infer DOUBLE
+    }
+  }
+
+  private def concat(cols: org.apache.spark.sql.Column*) =
+    org.apache.spark.sql.functions.concat(cols: _*)
+  private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
+  private def when(c: org.apache.spark.sql.Column, v: Any) =
+    org.apache.spark.sql.functions.when(c, v)
+
+  test("avro streaming batch: tagged records through registry schemas to sink") {
+    import spark.implicits._
+    val registry = new EventSchema.Registry()
+    val id = CollectionId("p", "ev")
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("x", DoubleType)))
+    registry.put(id, rowSchema)
+    val avro = AvroIngest.avroSchema(rowSchema, "ev")
+
+    def payload(t: Long, u: String, x: Double): Array[Byte] = {
+      val rec = new GenericData.Record(avro)
+      rec.put("_time", t); rec.put("_user", u); rec.put("x", x)
+      val out = new ByteArrayOutputStream()
+      out.write(0) // tag 0: inline, collection from key
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](avro).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+
+    val records = Seq(
+      ("p.ev", payload(1700000000000L, "u1", 1.5)),
+      ("p.ev", payload(1700000001000L, "u2", 2.5)),
+      ("other.unknown", payload(1700000002000L, "u3", 9.9)), // no schema → skipped
+      ("p.ev", Array[Byte](1, 2, 3))                          // legacy tag → skipped
+    ).toDF("key", "value")
+
+    val sink = new MemorySink
+    val counts = AvroIngest.processBatch(records, registry, sink)
+    assert(counts == Map(id -> 2L))
+    assert(sink.rows(id) == 2)
+    val rows = sink.inserted.get(id).head.collect()
+    assert(rows.map(_.getAs[Double]("x")).toSet == Set(1.5, 2.5))
+  }
+}
