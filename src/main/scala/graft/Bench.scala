@@ -25,7 +25,8 @@ object Bench {
     "text_stats", "text_token_estimate", "text_vocab_topk",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
-    "ann_brute_topk", "ann_lsh_topk",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "agg_approx_sketch",
     "mm_features")
 
   def main(args: Array[String]): Unit = {

@@ -170,6 +170,20 @@ object SparkEntry {
         .orderBy($"collection")
     }),
 
+    // Approximate sketches (HLL++ cardinality, t-digest-style quantiles) —
+    // rows-only: approx values are engine-specific by design; bounds
+    // asserted vs exact in ScalaTest.
+    "agg_approx_sketch" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          count_distinct($"l_orderkey").as("exact_orders"),
+          percentile_approx($"l_extendedprice", lit(0.9), lit(1000)).as("p90_approx"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- relational query surface (Catalyst built-ins, SURVEY §2.8) --
 
     // Semi join (EXISTS): orders with any heavy lineitem, counted by

@@ -163,6 +163,21 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SketchSpec extends SparkSpec {
+  test("approx sketches land within tolerance of exact answers") {
+    import spark.implicits._
+    val li = sf("lineitem", "/root/testdata/sf0.01")
+    val r = li.agg(
+      approx_count_distinct($"l_orderkey").as("approx"),
+      count_distinct($"l_orderkey").as("exact"),
+      percentile_approx($"l_extendedprice", lit(0.9), lit(1000)).as("p90a"),
+      expr("percentile(l_extendedprice, 0.9)").as("p90e")).head
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05) // HLL++ rsd
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) / r.getDouble(3) < 0.02)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.{MediaKernels, Multimodal}
 
