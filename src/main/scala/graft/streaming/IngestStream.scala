@@ -147,6 +147,40 @@ object IngestStream {
     }
   }
 
+  /** F2 exact-parity flavor — keyed dedup state with PROCESSING-time TTL,
+    * the precise semantics of the reference's RocksDB TtlDB (Deduplicator
+    * .java:26-88: keys expire a fixed wall-clock duration after insertion,
+    * regardless of event time). `dropDuplicatesWithinWatermark` ties
+    * eviction to the event-time watermark instead; when late data can
+    * arrive beyond the watermark but must still dedup, this variant holds
+    * keys for exactly `ttl` of wall-clock time via
+    * `flatMapGroupsWithState` + ProcessingTimeTimeout.
+    */
+  def deduplicatedWithTtl(decoupled: DataFrame, ttl: java.time.Duration,
+                          names: FieldNames = FieldNames()): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = decoupled.sparkSession
+    import spark.implicits._
+    val keyed = decoupled
+      .withColumn("_dedup_user", get_json_object(col("value"), s"$$.data.${names.userField}"))
+      .select(
+        concat_ws("|", col("_dedup_user"), col("_time").cast("long")).as("_key"),
+        col("value"))
+      .as[(String, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, String](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } // TTL eviction
+          else if (state.exists) Iterator.empty // duplicate of an earlier batch
+          else {
+            state.update(true)
+            state.setTimeoutDuration(ttl.toMillis)
+            rows.take(1).map(_._2) // first in this batch wins; rest drop
+          }
+      }.toDF("value")
+  }
+
   /** One micro-batch of the pipeline — also the batch path for bulk loads.
     * Returns per-collection inserted row counts.
     */
