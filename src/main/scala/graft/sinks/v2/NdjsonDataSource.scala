@@ -47,14 +47,19 @@ object NdjsonDataSource {
     StructField("value", StringType, nullable = false)))
 }
 
-final class NdjsonTable(properties: Map[String, String]) extends Table with SupportsWrite {
+final class NdjsonTable(properties: Map[String, String]) extends Table
+    with SupportsWrite with org.apache.spark.sql.connector.catalog.SupportsRead {
   private val path = properties.getOrElse("path",
     throw new IllegalArgumentException("graft-ndjson requires a path"))
 
   override def name(): String = s"graft-ndjson(`$path`)"
   override def schema(): StructType = NdjsonDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    new NdjsonScanBuilder(path)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val maxBytes = info.options.getLong("maxBytes", 256L * 1024 * 1024) // ref 256 MB cap
@@ -65,6 +70,82 @@ final class NdjsonTable(properties: Map[String, String]) extends Table with Supp
         override def toStreaming: StreamingWrite =
           new NdjsonStreamingWrite(path, info.queryId(), maxBytes)
       }
+    }
+  }
+}
+
+// ---------------------------------------------------------------- read path
+
+/** Scan of the sink layout `path/project/collection/part.ndjson.gz`: one
+  * input partition per file (gzip is not splittable), routing columns
+  * recovered from the directory structure, requested-column pruning.
+  */
+class NdjsonScanBuilder(path: String)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = NdjsonDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new NdjsonScan(path, required)
+}
+
+final case class NdjsonFilePartition(file: String, project: String, collection: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+class NdjsonScan(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val base = new Path(path)
+    val filesystem = base.getFileSystem(new Configuration())
+    if (!filesystem.exists(base)) return Array.empty
+    val out = mutable.Buffer[NdjsonFilePartition]()
+    val it = filesystem.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      if (p.getName.endsWith(".ndjson.gz") && !p.toString.contains("/_staging/")) {
+        val collection = p.getParent.getName
+        val project = p.getParent.getParent.getName
+        out += NdjsonFilePartition(p.toString, project, collection)
+      }
+    }
+    out.toArray
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new NdjsonReaderFactory(required)
+}
+
+class NdjsonReaderFactory(required: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[NdjsonFilePartition]
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val stream = {
+        val fp = new Path(p.file)
+        new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(
+            fp.getFileSystem(new Configuration()).open(fp)),
+          StandardCharsets.UTF_8))
+      }
+      private var line: String = _
+      override def next(): Boolean = { line = stream.readLine(); line != null }
+      override def get(): InternalRow = {
+        val values = required.fieldNames.map {
+          case "project" => org.apache.spark.unsafe.types.UTF8String.fromString(p.project)
+          case "collection" => org.apache.spark.unsafe.types.UTF8String.fromString(p.collection)
+          case "value" => org.apache.spark.unsafe.types.UTF8String.fromString(line)
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = stream.close()
     }
   }
 }

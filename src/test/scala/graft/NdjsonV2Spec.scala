@@ -36,6 +36,26 @@ class NdjsonV2Spec extends SparkSpec {
     assert(gzLines(out.resolve("demo/views")) == Seq("""{"b":1}"""))
   }
 
+  test("DSv2 read path: round-trip with column pruning") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("v2rt")
+    Seq(
+      ("demo", "clicks", """{"a":1}"""),
+      ("demo", "views", """{"b":2}"""),
+      ("other", "clicks", """{"c":3}"""))
+      .toDF("project", "collection", "value")
+      .write.format("graft-ndjson").mode("append").save(out.toString)
+
+    val back = spark.read.format("graft-ndjson").load(out.toString)
+    assert(back.count() == 3)
+    assert(back.where($"project" === "demo").count() == 2)
+    val vals = back.where($"collection" === "clicks")
+      .select($"value").collect().map(_.getString(0)).toSet
+    assert(vals == Set("""{"a":1}""", """{"c":3}"""))
+    // pruned scan still works with a subset of columns
+    assert(back.select($"collection").distinct().count() == 2)
+  }
+
   test("DSv2 streaming write: epochs commit through the same protocol") {
     import spark.implicits._
     val in = Files.createTempDirectory("v2in")
