@@ -108,7 +108,7 @@ object SparkEntry {
       val dec = EventOps.decouple(eventsAsFabricJson(s, dir), JsonDialect.Fabric)
         .filter($"_project".isNotNull)
         .persist()
-      val maxDay = dec.agg(max(to_date($"_time"))).head.getDate(0)
+      val maxDay = dec.agg(max(to_date($"_time"))).head().getDate(0)
       val split = EventOps.daySplit(dec, $"_time", today = lit(maxDay))
       val out = split.realTime.select(lit("realtime").as("bucket"))
         .unionAll(split.historical.select(lit("historical").as("bucket")))
@@ -154,7 +154,7 @@ object SparkEntry {
       import s.implicits._
       val dec = EventOps.decouple(eventsAsFabricJson(s, dir), JsonDialect.Fabric)
         .filter($"_project".isNotNull).persist()
-      val maxDay = dec.agg(max(to_date($"_time"))).head.getDate(0)
+      val maxDay = dec.agg(max(to_date($"_time"))).head().getDate(0)
       val split = EventOps.daySplit(dec, $"_time", today = lit(maxDay))
       val registry = new EventSchema.Registry()
       val (routed, parsed) = JsonIngest.ingestLazy(

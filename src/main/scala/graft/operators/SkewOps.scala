@@ -24,7 +24,7 @@ object SkewOps {
     // deterministic per-row salt (hash of the full row, not rand(): keeps
     // retries/speculative tasks consistent)
     val largeS = large.withColumn("_salt",
-      pmod(hash(struct(large.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(large.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     largeS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")
@@ -37,7 +37,7 @@ object SkewOps {
     * builder over the partial column).
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(struct(df.columns.map(col): _*)), lit(salts)))
+    df.withColumn("_salt", pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts)))
       .groupBy(col(key), col("_salt")).count()
       .groupBy(col(key)).agg(sum("count").as("count"))
 }
