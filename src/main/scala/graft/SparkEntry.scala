@@ -520,6 +520,10 @@ object SparkEntry {
 
     // ---- LLM-pipeline operators: multimodal plumbing ----------------
 
+    // Media features composed into ANN search (stub kernel → real
+    // similarity operators) — rows-only.
+    "mm_ann_compose" -> ((s, dir) => mmAnnCompose(s, dir)),
+
     // Binary media columns + stub feature kernel (deterministic fake;
     // real dataflow) — rows-only.
     "mm_features" -> ((s, dir) => {
@@ -533,6 +537,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
   )
+
+  /** mm→ANN composition: stub media features feed the similarity operators
+    * directly (the point of the fixed feature schema) — rows-only.
+    */
+  private def mmAnnCompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select($"doc_id",
+      graft.multimodal.Multimodal.asMedia(encode($"text", "utf-8"),
+        lit("text/plain")).as("media"))
+    val feats = graft.multimodal.Multimodal
+      .extractFeatures(media, "doc_id", "media", 16)
+      .persist()
+    feats.count()
+    val out = SimilarityFunctions.bruteForceTopK(
+        feats, feats.filter($"doc_id" < 5), "doc_id", "features", 3)
+      .orderBy($"query_id", $"rank")
+    out.collect() // materialize before unpersist
+    feats.unpersist()
+    out
+  }
 
   /** D5/D6 implementation: distributed Avro encode/decode roundtrip. */
   private def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
