@@ -241,6 +241,65 @@ object SortedJaccard {
     ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
+/** Random-hyperplane LSH bucket of an array<double> — one sign bit per
+  * plane packed into a long. The plane matrix is DETERMINISTIC — component
+  * (p, i) is the shared hash60 of "plane<p>|<i>.0" mapped to [-1, 1] — and
+  * precomputed ONCE driver/executor-side per (nPlanes, dim), replacing the
+  * interpreted zip_with/aggregate pipeline that re-hashed every (plane, dim)
+  * pair per ROW (round-1 verdict: a compile-time constant recomputed
+  * corpus-wide). The "<i>.0" suffix preserves the original composed form's
+  * double→string cast, so bucket ids are bit-identical to round 1.
+  * Accumulation is left-to-right, matching `aggregate`'s fold order.
+  */
+case class HyperplaneBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"hyperplane_bucket needs array<double>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HyperplaneBucket.compute($c, $nPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  // (nPlanes, dim) → plane matrix; tiny (nPlanes × dim doubles), built once
+  // per JVM and shared by every task thread.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def component(plane: Int, dim: Int): Double =
+    Hash60.hash60(UTF8String.fromString(s"plane$plane|$dim.0")).toDouble /
+      1152921504606846975.0 * 2.0 - 1.0
+
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanes, dim), _ =>
+      Array.tabulate(nPlanes, dim)((p, i) => component(p, i)))
+
+  def compute(vec: ArrayData, nPlanes: Int): Long = {
+    val n = vec.numElements()
+    val m = planes(nPlanes, n)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val row = m(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += vec.getDouble(i) * row(i); i += 1 }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def hyperplane_bucket(c: Column, nPlanes: Int): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(c), nPlanes))
+}
+
 /** Cosine similarity of two array<double> — tight-loop native expression
   * replacing the interpreted zip_with/aggregate pipeline in pairwise joins
   * (left-to-right accumulation, matching the SQL mirror's evaluation
