@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * batches.
   *
   * The Spark-side machinery here — schema convention, batched
-  * `mapPartitions` kernels, partition sizing — is real and tested. The
-  * pixel/sample decode kernels themselves are STUBS (deterministic fakes
-  * derived from the bytes): the heavy media libraries are not in this
-  * environment. Swap [[MediaKernels]] for real decoders (JavaCV/ffmpeg…)
-  * without touching the dataflow.
+  * `mapPartitions` kernels, partition sizing — is real and tested. Image
+  * kernels (decode → features, resize) are REAL, via `javax.imageio` from
+  * the JDK. Audio/video decode kernels remain deterministic stubs (those
+  * codec libraries are not in this environment) — swap [[MediaKernels]]
+  * entries for real decoders (JavaCV/ffmpeg…) without touching the
+  * dataflow.
   */
 object Multimodal {
 
@@ -46,6 +47,11 @@ object Multimodal {
     * init per partition (the Scala analogue of `mapInPandas` batching); the
     * output schema is fixed so downstream ANN/dedup operators compose
     * directly ([[graft.functions.SimilarityFunctions]]).
+    *
+    * Dispatches on `meta.format`: image-typed media (an `image/` MIME
+    * prefix) decodes for real via `javax.imageio` (luminance/color
+    * histogram features); other modalities fall back to the deterministic
+    * stub kernel.
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
                       dim: Int = 64): DataFrame = {
@@ -59,16 +65,19 @@ object Multimodal {
       rows.map { r =>
         val media = r.getStruct(mIdx)
         val bytes = media.getAs[Array[Byte]]("data")
+        val format = media.getStruct(media.fieldIndex("meta")).getAs[String]("format")
         new GenericRowWithSchema(
-          Array[Any](r.get(idIdx), MediaKernels.fakeDecodeFeatures(bytes, dim).toSeq),
+          Array[Any](r.get(idIdx), MediaKernels.decodeFeatures(bytes, format, dim).toSeq),
           outSchema): Row
       }
     }(Encoders.row(outSchema))
   }
 
-  /** Image resize over the media column (stub kernel, real plumbing):
-    * returns the media struct with kernel-produced bytes and updated
-    * width/height metadata.
+  /** Image resize over the media column: image-typed media resizes for
+    * real (ImageIO decode → Graphics2D scale → PNG re-encode, format
+    * promoted to image/png); other modalities keep the stub byte-resample
+    * kernel.
+    * Either way width/height metadata is updated.
     */
   def resize(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
     val schema = df.schema
@@ -78,10 +87,14 @@ object Multimodal {
         val media = r.getStruct(mIdx)
         val bytes = media.getAs[Array[Byte]]("data")
         val meta = media.getStruct(media.fieldIndex("meta"))
+        val format = meta.getAs[String]("format")
+        val resized = MediaKernels.resizeImage(bytes, format, w, h)
+        val outFormat = if (resized.isDefined) "image/png" else meta.get(0)
         val newMeta = new GenericRowWithSchema(
-          Array[Any](meta.get(0), w, h, meta.get(3), meta.get(4)), MetaType)
+          Array[Any](outFormat, w, h, meta.get(3), meta.get(4)), MetaType)
         val newMedia = new GenericRowWithSchema(
-          Array[Any](MediaKernels.fakeResize(bytes, w, h), newMeta), MediaType)
+          Array[Any](resized.getOrElse(MediaKernels.fakeResize(bytes, w, h)),
+                     newMeta), MediaType)
         Row.fromSeq(r.toSeq.updated(mIdx, newMedia))
       }
     }(Encoders.row(schema))
@@ -109,13 +122,84 @@ object Multimodal {
   }
 }
 
-/** STUB kernels — deterministic fakes standing in for real codecs.
-  * Each is pure on the input bytes so tests and oracles are reproducible.
+/** Media kernels. Images decode for REAL via `javax.imageio` (in the JDK —
+  * no extra jars); audio/video kernels remain deterministic stubs standing
+  * in for codecs this environment doesn't ship. Every kernel is pure on its
+  * input bytes so tests and oracles are reproducible.
   */
 object MediaKernels {
 
-  /** ??? real impl: decode image/audio → model features. Fake: normalized
-    * 256-bucket byte histogram folded to `dim`.
+  /** Modality dispatch: an `image/` MIME prefix → real ImageIO decode
+    * (falling back to the stub when the bytes aren't a decodable image);
+    * everything else → stub.
+    */
+  def decodeFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float] =
+    if (format != null && format.startsWith("image/"))
+      imageFeatures(bytes, dim).getOrElse(fakeDecodeFeatures(bytes, dim))
+    else fakeDecodeFeatures(bytes, dim)
+
+  /** Real image features: 4 interleaved normalized histograms over the
+    * decoded pixels — luminance, R, G, B — each `dim/4` buckets (so
+    * `features(4k+c)` is channel c's bucket k). Deterministic: PNG/JPEG
+    * decode is bit-exact for a given file.
+    */
+  def imageFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img = decodeImage(bytes)
+    img.map { im =>
+      val buckets = math.max(1, dim / 4)
+      val hist = new Array[Float](dim)
+      val w = im.getWidth; val h = im.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          val lum = (299 * r + 587 * g + 114 * b) / 1000
+          hist(4 * (lum * buckets / 256)) += 1f
+          if (dim >= 2) hist(4 * (r * buckets / 256) + 1) += 1f
+          if (dim >= 3) hist(4 * (g * buckets / 256) + 2) += 1f
+          if (dim >= 4) hist(4 * (b * buckets / 256) + 3) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < dim) { hist(i) /= n; i += 1 }
+      hist
+    }
+  }
+
+  /** Real image resize: ImageIO decode → Graphics2D bilinear scale → PNG
+    * re-encode. None when the bytes aren't a decodable image or the format
+    * isn't image-typed.
+    */
+  def resizeImage(bytes: Array[Byte], format: String, w: Int, h: Int): Option[Array[Byte]] = {
+    if (format == null || !format.startsWith("image/")) return None
+    decodeImage(bytes).map { im =>
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+  /** Stub for non-image modalities (audio/video codecs are not in this
+    * environment): normalized 256-bucket byte histogram folded to `dim`.
     */
   def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Float](dim)
@@ -129,8 +213,8 @@ object MediaKernels {
     hist.map(_ / n)
   }
 
-  /** ??? real impl: decode + bilinear resize + re-encode. Fake: resample
-    * the byte stream to w*h bytes.
+  /** Stub resize for non-image modalities: resample the byte stream to
+    * w*h bytes.
     */
   def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
@@ -143,8 +227,8 @@ object MediaKernels {
     out
   }
 
-  /** ??? real impl: demux container, decode every Nth frame. Fake: fixed
-    * 64-byte windows, every Nth.
+  /** STUB (video demux/codecs absent here) — real impl: demux container,
+    * decode every Nth frame. Fake: fixed 64-byte windows, every Nth.
     */
   def fakeFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
     if (bytes == null || bytes.isEmpty) return Seq.empty

@@ -57,7 +57,7 @@ class DedupFunctionsSpec extends SparkSpec {
 
   test("hash60 is deterministic and 60-bit") {
     import spark.implicits._
-    val h = Seq("hello").toDF("s").select(DedupFunctions.hash60($"s")).head.getLong(0)
+    val h = Seq("hello").toDF("s").select(DedupFunctions.hash60($"s")).head().getLong(0)
     // cross-checked against DuckDB ('0x'||substr(md5('hello'),1,15))::BIGINT
     assert(h == 419982666956583591L)
     assert(h >= 0 && h < (1L << 60))
@@ -161,6 +161,17 @@ class SimilaritySpec extends SparkSpec {
     // so recall well above the 50% bucket coverage indicates real signal
     assert(recall > 0.4, s"recall $recall too low")
   }
+
+  test("native hyperplane bucket is bit-identical to the composed form") {
+    val emb = sf("embeddings").limit(64)
+    for (nPlanes <- Seq(3, 8)) {
+      val mismatches = emb.select(
+          SimilarityFunctions.lshBucket(col("embedding"), nPlanes).as("native"),
+          SimilarityFunctions.lshBucketComposed(col("embedding"), nPlanes).as("composed"))
+        .where(col("native") =!= col("composed")).count()
+      assert(mismatches == 0, s"$mismatches bucket mismatches at nPlanes=$nPlanes")
+    }
+  }
 }
 
 class SketchSpec extends SparkSpec {
@@ -171,7 +182,7 @@ class SketchSpec extends SparkSpec {
       approx_count_distinct($"l_orderkey").as("approx"),
       count_distinct($"l_orderkey").as("exact"),
       percentile_approx($"l_extendedprice", lit(0.9), lit(1000)).as("p90a"),
-      expr("percentile(l_extendedprice, 0.9)").as("p90e")).head
+      expr("percentile(l_extendedprice, 0.9)").as("p90e")).head()
     val (approx, exact) = (r.getLong(0), r.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.05) // HLL++ rsd
     assert(math.abs(r.getDouble(2) - r.getDouble(3)) / r.getDouble(3) < 0.02)
@@ -203,5 +214,50 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(df, "id", "media", everyN = 2)
     assert(frames.count() > 2)
     assert(frames.columns.toSeq == Seq("id", "frame_idx", "frame"))
+  }
+
+  /** Deterministic 16×16 PNG: left half solid red, right half solid blue. */
+  private def testPng(): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      im.setRGB(x, y, if (x < 8) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image modality decodes for real: histogram features from pixels") {
+    import spark.implicits._
+    val png = testPng()
+    val df = Seq((1L, png)).toDF("id", "bytes")
+      .select($"id", Multimodal.asMedia($"bytes", lit("image/png")).as("media"))
+    val feats = Multimodal.extractFeatures(df, "id", "media", dim = 16)
+      .collect().head.getSeq[Float](1)
+    // dim=16 → 4 buckets × 4 channels (lum, r, g, b), normalized per pixel.
+    // Half the pixels are pure red (r=255 → top r-bucket), half pure blue:
+    assert(math.abs(feats(4 * 3 + 1) - 0.5f) < 1e-6, s"red top bucket: $feats")
+    assert(math.abs(feats(4 * 3 + 3) - 0.5f) < 1e-6, s"blue top bucket: $feats")
+    // and direct kernel call agrees with the Spark path
+    val direct = MediaKernels.imageFeatures(png, 16).get
+    assert(direct.toSeq == feats.toSeq)
+    // undecodable bytes under an image format fall back to the stub
+    assert(MediaKernels.imageFeatures("notapng".getBytes, 16).isEmpty)
+  }
+
+  test("image modality resizes for real: ImageIO roundtrip preserves pixels") {
+    import spark.implicits._
+    val df = Seq((1L, testPng())).toDF("id", "bytes")
+      .select($"id", Multimodal.asMedia($"bytes", lit("image/png")).as("media"))
+    val m = Multimodal.resize(df, "media", 8, 8).collect().head.getStruct(1)
+    val meta = m.getStruct(1)
+    assert(meta.getAs[String]("format") == "image/png")
+    assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 8)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.getAs[Array[Byte]]("data")))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    // solid halves survive bilinear resize away from the seam
+    assert((back.getRGB(1, 4) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(6, 4) & 0xffffff) == 0x0000ff)
   }
 }
