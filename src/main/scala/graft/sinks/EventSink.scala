@@ -69,16 +69,22 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     insertBatch(id, df, batchId)
 
   def insertBatch(id: CollectionId, df: DataFrame, batchId: Long): Unit = {
-    val commitDir = java.nio.file.Paths.get(s"$basePath/_graft_commits")
-    val marker = commitDir.resolve(s"${id.project}_${id.collection}_$batchId")
-    if (java.nio.file.Files.exists(marker)) return // replay: already committed
+    // Markers resolve through the Hadoop FileSystem of basePath — data
+    // writes already do — so idempotence holds on file:/hdfs:/s3a: alike.
+    // One directory level per component keeps the layout unambiguous for
+    // names containing underscores.
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$basePath/_graft_commits/${id.project}/${id.collection}/$batchId")
+    val fs = marker.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // replay: already committed
     df.write.mode(SaveMode.Overwrite)
       .format(format)
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .save(s"${path(id)}/batch=$batchId")
-    java.nio.file.Files.createDirectories(commitDir)
-    java.nio.file.Files.createFile(marker)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
   }
 
   /** Read a collection back with schema evolution across appended batches. */
@@ -95,12 +101,15 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     */
   def compact(spark: SparkSession, id: CollectionId,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val dir = new java.io.File(path(id).stripPrefix("file:"))
-    if (!dir.exists()) return
-    val oldEntries = dir.listFiles().toSeq // snapshot before the rewrite
+    // Hadoop FileSystem API (not java.io.File) so compaction works on any
+    // scheme the sink can write to — file:, hdfs:, s3a:.
+    val dir = new org.apache.hadoop.fs.Path(path(id))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val oldEntries = fs.listStatus(dir).toSeq // snapshot before the rewrite
     var bytes = 0L
-    java.nio.file.Files.walk(dir.toPath).forEach(p =>
-      if (java.nio.file.Files.isRegularFile(p)) bytes += java.nio.file.Files.size(p))
+    val files = fs.listFiles(dir, true)
+    while (files.hasNext) bytes += files.next().getLen
     val nFiles = math.max(1, (bytes / targetBytes).toInt)
     val df = {
       val raw = read(spark, id)
@@ -109,12 +118,7 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     df.repartition(nFiles).write.mode(SaveMode.Overwrite)
       .format(format).option("compression", compression)
       .save(s"${path(id)}/batch=compact-${System.currentTimeMillis()}")
-    oldEntries.foreach(deleteRecursive)
-  }
-
-  private def deleteRecursive(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
-    f.delete()
+    oldEntries.foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Read the whole sink (all projects/collections) with partition pruning

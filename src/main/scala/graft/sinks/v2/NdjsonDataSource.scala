@@ -158,7 +158,7 @@ class NdjsonBatchWrite(path: String, queryId: String, maxBytes: Long) extends Ba
     new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    NdjsonCommit.rename(path, messages)
+    NdjsonCommit.rename(path, queryId, messages)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     NdjsonCommit.cleanup(path, queryId)
@@ -169,7 +169,7 @@ class NdjsonStreamingWrite(path: String, queryId: String, maxBytes: Long) extend
     new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    NdjsonCommit.rename(path, messages)
+    NdjsonCommit.rename(path, queryId, messages)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     NdjsonCommit.cleanup(path, queryId)
@@ -183,24 +183,43 @@ object NdjsonCommit {
 
   /** Driver-side commit barrier: every staged file renamed into place;
     * only after all tasks succeeded (Spark guarantees message completeness).
+    *
+    * Idempotent under epoch replay: a crashed-then-replayed streaming epoch
+    * regenerates the same final names (`part-<pid>-<n>-e<epoch>`), and
+    * `FileSystem.rename` onto an existing target returns false on HDFS/S3A —
+    * an already-present target means the first attempt committed that file,
+    * so the staged duplicate is dropped instead of wedging the query.
+    * Cleanup is scoped to this query's staging dir so concurrent queries on
+    * the same path keep their in-flight files.
     */
-  def rename(base: String, messages: Array[WriterCommitMessage]): Unit = {
+  def rename(base: String, queryId: String, messages: Array[WriterCommitMessage]): Unit = {
     val (filesystem, basePath) = fs(base)
     messages.foreach {
       case StagedFiles(files) => files.foreach { case (staged, relative) =>
         val target = new Path(basePath, relative)
-        filesystem.mkdirs(target.getParent)
-        if (!filesystem.rename(new Path(staged), target))
-          throw new java.io.IOException(s"commit rename failed: $staged -> $target")
+        if (filesystem.exists(target)) {
+          filesystem.delete(new Path(staged), false) // replay: already committed
+        } else {
+          filesystem.mkdirs(target.getParent)
+          if (!filesystem.rename(new Path(staged), target))
+            throw new java.io.IOException(s"commit rename failed: $staged -> $target")
+        }
       }
       case _ => ()
     }
-    filesystem.delete(new Path(basePath, "_staging"), true)
+    cleanup(base, queryId)
   }
 
   def cleanup(base: String, queryId: String): Unit = {
     val (filesystem, basePath) = fs(base)
-    filesystem.delete(new Path(basePath, s"_staging/$queryId"), true)
+    val stagingRoot = new Path(basePath, "_staging")
+    filesystem.delete(new Path(stagingRoot, queryId), true)
+    // drop the now-empty root; non-recursive delete can only race benignly
+    // (a concurrent query's mkdir makes it non-empty → the delete fails)
+    try {
+      if (filesystem.exists(stagingRoot) && filesystem.listStatus(stagingRoot).isEmpty)
+        filesystem.delete(stagingRoot, false)
+    } catch { case _: java.io.IOException => () }
   }
 }
 

@@ -75,4 +75,32 @@ class NdjsonV2Spec extends SparkSpec {
 
     assert(gzLines(out.resolve("demo/ev")).toSet == Set("x1", "x2"))
   }
+
+  test("commit is idempotent under epoch replay and scoped to its query") {
+    import graft.sinks.v2.{NdjsonCommit, StagedFiles}
+    val out = Files.createTempDirectory("v2replay")
+    val rel = "demo/ev/part-00000-0-e5.ndjson.gz"
+    def stage(qid: String, content: String): String = {
+      val staged = out.resolve(s"_staging/$qid/task-x/$rel")
+      Files.createDirectories(staged.getParent)
+      Files.write(staged, content.getBytes)
+      staged.toString
+    }
+    // a concurrent query's in-flight staging must survive q1's commit
+    val otherStaged = stage("q-other", "other")
+
+    val first = stage("q1", "attempt-1")
+    NdjsonCommit.rename(out.toString, "q1",
+      Array(StagedFiles(Seq((first, rel)))))
+    assert(Files.exists(out.resolve(rel)))
+
+    // replayed epoch: same final name regenerated — must not throw, must
+    // not duplicate, and must clean its own staged copy
+    val replay = stage("q1", "attempt-2")
+    NdjsonCommit.rename(out.toString, "q1",
+      Array(StagedFiles(Seq((replay, rel)))))
+    assert(new String(Files.readAllBytes(out.resolve(rel))) == "attempt-1")
+    assert(!Files.exists(out.resolve("_staging/q1")))
+    assert(Files.exists(java.nio.file.Paths.get(otherStaged)))
+  }
 }

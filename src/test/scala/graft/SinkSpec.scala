@@ -39,6 +39,36 @@ class SinkSpec extends SparkSpec {
     assert(dirs.length == 1 && dirs.head.startsWith("batch=compact-"))
   }
 
+  test("insertBatch + compaction work through a file: URI (Hadoop FS path)") {
+    import spark.implicits._
+    // markers and compaction must resolve through the Hadoop FileSystem of
+    // basePath, not java.io.File — a scheme-prefixed URI exercises that
+    val base = "file:" + Files.createTempDirectory("sinkuri").toString
+    val sink = new ColumnarSink(base)
+    val id = CollectionId("p", "c")
+    val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
+    sink.insertBatch(id, df, batchId = 1)
+    sink.insertBatch(id, df, batchId = 1) // replay: marker makes it a no-op
+    sink.insertBatch(id, Seq((3, "c")).toDF("n", "s"), batchId = 2)
+    assert(sink.read(spark, id).count() == 3)
+    sink.compact(spark, id)
+    assert(sink.read(spark, id).count() == 3)
+    val dirs = new java.io.File(s"${base.stripPrefix("file:")}/project=p/collection=c")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.length == 1 && dirs.head.startsWith("batch=compact-"))
+  }
+
+  test("commit markers are unambiguous for names containing underscores") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sink").toString
+    val sink = new ColumnarSink(base)
+    // old flat layout would collide: a_b/c and a/b_c both → "a_b_c_<id>"
+    sink.insertBatch(CollectionId("a_b", "c"), Seq((1, "x")).toDF("n", "s"), batchId = 1)
+    sink.insertBatch(CollectionId("a", "b_c"), Seq((2, "y")).toDF("n", "s"), batchId = 1)
+    assert(sink.read(spark, CollectionId("a_b", "c")).count() == 1)
+    assert(sink.read(spark, CollectionId("a", "b_c")).count() == 1)
+  }
+
   test("sink layout prunes partitions on (project, collection) filters") {
     import spark.implicits._
     val base = Files.createTempDirectory("sink").toString
