@@ -204,16 +204,40 @@ object AvroIngest {
       case _ => None
     }
 
+  /** Routing-only extraction: tag demux + collection id from the key (tag 0)
+    * or the embedded Avro-string prefix (tag 2), WITHOUT decoding the record
+    * body. The cheap first pass of [[processBatch]].
+    */
+  def routingOf(key: String, payload: Array[Byte], keySep: Char): Option[CollectionId] =
+    kindOf(payload) match {
+      case RecordKind.Inline(fromPayload) =>
+        try {
+          if (fromPayload) {
+            val dec = DecoderFactory.get().binaryDecoder(payload, 1, payload.length - 1, null)
+            collectionFromKey(dec.readString(), keySep)
+          } else collectionFromKey(key, keySep)
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
   /** Batch/stream processing of tagged Avro records: decode every inline
     * record against the registry's declared schemas (Avro is always
     * schema-fixed — the wire format carries no field names), group by
     * collection, hand each frame to the sink. The Avro analogue of the
     * JSON `IngestStream.processBatch` with `schemaFixed = true`.
     *
+    * Single-pass shape (round-1 verdict #4): one routing-only scan of the
+    * source tags every record with its collection and is persisted; each
+    * collection then filters the cached routed batch and decodes ONLY its
+    * own records, with the inserted-row count folded into the sink write
+    * via `Observation` — so the record body is decoded exactly once, and
+    * with C collections the source is scanned once, not 2C times (the
+    * reference's stress shape is 100 collections,
+    * t/io/rakam/presto/KafkaStressTest.java:107-137).
+    *
     * `records` needs `key: string` and `value: binary` columns (the Kafka
-    * source shape). Bulk pointers (tag 3) are surfaced to `onBulk` for the
-    * caller to fetch + [[readBulkObject]] (object-store access is
-    * environment-specific).
+    * source shape). Bulk pointers (tag 3) must be handled by the caller via
+    * [[readBulkObject]] (object-store access is environment-specific).
     */
   def processBatch(records: org.apache.spark.sql.DataFrame,
                    registry: graft.schema.EventSchema.Registry,
@@ -222,32 +246,59 @@ object AvroIngest {
                    names: FieldNames = FieldNames())
       : Map[CollectionId, Long] = {
     val spark = records.sparkSession
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Observation}
+    import org.apache.spark.sql.functions.{col, count, lit}
 
     val schemas = registry.all // (tiny) driver-side snapshot, serialized to tasks
     val schemaPairs: Map[CollectionId, (String, StructType)] = schemas.map {
       case (id, st) => id -> (avroSchema(st, id.collection, names).toString, st)
     }
 
-    schemas.keys.flatMap { id =>
-      val (avroJson, rowSchema) = schemaPairs(id)
-      val enc = Encoders.row(rowSchema)
-      val df = records.select(col("key").cast("string"), col("value"))
-        .mapPartitions { rows =>
-          // parse the avro schema once per partition, not per record
-          val reader = new Schema.Parser().parse(avroJson)
-          val lookup = (cid: CollectionId) =>
-            if (cid == id) Some((reader, rowSchema)) else None
-          rows.flatMap { r =>
-            val key = r.getString(0)
-            val payload = r.getAs[Array[Byte]](1)
-            decodeTagged(key, payload, keySep, lookup, names).map(_._2)
+    val routed = records.select(col("key").cast("string"), col("value"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (key, payload) =>
+          routingOf(key, payload, keySep) match {
+            case Some(id) => (id.project, id.collection, key, payload)
+            case None     => (null, null, key, payload)
           }
-        }(enc)
-      val count = df.count()
-      if (count > 0) { sink.insert(id, df); Some(id -> count) } else None
-    }.toMap
+        }
+      }.toDF("_project", "_collection", "key", "value")
+      .filter(col("_project").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one tiny aggregation tells which collections are present (absent
+      // ones skip their decode+write jobs entirely) and how big each is —
+      // writes go LARGEST-FIRST, the reference's MiddlewareBuffer flush
+      // policy (MiddlewareBuffer.java:78-80)
+      val present = routed.groupBy(col("_project"), col("_collection")).count()
+        .collect()
+        .map(r => CollectionId(r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      schemas.keys.toSeq.filter(present.contains)
+        .sortBy(id => -present(id)).flatMap { id =>
+        val (avroJson, rowSchema) = schemaPairs(id)
+        val enc = Encoders.row(rowSchema)
+        val obs = Observation()
+        val decoded = routed
+          .filter(col("_project") === id.project && col("_collection") === id.collection)
+          .select(col("key"), col("value")).as[(String, Array[Byte])]
+          .mapPartitions { rows =>
+            // parse the avro schema once per partition, not per record
+            val reader = new Schema.Parser().parse(avroJson)
+            val lookup = (cid: CollectionId) =>
+              if (cid == id) Some((reader, rowSchema)) else None
+            rows.flatMap { case (key, payload) =>
+              decodeTagged(key, payload, keySep, lookup, names).map(_._2)
+            }
+          }(enc)
+        // the write is the one action; the count rides along on it
+        sink.insert(id, decoded.observe(obs, count(lit(1)).as("n")))
+        val n = graft.util.ObservedCount(obs)(decoded.count())
+        if (n > 0) Some(id -> n) else None
+      }.toMap
+    } finally routed.unpersist(false)
   }
 
   // ------------------------------------------------------------- bulk frame

@@ -105,18 +105,52 @@ object EventSchema {
       * persists this in MySQL `tables`/`columns`; schema JSON on the
       * checkpoint volume plays that role here).
       */
-    def save(path: java.nio.file.Path): Unit = {
+    def toJson: String = {
       val entries = all.toSeq.sortBy(e => (e._1.project, e._1.collection))
         .map { case (id, st) =>
           s"""{"project":"${id.project}","collection":"${id.collection}",
              |"schema":${st.json}}""".stripMargin.replace("\n", "")
         }
-      java.nio.file.Files.writeString(path, entries.mkString("[", ",", "]"))
+      entries.mkString("[", ",", "]")
     }
 
-    def load(path: java.nio.file.Path): Unit = {
-      val root = graft.ingest.JsonEventParser.mapperRead(
-        java.nio.file.Files.readString(path))
+    def save(path: java.nio.file.Path): Unit =
+      java.nio.file.Files.writeString(path, toJson)
+
+    /** Hadoop-FS flavor so the registry can live next to the streaming
+      * checkpoint on any scheme (file:/hdfs:/s3a:). Written atomically via
+      * rename where the filesystem supports it.
+      */
+    def save(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"registry save rename failed: $tmp -> $p")
+    }
+
+    /** Load if present; returns whether anything was read. */
+    def load(path: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return false
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      fromJson(body)
+      true
+    }
+
+    def load(path: java.nio.file.Path): Unit =
+      fromJson(java.nio.file.Files.readString(path))
+
+    private def fromJson(body: String): Unit = {
+      val root = graft.ingest.JsonEventParser.mapperRead(body)
       root match {
         case graft.ingest.JVal.JArr(items) => items.foreach {
           case o: graft.ingest.JVal.JObj =>

@@ -121,19 +121,39 @@ object IngestStream {
     throw new IllegalStateException("unreachable")
   }
 
+  /** JSON path of the dedup user key for a dialect: Fabric wraps event
+    * fields under `data`, Rakam under `properties` (FabricJsonDeserializer
+    * vs RakamJsonDeserializer envelope shapes).
+    */
+  private def dedupUserPath(dialect: JsonDialect, names: FieldNames): String =
+    dialect match {
+      case JsonDialect.Fabric => s"$$.data.${names.userField}"
+      case JsonDialect.Rakam  => s"$$.properties.${names.userField}"
+    }
+
   /** F2 (streaming flavor) — duplicate drop keyed on `(_user, _time)` with
     * TTL'd state, the Spark-native equivalent of the reference's RocksDB
     * TtlDB (Deduplicator.java:26-88; 1-month TTL). Uses
     * `dropDuplicatesWithinWatermark` so state is evicted once the watermark
     * passes the TTL; backed by the RocksDB state store provider on a real
     * cluster. Must run BEFORE foreachBatch (state ops live in the query).
+    *
+    * Rows with a null user or null time pass through UNdeduplicated —
+    * the reference's Deduplicator only drops on a present key
+    * (AvroDuplicateHandler.isUnique); collapsing all null-key rows that
+    * share a `_time` would be silent data loss.
     */
-  def deduplicated(decoupled: DataFrame, ttl: String, names: FieldNames): DataFrame =
-    decoupled
-      .withColumn("_dedup_user", get_json_object(col("value"), s"$$.data.${names.userField}"))
+  def deduplicated(decoupled: DataFrame, ttl: String, names: FieldNames,
+                   dialect: JsonDialect = JsonDialect.Fabric): DataFrame = {
+    val keyed = decoupled.withColumn("_dedup_user",
+      get_json_object(col("value"), dedupUserPath(dialect, names)))
+    val deduped = keyed
+      .filter(col("_dedup_user").isNotNull && col("_time").isNotNull)
       .withWatermark("_time", ttl)
       .dropDuplicatesWithinWatermark("_dedup_user", "_time")
-      .drop("_dedup_user")
+    val passthrough = keyed.filter(col("_dedup_user").isNull || col("_time").isNull)
+    deduped.unionByName(passthrough).drop("_dedup_user")
+  }
 
   /** C7 — dead-letter target for batches a sink permanently rejects. The
     * reference SKIPS poisoned batches (commitSync past them,
@@ -157,12 +177,19 @@ object IngestStream {
     * `flatMapGroupsWithState` + ProcessingTimeTimeout.
     */
   def deduplicatedWithTtl(decoupled: DataFrame, ttl: java.time.Duration,
-                          names: FieldNames = FieldNames()): DataFrame = {
+                          names: FieldNames = FieldNames(),
+                          dialect: JsonDialect = JsonDialect.Fabric): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = decoupled.sparkSession
     import spark.implicits._
-    val keyed = decoupled
-      .withColumn("_dedup_user", get_json_object(col("value"), s"$$.data.${names.userField}"))
+    val tagged = decoupled.withColumn("_dedup_user",
+      get_json_object(col("value"), dedupUserPath(dialect, names)))
+    // Null user/time never dedups (Deduplicator only acts on present keys).
+    val passthrough = tagged
+      .filter(col("_dedup_user").isNull || col("_time").isNull)
+      .select(col("value"))
+    val keyed = tagged
+      .filter(col("_dedup_user").isNotNull && col("_time").isNotNull)
       .select(
         concat_ws("|", col("_dedup_user"), col("_time").cast("long")).as("_key"),
         col("value"))
@@ -179,6 +206,7 @@ object IngestStream {
             rows.take(1).map(_._2) // first in this batch wins; rest drop
           }
       }.toDF("value")
+      .unionByName(passthrough)
   }
 
   /** One micro-batch of the pipeline — also the batch path for bulk loads.
@@ -222,26 +250,47 @@ object IngestStream {
             id -> JsonIngest.parseCollection(routed, id, schema, cfg.dialect, cfg.names)
           }
         else JsonIngest.ingestRouted(routed, registry, cfg.dialect, cfg.names)
+      // B3 flush policy: write the LARGEST collections first (the
+      // reference's MiddlewareBuffer flushes tables largest-first under
+      // memory pressure, MiddlewareBuffer.java:78-80) — the biggest share
+      // of the cached batch stays pinned for the shortest time, and the
+      // longest write jobs front-load instead of trailing the barrier.
+      // Sizing comes from one tiny aggregation over the cached routed
+      // batch, not a per-collection count job.
+      val routedSizes: Map[(String, String), Long] =
+        routed.groupBy(col("_project"), col("_collection")).count()
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val ordered = parsed.toSeq.sortBy { case (id, _) =>
+        -routedSizes.getOrElse((id.project, id.collection), 0L)
+      }
       try {
-        parsed.map { case (id, df) =>
+        ordered.map { case (id, df) =>
           val withCheckpoint = EventOps.withShardTime(df, cfg.names)
           try {
             // C4: job-level retry with backoff around the sink commit;
-            // batch id flows through for sink-side idempotence
+            // batch id flows through for sink-side idempotence. The
+            // inserted-row count rides on the write job itself (observe)
+            // instead of re-running the parse in a second job per
+            // collection (round-1 verdict #4).
+            val obs = org.apache.spark.sql.Observation()
+            val observed = withCheckpoint.observe(obs, count(lit(1)).as("n"))
             withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
-              if (batchId >= 0) sink.insert(id, withCheckpoint, batchId)
-              else sink.insert(id, withCheckpoint))
-            id -> withCheckpoint.count()
+              if (batchId >= 0) sink.insert(id, observed, batchId)
+              else sink.insert(id, observed))
+            id -> graft.util.ObservedCount(obs)(withCheckpoint.count())
           } catch {
             case e: Throwable =>
               deadLetter match {
                 case Some(dl) => // C7: preserve + advance instead of skip/abort
-                  dl.handle(id, routed.filter(col("_collection") === id.collection), e)
+                  dl.handle(id, routed.filter(
+                    col("_project") === id.project &&
+                      col("_collection") === id.collection), e)
                   id -> 0L
                 case None => throw e // abort the batch: offsets never commit
               }
           }
-        }
+        }.toMap
       } finally routed.unpersist(false)
     } finally decoupled.unpersist(false)
   }
@@ -261,17 +310,28 @@ object IngestStream {
     start(spark, source, registry, sink, historical = None, checkpointDir,
       cfg.copy(splitEnabled = false, triggerSeconds = drainIntervalSeconds))
 
+  /** Registry persistence location, checkpoint-adjacent (K4 durability):
+    * the schema registry is saved after every committed batch and loaded on
+    * start, so a restarted driver keeps the authoritative column order (the
+    * reference persists it in MySQL, connector/MetadataDao.java:114-133).
+    */
+  def registryPath(checkpointDir: String): String =
+    s"$checkpointDir/graft_schema_registry.json"
+
   /** Start the continuous query. `source` must provide a string `value`
     * column ([[kafkaSource]] / [[fileSource]]).
     */
   def start(spark: SparkSession, source: DataFrame, registry: EventSchema.Registry,
             sink: EventSink, historical: Option[HistoricalHandler],
             checkpointDir: String, cfg: IngestConfig = IngestConfig()): StreamingQuery = {
+    // resume the authoritative schema order from the last run, if any
+    registry.load(registryPath(checkpointDir), spark.sparkContext.hadoopConfiguration)
     val base = cfg.dedupWithinWatermark match {
       case Some(ttl) =>
         val dec = EventOps.decouple(source.select(col("value")).as(Encoders.STRING),
                                     cfg.dialect, cfg.names)
-        deduplicated(dec.filter(col("_project").isNotNull), ttl, cfg.names)
+        deduplicated(dec.filter(col("_project").isNotNull), ttl, cfg.names,
+                     cfg.dialect)
           .select("value")
       case None => source.select("value")
     }
@@ -282,6 +342,11 @@ object IngestStream {
         val s = batch.sparkSession
         processBatch(s, batch.select(col("value")).as(Encoders.STRING),
                      registry, sink, historical, cfg, batchId = batchId)
+        // K4: persist schema evolution alongside the offset checkpoint,
+        // INSIDE the barrier — offsets only commit once the registry that
+        // produced this batch's tables is durable
+        registry.save(registryPath(checkpointDir),
+                      s.sparkContext.hadoopConfiguration)
         () // barrier: returning commits the batch's offsets (C1/C2)
       }
       .start()

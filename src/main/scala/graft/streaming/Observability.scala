@@ -25,6 +25,8 @@ final class IngestMetricsListener(
   val lastProgress = new AtomicReference[QueryProgressEvent]()
   private val errorEvents = new ConcurrentLinkedDeque[(Long, Long)]() // (ts, errCount)
   private val recordEvents = new ConcurrentLinkedDeque[(Long, Long)]()
+  private val phases =
+    new java.util.concurrent.ConcurrentHashMap[String, PhaseStat]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
@@ -35,7 +37,24 @@ final class IngestMetricsListener(
     val n = event.progress.numInputRows
     recordsIn.addAndGet(n)
     record(recordEvents, n)
+    // per-phase latency distributions (the reference tracks POLLING /
+    // FLUSHING_* / CHECKPOINTING wall-time shares,
+    // kafka/KafkaRealTimeWorker.java:394-455); Structured Streaming reports
+    // the same breakdown per batch in durationMs (latestOffset+getBatch ≈
+    // POLLING, addBatch ≈ FLUSHING, walCommit+commitOffsets ≈ CHECKPOINTING)
+    event.progress.durationMs.forEach { (phase, millis) =>
+      phases.compute(phase, (_, cur) =>
+        if (cur == null) PhaseStat(1, millis, millis)
+        else PhaseStat(cur.count + 1, cur.totalMillis + millis,
+                       math.max(cur.maxMillis, millis)))
+    }
     checkBreaker()
+  }
+
+  /** Per-phase latency distribution over the query's lifetime. */
+  def phaseStats: Map[String, PhaseStat] = {
+    import scala.jdk.CollectionConverters._
+    phases.asScala.toMap
   }
 
   /** Call from the batch function when records are skipped/failed (F3
@@ -72,4 +91,9 @@ final class IngestMetricsListener(
   def register(spark: SparkSession): this.type = {
     spark.streams.addListener(this); this
   }
+}
+
+/** Latency distribution of one micro-batch phase (count/total/max ms). */
+final case class PhaseStat(count: Long, totalMillis: Long, maxMillis: Long) {
+  def meanMillis: Double = if (count == 0) 0.0 else totalMillis.toDouble / count
 }

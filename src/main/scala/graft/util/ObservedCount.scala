@@ -1,0 +1,31 @@
+package graft.util
+
+import org.apache.spark.sql.Observation
+
+/** Reads a row count that was folded into a sink write via
+  * `df.observe(obs, count(...))` — so the insert and its count accounting
+  * share ONE job instead of executing the (expensive) parse/decode plan
+  * twice (round-1 verdict #4/#5).
+  *
+  * The write itself is synchronous, but observed metrics are delivered on
+  * the listener bus (async), so this polls briefly; if no metrics ever
+  * arrive — e.g. an idempotent sink short-circuited a replayed batch and
+  * ran NO action at all — it falls back to the caller's explicit count
+  * (replays are rare; paying one extra job there is fine).
+  */
+object ObservedCount {
+
+  def apply(obs: Observation, metric: String = "n")(fallback: => Long): Long = {
+    // obs.future completes when the listener delivers the observed row;
+    // Await with a bounded timeout (Observation.get would block forever on
+    // a short-circuited write).
+    try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(5, "s"))
+      row.getAs[Any](metric) match {
+        case n: Number => n.longValue()
+        case _         => fallback
+      }
+    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+  }
+}

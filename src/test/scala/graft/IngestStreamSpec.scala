@@ -34,7 +34,7 @@ class IngestStreamSpec extends SparkSpec {
       fabric("views", todayMillis),
       fabric("clicks", old, ""","page":"/old""""), // → historical
       "not-json"
-    ).toDS
+    ).toDS()
     val counts = IngestStream.processBatch(spark, raw, registry, sink,
       Some(new FileHistoricalHandler(histPath)), IngestConfig())
 
@@ -200,5 +200,64 @@ class IngestStreamSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     assert(sink.rows(CollectionId("p", "ev")) == 2)
+  }
+
+  private def fabricNoUser(coll: String, time: Long, extra: String = ""): String =
+    s"""{"data":{"_project":"p","_collection":"$coll","_time":$time$extra}}"""
+
+  test("streaming dedup passes null-user rows through undeduplicated") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("in")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val registry = new EventSchema.Registry()
+    val sink = new MemorySink
+    val t = todayMillis
+    // reference Deduplicator only drops on a PRESENT key: two null-user
+    // rows sharing a _time must both survive
+    writeLines(inDir, "b1.json", Seq(
+      fabricNoUser("ev", t, ""","v":1"""),
+      fabricNoUser("ev", t, ""","v":2"""),
+      fabric("ev", t, ""","v":3"""),
+      fabric("ev", t, ""","v":4""")))   // keyed duplicate → dropped
+    val q = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      registry, sink, None, ckpt,
+      IngestConfig(triggerSeconds = 1, dedupWithinWatermark = Some("30 days")))
+    try q.processAllAvailable() finally q.stop()
+    assert(sink.rows(CollectionId("p", "ev")) == 3)
+  }
+
+  test("TTL dedup: Rakam dialect keys on $.properties and null user passes") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("in")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val t = "2026-08-10T00:00:00"
+    def rakam(user: Option[String], v: Int): String = {
+      val u = user.map(u => s""""_user":"$u",""").getOrElse("")
+      s"""{"project":"p","collection":"ev","properties":{$u"_time":"$t","v":$v}}"""
+    }
+    writeLines(inDir, "b1.json", Seq(
+      rakam(Some("u1"), 1),
+      rakam(Some("u1"), 2),   // same (user, time) → dropped
+      rakam(None, 3),
+      rakam(None, 4)))        // null user: BOTH pass through
+    val dec = graft.operators.EventOps.decouple(
+      spark.readStream.text(inDir.toString).select("value").as[String],
+      JsonDialect.Rakam)
+    val deduped = IngestStream.deduplicatedWithTtl(
+      dec.filter($"_project".isNotNull), java.time.Duration.ofDays(30),
+      dialect = JsonDialect.Rakam)
+    val out = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val q = deduped.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => out.add(r.getString(0))); ()
+      }.start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val vals = out.asScala.toList
+    assert(vals.length == 3, s"got $vals")
+    assert(vals.exists(_.contains("\"v\":1")) && vals.exists(_.contains("\"v\":3")) &&
+           vals.exists(_.contains("\"v\":4")))
   }
 }

@@ -30,7 +30,7 @@ class PipelineParitySpec extends SparkSpec {
     val sink = new MemorySink
 
     // main pipeline re-routes the late record to the historical path
-    val raw = Seq(fabric("ev", System.currentTimeMillis()), fabric("ev", old, ""","late":1""")).toDS
+    val raw = Seq(fabric("ev", System.currentTimeMillis()), fabric("ev", old, ""","late":1""")).toDS()
     IngestStream.processBatch(spark, raw, registry, sink,
       Some(new FileHistoricalHandler(s"$histDir/data")), IngestConfig())
     assert(sink.rows(CollectionId("p", "ev")) == 1)
@@ -51,7 +51,7 @@ class PipelineParitySpec extends SparkSpec {
       override def insert(id: CollectionId, df: DataFrame): Unit =
         throw new RuntimeException("sink down")
     }
-    val raw = Seq(fabric("a", System.currentTimeMillis())).toDS
+    val raw = Seq(fabric("a", System.currentTimeMillis())).toDS()
     // foreachBatch semantics: an exception escaping the batch function
     // means the offsets never commit (C2 — without a dead-letter target the
     // batch aborts after the C4 retries)
@@ -74,7 +74,7 @@ class PipelineParitySpec extends SparkSpec {
     }
     val raw = Seq(
       fabric("good", System.currentTimeMillis()),
-      fabric("bad", System.currentTimeMillis(), ""","x":1""")).toDS
+      fabric("bad", System.currentTimeMillis(), ""","x":1""")).toDS()
     val counts = IngestStream.processBatch(spark, raw, registry, partial, None,
       IngestConfig(commitRetries = 1, commitRetryBaseMillis = 1),
       deadLetter = Some(new IngestStream.DeadLetter(dlDir)))
@@ -112,6 +112,31 @@ class PipelineParitySpec extends SparkSpec {
     assert(tripped.isEmpty)
     listener.recordErrors(80) // 110 errors total, rate 100% > 40%
     assert(tripped.isDefined)
+  }
+
+  test("§2.7 per-phase latency distributions accumulate from query progress") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("in")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    Files.write(inDir.resolve("b1.json"),
+      fabric("ev", System.currentTimeMillis()).getBytes)
+    val listener = new IngestMetricsListener().register(spark)
+    try {
+      val q = IngestStream.start(spark,
+        IngestStream.fileSource(spark, inDir.toString),
+        new EventSchema.Registry(), new MemorySink, None, ckpt,
+        IngestConfig(triggerSeconds = 1))
+      try q.processAllAvailable() finally q.stop()
+      // the FLUSHING-analogue phase (addBatch) must be measured; POLLING /
+      // CHECKPOINTING analogues (latestOffset, walCommit/commitOffsets)
+      // appear whenever the source reports them
+      val stats = listener.phaseStats
+      assert(stats.contains("addBatch"), s"phases seen: ${stats.keySet}")
+      val flush = stats("addBatch")
+      assert(flush.count >= 1 && flush.totalMillis >= 0 &&
+             flush.maxMillis <= flush.totalMillis)
+      assert(flush.meanMillis >= 0.0)
+    } finally spark.streams.removeListener(listener)
   }
 }
 

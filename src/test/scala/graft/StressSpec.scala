@@ -54,6 +54,70 @@ class StressSpec extends SparkSpec {
   private def when(c: org.apache.spark.sql.Column, v: Any) =
     org.apache.spark.sql.functions.when(c, v)
 
+  test("100-collection fan-out: JSON batch stays one routed scan + C writes") {
+    // the reference's full stress shape (KafkaStressTest.java:107-137 runs
+    // 100 collections/poll); per-batch cost must stay ~linear in C, not the
+    // 2C full-batch re-parses the round-1 path did
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    val raw = spark.range(20000).select(
+      concat(
+        lit("""{"data":{"_project":"stress","_collection":"c"""),
+        ($"id" % 100), lit("\","),
+        lit(""""_time":"""), lit(now), lit(","),
+        lit(""""_user":"u"""), ($"id" % 97), lit("\","),
+        lit(""""n":"""), $"id", lit("}}")).as("value")
+    ).as[String]
+
+    val registry = new EventSchema.Registry()
+    val sink = new MemorySink
+    val t0 = System.nanoTime()
+    val counts = IngestStream.processBatch(spark, raw, registry, sink, None,
+      IngestConfig())
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"100-collection JSON batch: $secs%.1f s")
+    assert(counts.size == 100)
+    assert(counts.values.sum == 20000)
+    assert(counts.values.forall(_ == 200))
+    assert(secs < 300, f"per-batch wall time unbounded: $secs%.1f s")
+  }
+
+  test("100-collection fan-out: tagged Avro batch decodes each record once") {
+    import spark.implicits._
+    val registry = new EventSchema.Registry()
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("x", DoubleType)))
+    val ids = (0 until 100).map(i => CollectionId("p", s"c$i"))
+    ids.foreach(id => registry.put(id, rowSchema))
+    // schemas are identical; one writer suffices for all collections
+    val avro = AvroIngest.avroSchema(rowSchema, "ev")
+    val writer = new GenericDatumWriter[GenericRecord](avro)
+    def payload(t: Long, u: String, x: Double): Array[Byte] = {
+      val rec = new GenericData.Record(avro)
+      rec.put("_time", t); rec.put("_user", u); rec.put("x", x)
+      val out = new ByteArrayOutputStream()
+      out.write(0) // tag 0: inline, collection from key
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      writer.write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val records = (0 until 10000).map { i =>
+      (s"p.c${i % 100}", payload(1700000000000L + i, s"u${i % 97}", i.toDouble))
+    }.toDF("key", "value").repartition(8)
+
+    val sink = new MemorySink
+    val t0 = System.nanoTime()
+    val counts = AvroIngest.processBatch(records, registry, sink)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"100-collection Avro batch: $secs%.1f s")
+    assert(counts.size == 100)
+    assert(counts.values.sum == 10000)
+    assert(counts.values.forall(_ == 100))
+    assert(secs < 300, f"per-batch wall time unbounded: $secs%.1f s")
+  }
+
   test("avro streaming batch: tagged records through registry schemas to sink") {
     import spark.implicits._
     val registry = new EventSchema.Registry()
