@@ -36,10 +36,10 @@ class AsOfJoinSpec extends SparkSpec {
     val l = Seq(("A", ts("2024-01-01 12:00:00"), 1)).toDF("k", "lt", "v")
     val r = Seq(("A", ts("2024-01-01 10:00:00"), 7)).toDF("k", "rt", "w")
     val within = AsOfJoin.asOfJoin(l, r, Seq("k"), "lt", "rt",
-      Some(expr("INTERVAL 3 HOURS"))).head
+      Some(expr("INTERVAL 3 HOURS"))).head()
     assert(within.getAs[java.lang.Integer]("w") == 7)
     val stale = AsOfJoin.asOfJoin(l, r, Seq("k"), "lt", "rt",
-      Some(expr("INTERVAL 1 HOUR"))).head
+      Some(expr("INTERVAL 1 HOUR"))).head()
     assert(stale.getAs[java.lang.Integer]("w") == null)
   }
 

@@ -18,7 +18,7 @@ class EventOpsSpec extends SparkSpec {
       """{"data":{"_collection":"c","big":{"x":[1,2,3]},"_project":"p","_time":"2024-01-02 03:04:05"}}""",
       """garbage""",
       """{"data":{"_project":"p","_collection":"c"}}"""
-    ).toDS
+    ).toDS()
     val out = EventOps.decouple(rows, JsonDialect.Fabric).collect()
     assert(out(0).getAs[String]("_collection") == "a")
     assert(out(0).getAs[java.sql.Timestamp]("_time").getTime == 1700000000000L)

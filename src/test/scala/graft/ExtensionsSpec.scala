@@ -21,7 +21,7 @@ class ExtensionsSpec extends SparkSpec {
           |       minhash60(array('a b c'), 4) AS mh,
           |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
           |       sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS sj
-          |""".stripMargin).head
+          |""".stripMargin).head()
       assert(row.getLong(0) != 0L)
       assert(row.getSeq[String](1).toSeq == Seq("a b c", "b c d"))
       assert(row.getLong(2) != 0L)

@@ -198,7 +198,7 @@ class JsonIngestSpec extends SparkSpec {
     val raw = Seq(
       """{"data":{"_project":"p","_collection":"known","_time":1700000000000,"x":1}}""",
       """{"data":{"_project":"p","_collection":"unknown","_time":1700000000000}}"""
-    ).toDS
+    ).toDS()
     val (routed, parsed) = JsonIngest.ingestFixed(raw, registry)
     try {
       assert(parsed.keySet == Set(CollectionId("p", "known"))) // unknown skipped
@@ -214,7 +214,7 @@ class JsonIngestSpec extends SparkSpec {
       """{"data":{"_project":"p","_collection":"b","flag":true}}""",
       """not json at all""",
       """{"data":{"_project":"p"}}"""
-    ).toDS.repartition(2)
+    ).toDS().repartition(2)
     val registry = new EventSchema.Registry()
     val out = JsonIngest.ingest(raw, registry, JsonDialect.Fabric)
     assert(out.keySet == Set(CollectionId("p", "a"), CollectionId("p", "b")))
