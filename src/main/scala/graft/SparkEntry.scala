@@ -460,6 +460,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Composed cleaning pipeline (language → quality floor → exact dedup)
+    // as ONE plan: the kept corpus and the stage-by-stage funnel counts.
+    "doc_pipeline_kept" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.DocPipeline.clean(docs(s, dir), "doc_id", "text")
+        .select($"doc_id", $"lang_pred", $"quality_bp", $"fingerprint")
+        .orderBy($"doc_id")
+    }),
+    "doc_pipeline_funnel" -> ((s, dir) =>
+      graft.operators.DocPipeline.funnel(docs(s, dir), "doc_id", "text")),
+
     // Cleaning normalization: stopword-stripped, whitespace-collapsed text.
     "text_normalize" -> ((s, dir) => {
       import s.implicits._
@@ -530,6 +541,20 @@ object SparkEntry {
         .select($"id_a", $"id_b",
           TextFunctions.basisPoints($"jaccard").as("jaccard_bp"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Duplicate CLUSTERS: LSH candidate pairs → connected components →
+    // one group per duplicate family labeled by its smallest member (what
+    // a keep-one-representative pass actually needs; pairs alone can't
+    // express transitive duplicates A~B~C).
+    "dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = DedupFunctions.minhashCandidates(docs(s, dir), "doc_id",
+        "text", k = 12, nBands = 4, shingleSize = 3)
+      DedupFunctions.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy($"label".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max($"v").as("max_member"))
+        .orderBy($"cluster_id")
     }),
 
     // SimHash (60-bit, token multiset) per document.
@@ -754,6 +779,55 @@ object SparkEntry {
       |          + ((134775813*i + 1) % 1073741789 + 1) * (h >> 30)
       |          + i) % 2305843009213693951)))""".stripMargin
 
+  /** Per-doc annotation CTE (lang-id, quality, fingerprint) shared by the
+    * text_stats and doc-pipeline oracles — mirrors [[DocPipeline.annotate]].
+    */
+  private val docAnnotateCte: String = {
+    val langScores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+      s"len(list_intersect(toks, ${sqlList(ms)})) AS s_$lang"
+    }.mkString(",\n    ")
+    val langCase = TextFunctions.LangMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = g AND s_$lang > 0 THEN '$lang'"
+    }.mkString(" ")
+    val allMarkers = sqlList(TextFunctions.LangMarkers.flatMap(_._2).distinct)
+    s"""t AS (
+       |  SELECT doc_id, text, $tokensSql AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |      (length(text) - length(replace(replace(replace(replace(replace(replace(
+       |         text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')))::DOUBLE
+       |      / length(text) END AS punct,
+       |    $langScores,
+       |    len(list_intersect(toks, $allMarkers)) AS stopn,
+       |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+       |      / greatest(len(toks), 1) AS avg_wl
+       |  FROM t),
+       |ann AS (
+       |  SELECT doc_id, n_tokens, ${bpSql("punct")} AS punct_bp,
+       |    CASE $langCase ELSE 'und' END AS lang_pred,
+       |    ${bpSql(
+        """0.3 * least(1.0, n_tokens / 50.0)
+          |      + 0.3 * (1.0 - least(1.0, punct * 10.0))
+          |      + 0.2 * least(1.0, (stopn::DOUBLE / greatest(n_tokens, 1)) * 4.0)
+          |      + 0.2 * least(1.0, greatest(avg_wl - 2.0, 0.0) / 8.0)""".stripMargin)} AS quality_bp,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       |  FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s))""".stripMargin
+  }
+
+  /** MinHash banding CTE shared by the pairs and clusters oracles. */
+  private val minhashBandsCte: String =
+    s"""t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, toks, $shinglesSql AS shingles FROM t),
+       |hs AS (SELECT doc_id, toks,
+       |       list_transform(shingles, s -> $hash60Sql) AS hs FROM sh),
+       |sig AS (SELECT doc_id, toks, $seededSigSql AS sig FROM hs),
+       |bands AS (
+       |  SELECT doc_id, toks, unnest(list_transform(generate_series(0, 3),
+       |    b -> b::VARCHAR || ':' ||
+       |         md5(array_to_string(sig[(b*3+1):(b*3+3)], ',')))) AS band
+       |  FROM sig)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "d7_ingest_route" ->
       """SELECT event_type AS collection,
@@ -956,38 +1030,30 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "text_stats" -> {
-      val langScores = TextFunctions.LangMarkers.map { case (lang, ms) =>
-        s"len(list_intersect(toks, ${sqlList(ms)})) AS s_$lang"
-      }.mkString(",\n    ")
-      val langCase = TextFunctions.LangMarkers.map { case (lang, _) =>
-        s"WHEN s_$lang = g AND s_$lang > 0 THEN '$lang'"
-      }.mkString(" ")
-      val allMarkers = sqlList(TextFunctions.LangMarkers.flatMap(_._2).distinct)
-      s"""WITH t AS (
-         |  SELECT doc_id, text, $tokensSql AS toks FROM documents),
-         |s AS (
-         |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
-         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |      (length(text) - length(replace(replace(replace(replace(replace(replace(
-         |         text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')))::DOUBLE
-         |      / length(text) END AS punct,
-         |    $langScores,
-         |    len(list_intersect(toks, $allMarkers)) AS stopn,
-         |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-         |      / greatest(len(toks), 1) AS avg_wl
-         |  FROM t)
-         |SELECT doc_id, n_tokens, ${bpSql("punct")} AS punct_bp,
-         |  CASE $langCase ELSE 'und' END AS lang_pred,
-         |  ${bpSql(
-            """0.3 * least(1.0, n_tokens / 50.0)
-              |      + 0.3 * (1.0 - least(1.0, punct * 10.0))
-              |      + 0.2 * least(1.0, (stopn::DOUBLE / greatest(n_tokens, 1)) * 4.0)
-              |      + 0.2 * least(1.0, greatest(avg_wl - 2.0, 0.0) / 8.0)""".stripMargin)} AS quality_bp,
-         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-         |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "text_stats" ->
+      s"""WITH $docAnnotateCte
+         |SELECT doc_id, n_tokens, punct_bp, lang_pred, quality_bp, fingerprint
+         |FROM ann ORDER BY doc_id""".stripMargin,
+
+    // DocPipeline.clean: language filter → quality floor → smallest-id
+    // representative per fingerprint.
+    "doc_pipeline_kept" ->
+      s"""WITH $docAnnotateCte
+         |SELECT doc_id, lang_pred, quality_bp, fingerprint
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+         |      FROM ann WHERE lang_pred = 'en' AND quality_bp >= 2500)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "doc_pipeline_funnel" ->
+      s"""WITH $docAnnotateCte
+         |SELECT count(*) AS n_in,
+         |  count(*) FILTER (WHERE lang_pred = 'en') AS n_lang,
+         |  count(*) FILTER (WHERE lang_pred = 'en' AND quality_bp >= 2500)
+         |    AS n_quality,
+         |  count(DISTINCT fingerprint)
+         |    FILTER (WHERE lang_pred = 'en' AND quality_bp >= 2500) AS n_kept
+         |FROM ann""".stripMargin,
 
     "text_normalize" -> {
       val stop = sqlList(TextFunctions.LangMarkers.toMap.apply("en"))
@@ -1040,20 +1106,28 @@ object SparkEntry {
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |sh AS (SELECT doc_id, toks, $shinglesSql AS shingles FROM t),
-         |hs AS (SELECT doc_id, toks,
-         |       list_transform(shingles, s -> $hash60Sql) AS hs FROM sh),
-         |sig AS (SELECT doc_id, toks, $seededSigSql AS sig FROM hs),
-         |bands AS (
-         |  SELECT doc_id, toks, unnest(list_transform(generate_series(0, 3),
-         |    b -> b::VARCHAR || ':' ||
-         |         md5(array_to_string(sig[(b*3+1):(b*3+3)], ',')))) AS band
-         |  FROM sig)
+      s"""WITH $minhashBandsCte
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |       ${bpSql(jaccardSql)} AS jaccard_bp
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Transitive closure of the candidate pairs: DuckDB walks components
+    // with a recursive CTE; the engine's distributed equivalent is
+    // min-label propagation (DedupFunctions.connectedComponents).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashBandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s AS v, s AS r FROM edges
+         |          UNION SELECT e.d, reach.r
+         |                FROM reach JOIN edges e ON e.s = reach.v),
+         |labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+         |SELECT cluster_id, count(*) AS n_members, max(v) AS max_member
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),

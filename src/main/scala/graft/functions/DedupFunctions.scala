@@ -158,4 +158,49 @@ object DedupFunctions {
         SimilarityFunctions.cosine(col("_v_a"), col("_v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  // --------------------------------------------- duplicate clusters (CC)
+
+  /** Connected components over a candidate-pair edge list — turns pairwise
+    * near-dup hits (LSH bands, blocked Jaccard, embedding cosine) into
+    * DUPLICATE CLUSTERS so a pipeline can keep one representative per
+    * cluster, not just drop one side of each pair.
+    *
+    * Iterative min-label propagation: every vertex starts labeled with its
+    * own id; each round takes the min label across itself and its
+    * neighbors; fixpoint = components labeled by their smallest member.
+    * Rounds needed = the graph diameter, which for near-dup clusters is
+    * small (dup groups are dense). Each round is ONE shuffle (join + min
+    * aggregate on vertex id); lineage is cut per round with a local
+    * checkpoint so
+    * plans don't grow. At extreme scale swap in large-star/small-star
+    * (fewer rounds on high-diameter graphs) — same join shape.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("v"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("v") === neighborMin("src"),
+          "left")
+        .select(col("v"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("newlabel"))
+        .localCheckpoint(true) // materialize + cut lineage before the test
+      converged = updated.filter(col("newlabel") < col("label")).isEmpty
+      labels = updated.select(col("v"), col("newlabel").as("label"))
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("v"), col("label"))
+  }
 }

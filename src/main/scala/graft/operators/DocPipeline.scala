@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.{DedupFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed document-cleaning pipeline — the standard pre-training funnel
+  * (language filter → quality floor → duplicate removal) as ONE operator,
+  * so a corpus pass is a single declarative plan instead of three scans
+  * stitched by the caller.
+  *
+  * All stages reuse the individually-oracle-checked primitives
+  * ([[TextFunctions.langId]], [[TextFunctions.qualityScore]],
+  * [[TextFunctions.fingerprint]], [[DedupFunctions]]), and the whole
+  * funnel stays inside Catalyst: one projection computes the per-doc
+  * annotations (per-row, codegen'd, no shuffle), the filters fuse into the
+  * scan, and exact dedup is the only shuffle (hash partition on the
+  * fingerprint). At 100 TB that is a single map-side-heavy pass plus one
+  * exchange — the minimum any dedup-bearing funnel needs.
+  */
+object DocPipeline {
+
+  /** Funnel thresholds. `minQualityBp` is in basis points (0..10000). */
+  final case class Config(lang: String = "en", minQualityBp: Int = 2500,
+                          dedup: Boolean = true)
+
+  /** One-pass per-doc annotations: predicted language, quality score
+    * (basis points), normalized-content fingerprint.
+    */
+  def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), col(textCol),
+      TextFunctions.langId(col(textCol)).as("lang_pred"),
+      TextFunctions.basisPoints(TextFunctions.qualityScore(col(textCol)))
+        .as("quality_bp"),
+      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+
+  private def passes(cfg: Config): Column =
+    col("lang_pred") === cfg.lang && col("quality_bp") >= cfg.minQualityBp
+
+  /** The cleaned corpus: docs in the target language, above the quality
+    * floor, one representative (smallest id) per exact-duplicate group.
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            cfg: Config = Config()): DataFrame = {
+    val filtered = annotate(docs, idCol, textCol).where(passes(cfg))
+    if (!cfg.dedup) filtered
+    else filtered
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
+      .where(col("_rk") === 1)
+      .drop("_rk")
+  }
+
+  /** Funnel accounting in one aggregation (no extra scans): how many docs
+    * survive each successive stage.
+    */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): DataFrame =
+    annotate(docs, idCol, textCol).agg(
+      count(lit(1)).as("n_in"),
+      count(when(col("lang_pred") === cfg.lang, 1)).as("n_lang"),
+      count(when(passes(cfg), 1)).as("n_quality"),
+      count_distinct(when(passes(cfg), col("fingerprint"))).as("n_kept"))
+}

@@ -97,6 +97,36 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= 10)
   }
 
+  test("connected components: transitive duplicate families, isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3 plus disjoint pair 10-11: labels collapse to each
+    // family's smallest member within diameter iterations
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = DedupFunctions.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("doc pipeline: funnel stages agree with clean() output") {
+    import spark.implicits._
+    import graft.operators.DocPipeline
+    val docs = sf("documents")
+    val cfg = DocPipeline.Config()
+    val kept = DocPipeline.clean(docs, "doc_id", "text", cfg)
+    val funnel = DocPipeline.funnel(docs, "doc_id", "text", cfg).head()
+    val nIn = funnel.getAs[Long]("n_in")
+    val nLang = funnel.getAs[Long]("n_lang")
+    val nQuality = funnel.getAs[Long]("n_quality")
+    val nKept = funnel.getAs[Long]("n_kept")
+    assert(nIn == docs.count())
+    assert(nIn >= nLang && nLang >= nQuality && nQuality >= nKept)
+    assert(kept.count() == nKept)
+    // every kept doc passes both gates and fingerprints are unique
+    assert(kept.filter($"lang_pred" =!= cfg.lang ||
+      $"quality_bp" < cfg.minQualityBp).isEmpty)
+    assert(kept.select($"fingerprint").distinct().count() == nKept)
+  }
+
   test("ngram jaccard pairs within blocks") {
     import spark.implicits._
     val df = Seq(
