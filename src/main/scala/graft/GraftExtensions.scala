@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sorted_jaccard"),
       info("sorted_jaccard", "sorted_jaccard(array<long>, array<long>) - jaccard of sorted distinct arrays"),
       (args: Seq[Expression]) => SortedJaccard(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket", "hyperplane_bucket(array<double>, nPlanes) - sign-LSH bucket id"),
+      (args: Seq[Expression]) => HyperplaneBucket(args.head, intArg(args, 1))))
   }
 
   private[graft] def intArg(args: Seq[Expression], i: Int): Int =
@@ -65,5 +68,6 @@ object GraftExtensions {
     temp("simhash60", args => SimHash60(args.head))
     temp("cosine_sim", args => CosineSim(args.head, args(1)))
     temp("sorted_jaccard", args => SortedJaccard(args.head, args(1)))
+    temp("hyperplane_bucket", args => HyperplaneBucket(args.head, ext.intArg(args, 1)))
   }
 }

@@ -237,18 +237,18 @@ object SparkEntry {
       import s.implicits._
       val li = tbl(s, dir, "lineitem")
         .select($"l_returnflag", $"l_orderkey", $"l_extendedprice")
-      // Sketches only: HashAggregate/ObjectHashAggregate over 3 groups.
+      // All the NON-distinct aggregates (HLL, approx + exact percentile —
+      // object buffers, but only 3 of each) fuse into one
+      // ObjectHashAggregate pass over the scan.
       val sk = li.groupBy($"l_returnflag").agg(
         approx_count_distinct($"l_orderkey").as("approx_orders"),
-        percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("p90_approx"))
+        percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("p90_approx"),
+        expr("percentile(l_extendedprice, 0.85)").as("p85"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
       // Exact distinct via two-stage hash agg — no Expand, pure codegen.
       val ex = li.select($"l_returnflag", $"l_orderkey").distinct()
         .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_orders"))
-      // Exact percentile envelope: ObjectHashAggregate over 3 groups only.
-      val pct = li.groupBy($"l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.85)").as("p85"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
-      sk.join(broadcast(ex), "l_returnflag").join(broadcast(pct), "l_returnflag")
+      sk.join(broadcast(ex), "l_returnflag")
         .select(
           $"l_returnflag",
           $"exact_orders",
@@ -565,6 +565,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // SimHash near-dup PAIRS within Hamming radius 3 via multi-index band
+    // blocking (pigeonhole over 4×15-bit bands — exact recall, one
+    // shuffle, no n² comparison).
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.simhashNearDups(docs(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Blocked n-gram Jaccard near-dup pairs (block = lang × source).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
@@ -814,6 +824,21 @@ object SparkEntry {
        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
        |  FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s))""".stripMargin
   }
+
+  /** SimHash signature CTE shared by the per-doc and pairs oracles —
+    * mirrors expressions.SimHash60 bit for bit.
+    */
+  private val simhashSigCte: String =
+    s"""t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h, unnest(generate_series(0, 59)) AS g(b) GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT
+       |           AS simhash
+       |  FROM bits GROUP BY 1)""".stripMargin
 
   /** MinHash banding CTE shared by the pairs and clusters oracles. */
   private val minhashBandsCte: String =
@@ -1130,14 +1155,22 @@ object SparkEntry {
          |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
-         |bits AS (
-         |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM h, unnest(generate_series(0, 59)) AS g(b) GROUP BY 1, 2)
-         |SELECT doc_id,
-         |       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
-         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $simhashSigCte
+         |SELECT doc_id, simhash FROM sig ORDER BY 1""".stripMargin,
+
+    // Same pigeonhole blocking as the engine: agree on ≥1 of 4 15-bit
+    // bands ⇒ candidate; exact Hamming filter after.
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashSigCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bits
+         |  FROM sig, unnest(generate_series(0, 3)) AS g(b))
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH t0 AS (SELECT doc_id, lang || '|' || source AS blk, $tokensSql AS toks

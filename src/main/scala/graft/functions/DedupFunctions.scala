@@ -139,6 +139,44 @@ object DedupFunctions {
   /** Hamming distance between two packed simhashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs within a Hamming radius, via multi-index band
+    * blocking (the Manku/Jain/Sarma web-dedup construction): split the
+    * 60-bit signature into `maxHamming + 1` bands — two signatures within
+    * the radius MUST agree exactly on at least one band (pigeonhole), so an
+    * equi-join on (band index, band bits) finds every qualifying pair with
+    * ONE shuffle and no n² comparison; the exact Hamming filter then drops
+    * the false candidates. 60 must divide evenly by `maxHamming + 1`
+    * (default radius 3 → 4 bands × 15 bits).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(60 % nBands == 0, s"maxHamming + 1 = $nBands must divide 60")
+    val bandBits = 60 / nBands
+    val mask = (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).as("_id"),
+        simhash64(col(textCol)).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // eager: both join sides read this
+    val banded = sigs.select(col("_id"), col("_sig"),
+      explode(array((0 until nBands).map(b => struct(
+        lit(b).as("b"),
+        shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("bits")
+      )): _*)).as("_band"))
+    val a = banded.select(col("_band"), col("_id").as("id_a"),
+      col("_sig").as("_sig_a"))
+    val bb = banded.select(col("_band"), col("_id").as("id_b"),
+      col("_sig").as("_sig_b"))
+    a.join(bb, Seq("_band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("_sig_a"), col("_sig_b")).cast("long").as("hamming"))
+      .distinct() // pairs sharing several bands appear once
+      .where(col("hamming") <= maxHamming)
+    // sigs stays cached until the result is consumed (caller's session
+    // lifetime); at scale stage signatures to storage instead
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs within blocks: equi-join on the

@@ -20,7 +20,8 @@ class ExtensionsSpec extends SparkSpec {
           |       simhash60(array('x','y')) AS sh,
           |       minhash60(array('a b c'), 4) AS mh,
           |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
-          |       sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS sj
+          |       sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS sj,
+          |       hyperplane_bucket(array(1.0d, 0.5d), 3) AS hb
           |""".stripMargin).head()
       assert(row.getLong(0) != 0L)
       assert(row.getSeq[String](1).toSeq == Seq("a b c", "b c d"))
@@ -28,6 +29,7 @@ class ExtensionsSpec extends SparkSpec {
       assert(row.getSeq[Long](3).size == 4)
       assert(row.getDouble(4) == 1.0)
       assert(row.getDouble(5) == 0.5)
+      assert(row.getLong(6) >= 0L && row.getLong(6) < 8L)
     }
   }
 

@@ -97,6 +97,26 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= 10)
   }
 
+  test("simhash near-dups: band blocking finds all pairs within the radius") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (1L, base), (2L, base + " today"),
+      (3L, "unrelated words entirely about database query optimization internals"))
+      .toDF("id", "text")
+    val pairs = DedupFunctions.simhashNearDups(df, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact recall inside the radius: verify against the brute-force answer
+    val sigs = df.select($"id", DedupFunctions.simhash64($"text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      a <- sigs.keys.toSeq; b <- sigs.keys.toSeq if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)
+    assert(pairs.sorted.toSeq == brute.sorted)
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("connected components: transitive duplicate families, isolated pairs") {
     import spark.implicits._
     // chain 1-2-3 plus disjoint pair 10-11: labels collapse to each
