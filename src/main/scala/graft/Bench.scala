@@ -23,11 +23,13 @@ object Bench {
     "q8_below_avg_qty", "q9_quantiles",
     "asof_purchase_click", "range_price_bands",
     "text_stats", "text_token_estimate", "text_vocab_topk",
-    "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
+    "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_embedding_pairs", "dedup_clusters",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
     "agg_approx_sketch",
-    "mm_features")
+    "mm_features",
+    "doc_pipeline_kept",    // composed clean funnel (lang+quality+dedup)
+    "d2_rakam_ingest")      // rakam-dialect schema-fixed ingest
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
