@@ -363,6 +363,22 @@ object SparkEntry {
         .orderBy($"day_start")
     }),
 
+    // Gap-based sessionization (session_window, 30-min gap) rolled up per
+    // user — the batch face of the streaming session-window support.
+    // Sessions merge while consecutive events are < 30 min apart.
+    "w3_sessions" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "events")
+        .select($"user_id", timestamp_millis(expr("ts div 1000000")).as("t"))
+        .groupBy($"user_id", session_window($"t", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_sessions"),
+          sum($"n_events").as("n_events"),
+          max($"n_events").as("max_session_events"))
+        .orderBy($"user_id")
+    }),
+
     // K2: NDJSON-gzip sink roundtrip (file rolling + serialization), read
     // back per collection.
     "k2_ndjson_roundtrip" -> ((s, dir) => {
@@ -632,10 +648,11 @@ object SparkEntry {
 
     // Media features composed into ANN search (stub kernel → real
     // similarity operators) — rows-only.
+    // Media features composed into brute-force ANN (the point of the fixed
+    // feature schema) — oracle-checked: DuckDB rebuilds the byte-histogram
+    // features (float32-rounded, then double cosine, same fold order).
     "mm_ann_compose" -> ((s, dir) => mmAnnCompose(s, dir)),
 
-    // Binary media columns + stub feature kernel (deterministic fake;
-    // real dataflow) — rows-only.
     // Multimodal feature extraction, oracle-checked: the text/plain stub
     // kernel is a byte histogram, and the corpus is pure ASCII — so each
     // normalized float bucket × byte count recovers the EXACT integer
@@ -1050,6 +1067,28 @@ object SparkEntry {
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Gaps-and-islands mirror of session_window: a new session starts at
+    // gap >= 30 min (Spark merges only strictly-overlapping [t, t+gap)
+    // intervals).
+    "w3_sessions" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |o AS (
+        |  SELECT user_id, ms,
+        |         lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN prev IS NULL OR ms - prev >= 1800000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ms
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
+        |       max(n) AS max_session_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "k2_ndjson_roundtrip" ->
       """SELECT event_type AS collection, count(*) AS n,
         |       round(sum(value), 2) AS sum_value
@@ -1202,6 +1241,26 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                ORDER BY cosine_bp DESC, neighbor_id ASC) AS rank FROM s)
          |SELECT query_id, neighbor_id, cosine_bp, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Stub text/plain features rebuilt in SQL: per-bucket byte counts over
+    // the ASCII corpus, normalized in float32 exactly as the kernel stores
+    // them (::FLOAT), then the shared double-cosine mirror.
+    "mm_ann_compose" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 15), k ->
+         |      ((len(list_filter(string_split(text, ''), ch -> ord(ch) % 16 = k))::DOUBLE
+         |        / length(text))::FLOAT)::DOUBLE) AS fv
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id, fv AS qv FROM f WHERE doc_id < 5),
+         |c AS (SELECT doc_id AS neighbor_id, fv AS cv FROM f),
+         |s AS (SELECT query_id, neighbor_id,
+         |             ${bpSql(cosineSql("qv", "cv"))} AS cosine_bp
+         |      FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine_bp DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cosine_bp, rank FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -243,7 +243,8 @@ object AvroIngest {
                    registry: graft.schema.EventSchema.Registry,
                    sink: graft.sinks.EventSink,
                    keySep: Char = '.',
-                   names: FieldNames = FieldNames())
+                   names: FieldNames = FieldNames(),
+                   batchId: Long = -1L)
       : Map[CollectionId, Long] = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -293,8 +294,11 @@ object AvroIngest {
               decodeTagged(key, payload, keySep, lookup, names).map(_._2)
             }
           }(enc)
-        // the write is the one action; the count rides along on it
-        sink.insert(id, decoded.observe(obs, count(lit(1)).as("n")))
+        // the write is the one action; the count rides along on it.
+        // batch id flows through for sink-side replay idempotence (C1)
+        val observed = decoded.observe(obs, count(lit(1)).as("n"))
+        if (batchId >= 0) sink.insert(id, observed, batchId)
+        else sink.insert(id, observed)
         val n = graft.util.ObservedCount(obs)(decoded.count())
         if (n > 0) Some(id -> n) else None
       }.toMap

@@ -351,4 +351,31 @@ object IngestStream {
       }
       .start()
   }
+
+  /** Start the continuous AVRO query — the reference's PRIMARY Kafka path
+    * (KafkaRealTimeWorker consumes tagged Avro, not JSON). `source` must
+    * provide `key: string` + `value: binary` (the Kafka wire shape; any
+    * binary file/parquet stream works in tests). Schemas come fixed from
+    * the registry — the Avro wire format carries no field names — so there
+    * is no inference pass; everything else (barrier, registry durability,
+    * single-pass decode, largest-first flush) matches the JSON path.
+    */
+  def startAvro(spark: SparkSession, source: DataFrame,
+                registry: EventSchema.Registry, sink: EventSink,
+                checkpointDir: String, cfg: IngestConfig = IngestConfig(),
+                keySep: Char = '.'): StreamingQuery = {
+    registry.load(registryPath(checkpointDir), spark.sparkContext.hadoopConfiguration)
+    source.select(col("key").cast("string").as("key"), col("value"))
+      .writeStream
+      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ingest.AvroIngest.processBatch(batch, registry, sink, keySep,
+          cfg.names, batchId = batchId)
+        registry.save(registryPath(checkpointDir),
+                      batch.sparkSession.sparkContext.hadoopConfiguration)
+        () // barrier: returning commits the batch's offsets (C1/C2)
+      }
+      .start()
+  }
 }

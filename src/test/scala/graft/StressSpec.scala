@@ -118,6 +118,48 @@ class StressSpec extends SparkSpec {
     assert(secs < 300, f"per-batch wall time unbounded: $secs%.1f s")
   }
 
+  test("startAvro: continuous tagged-Avro query drains to the sink with idempotent batches") {
+    import spark.implicits._
+    val registry = new EventSchema.Registry()
+    val id = CollectionId("p", "ev")
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("x", DoubleType)))
+    registry.put(id, rowSchema)
+    val avro = AvroIngest.avroSchema(rowSchema, "ev")
+    val writer = new GenericDatumWriter[GenericRecord](avro)
+    def payload(t: Long, u: String, x: Double): Array[Byte] = {
+      val rec = new GenericData.Record(avro)
+      rec.put("_time", t); rec.put("_user", u); rec.put("x", x)
+      val out = new ByteArrayOutputStream()
+      out.write(0)
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      writer.write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val inDir = java.nio.file.Files.createTempDirectory("avro_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("avro_ckpt").toString
+    (0 until 5).map(i => (s"p.ev", payload(1700000000000L + i, s"u$i", i.toDouble)))
+      .toDF("key", "value").write.mode("overwrite").parquet(inDir)
+
+    val sinkDir = java.nio.file.Files.createTempDirectory("avro_sink").toString
+    val sink = new graft.sinks.ColumnarSink(sinkDir)
+    val source = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType),
+        StructField("value", BinaryType))))
+      .parquet(inDir)
+    val q = IngestStream.startAvro(spark, source, registry, sink, ckpt,
+      IngestConfig(triggerSeconds = 1))
+    try q.processAllAvailable() finally q.stop()
+    assert(sink.read(spark, id).count() == 5)
+    // registry persisted checkpoint-adjacent (K4): a fresh registry resumes
+    val fresh = new EventSchema.Registry()
+    assert(fresh.load(IngestStream.registryPath(ckpt),
+      spark.sparkContext.hadoopConfiguration))
+    assert(fresh.get(id).map(_.fieldNames.toSeq) == Some(Seq("_time", "_user", "x")))
+  }
+
   test("avro streaming batch: tagged records through registry schemas to sink") {
     import spark.implicits._
     val registry = new EventSchema.Registry()
