@@ -487,6 +487,31 @@ object SparkEntry {
     "doc_pipeline_funnel" -> ((s, dir) =>
       graft.operators.DocPipeline.funnel(docs(s, dir), "doc_id", "text")),
 
+    // Token-bounded overlapping chunking (64-token windows, 16 overlap) —
+    // the context-window splitter; one row per chunk with its fingerprint.
+    "text_chunks" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+          posexplode(TextFunctions.chunks($"text", 64, 16))
+            .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id", $"chunk_idx",
+          TextFunctions.tokenCount($"chunk").as("chunk_tokens"),
+          md5($"chunk").as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Deterministic stratified sampling: hash-gated keep decision —
+    // reproducible across engines/partitionings, unlike RNG sampling.
+    "sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.stratifiedSample(docs(s, dir), "doc_id",
+          "source", Map("src0" -> 500, "src1" -> 9000), defaultBp = 2000,
+          salt = "graft")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    }),
+
     // Cleaning normalization: stopword-stripped, whitespace-collapsed text.
     "text_normalize" -> ((s, dir) => {
       import s.implicits._
@@ -1118,6 +1143,30 @@ object SparkEntry {
          |  count(DISTINCT fingerprint)
          |    FILTER (WHERE lang_pred = 'en' AND quality_bp >= 2500) AS n_kept
          |FROM ann""".stripMargin,
+
+    // Chunk starts every 48 tokens (64-token window, 16 overlap); tokens
+    // contain no whitespace, so the rejoined chunk re-tokenizes to itself.
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |             unnest(generate_series(0, len(toks) - 1, 48)) AS s
+         |      FROM t)
+         |SELECT doc_id, (s // 48)::INT AS chunk_idx,
+         |       len(toks[s+1:s+64])::INT AS chunk_tokens,
+         |       md5(array_to_string(toks[s+1:s+64], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |         ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 10000 AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+        |FROM k
+        |WHERE h < CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 9000
+        |               ELSE 2000 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_normalize" -> {
       val stop = sqlList(TextFunctions.LangMarkers.toMap.apply("en"))

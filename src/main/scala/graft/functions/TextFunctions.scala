@@ -19,6 +19,23 @@ object TextFunctions {
   /** Whitespace token count — the cheap token-budget estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Token-bounded overlapping chunks — the context-window splitter every
+    * training/RAG pipeline needs: windows of `chunkTokens` tokens starting
+    * every `chunkTokens - overlapTokens`, rejoined with single spaces.
+    * Pure built-in composition (sequence/transform/slice — codegen'd,
+    * per-row, shuffle-free); explode downstream for one-row-per-chunk.
+    */
+  def chunks(text: Column, chunkTokens: Int, overlapTokens: Int = 0): Column = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(text)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - 1, lit(stride)),
+        s => array_join(slice(toks, s + 1, lit(chunkTokens)), " ")))
+  }
+
   /** BPE-ish token-budget estimate: whitespace words + punctuation marks
     * counted as separate tokens, plus an extra token per 8 characters of
     * long words (approximating subword splits). Pure arithmetic — portable

@@ -18,6 +18,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2).getSeq[String](1).toSeq == Seq("one")) // short text → whole text
   }
 
+  test("chunks: token-bounded windows with overlap, trailing partials kept") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq(text, "").toDF("t")
+    val out = df.select(TextFunctions.chunks($"t", 4, 1).as("c")).collect()
+    // stride 3: starts 0,3,6,9 → windows of ≤4 tokens each
+    assert(out(0).getSeq[String](0).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(out(1).getSeq[String](0).isEmpty) // empty text → no chunks
+  }
+
+  test("deterministic sampling: reproducible, partition-independent, rate-accurate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val ids = spark.range(10000).toDF("id")
+    val a = Sampling.deterministicSample(ids, "id", 2000, "s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(ids.repartition(17), "id", 2000, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)                                    // partitioning-independent
+    assert(math.abs(a.size - 2000) < 200, s"rate off: ${a.size}") // ~20%
+    // different salt → different (mostly disjoint-ish) sample
+    val c = Sampling.deterministicSample(ids, "id", 2000, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+    // stratified: per-stratum rates honored
+    val strat = ids.withColumn("g", when($"id" % 2 === 0, "even").otherwise("odd"))
+    val kept = Sampling.stratifiedSample(strat, "id", "g",
+        Map("even" -> 0), defaultBp = 10000, salt = "s1")
+      .collect()
+    assert(kept.length == 5000 && kept.forall(_.getString(1) == "odd"))
+  }
+
   test("langId picks marker language, und for no hits, en-first tie-break") {
     import spark.implicits._
     val df = Seq(
