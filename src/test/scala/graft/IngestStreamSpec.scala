@@ -179,6 +179,31 @@ class IngestStreamSpec extends SparkSpec {
     assert(ns.toSeq == Seq(2L, 3L))
   }
 
+  test("restarted driver keeps authoritative column order via the durable registry") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("in")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val sink = new MemorySink
+    val t = todayMillis
+    // run 1 establishes order: _time, _user, a, b
+    writeLines(inDir, "b1.json", Seq(fabric("ev", t, ""","a":1,"b":"x"""")))
+    val q1 = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), sink, None, ckpt, IngestConfig(triggerSeconds = 1))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2: FRESH registry (driver restart); the same event fields arrive
+    // reordered plus a new column — authoritative order must come from the
+    // persisted registry, not this batch's observation order
+    writeLines(inDir, "b2.json", Seq(fabric("ev", t + 1000, ""","c":true,"b":"y","a":2""")))
+    val q2 = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), sink, None, ckpt, IngestConfig(triggerSeconds = 1))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val schemas = sink.inserted.get(CollectionId("p", "ev")).map(_.schema.fieldNames.toSeq)
+    assert(schemas.last == Seq("_time", "_user", "a", "b", "c", "_shard_time"),
+      s"got $schemas")
+  }
+
   test("streaming dedup drops repeated (_user,_time) across batches") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("in")
