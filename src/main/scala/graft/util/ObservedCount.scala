@@ -18,10 +18,14 @@ object ObservedCount {
   def apply(obs: Observation, metric: String = "n")(fallback: => Long): Long = {
     // obs.future completes when the listener delivers the observed row;
     // Await with a bounded timeout (Observation.get would block forever on
-    // a short-circuited write).
+    // a short-circuited write). The write call is synchronous, so when an
+    // action DID run the metrics land within milliseconds — 2 s only ever
+    // elapses on the no-action path (e.g. an idempotent sink skipping a
+    // replayed batch), keeping a C-collection replay at ~2C s worst case
+    // instead of stalling recovery.
     try {
       val row = scala.concurrent.Await.result(
-        obs.future, scala.concurrent.duration.Duration(5, "s"))
+        obs.future, scala.concurrent.duration.Duration(2, "s"))
       row.getAs[Any](metric) match {
         case n: Number => n.longValue()
         case _         => fallback
