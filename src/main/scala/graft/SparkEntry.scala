@@ -500,6 +500,31 @@ object SparkEntry {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // PII scrub: redaction counts + fingerprint of the scrubbed text (the
+    // synthetic corpus is PII-free, so this pins the no-op side; the
+    // positive side is spec-pinned on synthetic PII rows).
+    "text_redact" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+          TextFunctions.piiCount($"text", TextFunctions.PiiPatterns(0)._1)
+            .as("n_urls"),
+          TextFunctions.piiCount($"text", TextFunctions.PiiPatterns(1)._1)
+            .as("n_emails"),
+          md5(TextFunctions.redact($"text")).as("redacted_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Benchmark decontamination: corpus docs sharing any exact 3-gram
+    // with the probe set (docs 0-4) — broadcast probe grams, one count agg.
+    "decontam_hits" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      DedupFunctions.ngramContamination(
+          d.filter($"doc_id" >= 5), d.filter($"doc_id" < 5),
+          "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified sampling: hash-gated keep decision —
     // reproducible across engines/partitionings, unlike RNG sampling.
     "sample_stratified" -> ((s, dir) => {
@@ -1155,6 +1180,28 @@ object SparkEntry {
          |       len(toks[s+1:s+64])::INT AS chunk_tokens,
          |       md5(array_to_string(toks[s+1:s+64], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decontam_hits" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_distinct(list_transform($shinglesSql,
+         |                    s -> $hash60Sql))) AS gh
+         |      FROM t),
+         |p AS (SELECT DISTINCT gh FROM g WHERE doc_id < 5)
+         |SELECT g.doc_id, count(*) AS n_shared
+         |FROM g JOIN p USING (gh) WHERE g.doc_id >= 5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_stratified" ->
       """WITH k AS (

@@ -197,6 +197,25 @@ object DedupFunctions {
       .where(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: corpus documents sharing ANY exact word
+    * n-gram with a probe set (the standard eval-set-contamination check).
+    * Probe grams are tiny relative to any corpus (benchmark suites) and
+    * broadcast; the corpus side is a map-only explode of pre-hashed
+    * distinct grams plus one count aggregation — no n², no corpus shuffle
+    * against itself. Returns (id, n_shared) for contaminated docs only.
+    */
+  def ngramContamination(corpus: DataFrame, probes: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("_id"),
+      explode(array_distinct(transform(TextFunctions.shingles(col(textCol), n),
+        s => hash60(s)))).as("_g"))
+    val probeGrams = grams(probes).select(col("_g")).distinct()
+    grams(corpus).join(broadcast(probeGrams), "_g")
+      .groupBy(col("_id").as(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
   // --------------------------------------------- duplicate clusters (CC)
 
   /** Connected components over a candidate-pair edge list — turns pairwise

@@ -19,6 +19,28 @@ object TextFunctions {
   /** Whitespace token count — the cheap token-budget estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Conservative PII/artifact patterns, valid in both Java regex and
+    * RE2-style engines (so the oracle can mirror them verbatim): URLs
+    * first (an address inside a URL is part of the URL), then emails,
+    * then IPv4 literals.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+"                                    -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"     -> "<EMAIL>",
+    "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"                      -> "<IP>")
+
+  /** Redact PII-ish spans (URL/email/IPv4) with typed placeholders — the
+    * pre-training scrub pass. Per-row regexp chain, codegen'd, no shuffle.
+    */
+  def redact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count matches of one PII pattern (0 = whole match). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Token-bounded overlapping chunks — the context-window splitter every
     * training/RAG pipeline needs: windows of `chunkTokens` tokens starting
     * every `chunkTokens - overlapTokens`, rejoined with single spaces.

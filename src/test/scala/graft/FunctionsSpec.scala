@@ -51,6 +51,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kept.length == 5000 && kept.forall(_.getString(1) == "odd"))
   }
 
+  test("redact scrubs urls/emails/ips with typed placeholders; counts match") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at a.b@example.com or visit https://x.io/p?q=1 from 10.0.0.1",
+      "clean text with no pii at all").toDF("t")
+    val out = df.select(
+      TextFunctions.redact($"t").as("r"),
+      TextFunctions.piiCount($"t", TextFunctions.PiiPatterns(0)._1).as("urls"),
+      TextFunctions.piiCount($"t", TextFunctions.PiiPatterns(1)._1).as("emails"),
+      TextFunctions.piiCount($"t", TextFunctions.PiiPatterns(2)._1).as("ips"))
+      .collect()
+    assert(out(0).getString(0) ==
+      "mail me at <EMAIL> or visit <URL> from <IP>")
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == ((1, 1, 1)))
+    assert(out(1).getString(0) == "clean text with no pii at all")
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) == ((0, 0, 0)))
+  }
+
   test("langId picks marker language, und for no hits, en-first tie-break") {
     import spark.implicits._
     val df = Seq(
@@ -148,6 +166,19 @@ class DedupFunctionsSpec extends SparkSpec {
     } yield (a, b, h.toLong)
     assert(pairs.sorted.toSeq == brute.sorted)
     assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("ngram contamination flags docs sharing an exact n-gram with probes") {
+    import spark.implicits._
+    val probes = Seq((1L, "the secret benchmark answer is forty two")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "we think the secret benchmark answer is something else"), // shares 3-grams
+      (11L, "completely unrelated prose about catalyst optimizer rules"))
+      .toDF("id", "text")
+    val hits = DedupFunctions.ngramContamination(corpus, probes, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(10L) && hits(10L) >= 3) // "the secret benchmark", ...
+    assert(!hits.contains(11L))
   }
 
   test("connected components: transitive duplicate families, isolated pairs") {
