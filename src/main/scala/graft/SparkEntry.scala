@@ -363,6 +363,40 @@ object SparkEntry {
         .orderBy($"day_start")
     }),
 
+    // Cohort retention — rakam's signature product-analytics query: users
+    // grouped by first-seen day, counted per day-offset of return.
+    "q11_retention" -> ((s, dir) => {
+      import s.implicits._
+      val u = tbl(s, dir, "events")
+        .select($"user_id", to_date(timestamp_millis(expr("ts div 1000000"))).as("d"))
+        .distinct()
+      val first = u.groupBy($"user_id").agg(min($"d").as("d0"))
+      u.join(first, "user_id")
+        .groupBy(datediff($"d", $"d0").as("day_offset"))
+        .agg(count_distinct($"user_id").as("n_users"))
+        .orderBy($"day_offset")
+    }),
+
+    // Ordered event funnel (view → click → purchase, strictly increasing
+    // times) — sequential conditional-min joins, all keyed on user_id so
+    // the shuffles co-partition.
+    "q12_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "events")
+        .select($"user_id", $"event_type", expr("ts div 1000000").as("ms"))
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ms").as("v_ms"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ms" > $"v_ms")
+        .groupBy($"user_id").agg(min($"ms").as("c_ms"))
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ms" > $"c_ms")
+        .groupBy($"user_id").agg(min($"ms").as("p_ms"))
+      v.agg(count(lit(1)).as("step_view")).crossJoin(
+        c.agg(count(lit(1)).as("step_click"))).crossJoin(
+        p.agg(count(lit(1)).as("step_purchase")))
+    }),
+
     // Gap-based sessionization (session_window, 30-min gap) rolled up per
     // user — the batch face of the streaming session-window support.
     // Sessions merge while consecutive events are < 30 min apart.
@@ -1116,6 +1150,28 @@ object SparkEntry {
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_retention" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM u GROUP BY 1)
+        |SELECT date_diff('day', d0, d) AS day_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM u JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS v_ms FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ms > v_ms GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ms) AS p_ms FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ms > c_ms GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS step_view,
+        |       (SELECT count(*) FROM c) AS step_click,
+        |       (SELECT count(*) FROM p) AS step_purchase""".stripMargin,
 
     // Gaps-and-islands mirror of session_window: a new session starts at
     // gap >= 30 min (Spark merges only strictly-overlapping [t, t+gap)
