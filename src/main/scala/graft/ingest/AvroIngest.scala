@@ -204,6 +204,15 @@ object AvroIngest {
       case _ => None
     }
 
+  /** Tag-3 payload → the object-store pointer it carries (UTF-8 key). */
+  def bulkPointerOf(payload: Array[Byte]): Option[String] =
+    kindOf(payload) match {
+      case RecordKind.BulkPointer if payload.length > 1 =>
+        Some(new String(payload, 1, payload.length - 1,
+          java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+
   /** Routing-only extraction: tag demux + collection id from the key (tag 0)
     * or the embedded Avro-string prefix (tag 2), WITHOUT decoding the record
     * body. The cheap first pass of [[processBatch]].
@@ -244,7 +253,8 @@ object AvroIngest {
                    sink: graft.sinks.EventSink,
                    keySep: Char = '.',
                    names: FieldNames = FieldNames(),
-                   batchId: Long = -1L)
+                   batchId: Long = -1L,
+                   bulkFetch: Option[String => Array[Byte]] = None)
       : Map[CollectionId, Long] = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -268,7 +278,7 @@ object AvroIngest {
       }.toDF("_project", "_collection", "key", "value")
       .filter(col("_project").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    val inline: Map[CollectionId, Long] = try {
       // one tiny aggregation tells which collections are present (absent
       // ones skip their decode+write jobs entirely) and how big each is —
       // writes go LARGEST-FIRST, the reference's MiddlewareBuffer flush
@@ -303,6 +313,90 @@ object AvroIngest {
         if (n > 0) Some(id -> n) else None
       }.toMap
     } finally routed.unpersist(false)
+
+    bulkFetch match {
+      case None => inline
+      case Some(fetch) =>
+        // S4: tag-3 records carry object-store pointers — expand them
+        // through the fetcher (environment-specific client, injected)
+        val pointers = records.select(col("value")).as[Array[Byte]]
+          .flatMap(bulkPointerOf(_))
+        val bulk = processBulk(pointers, registry, sink, fetch, names,
+          // disjoint replay-marker space: an inline write and a bulk write
+          // of the SAME collection in the SAME batch must not dedupe each
+          // other at the sink
+          if (batchId >= 0) batchId + BulkBatchIdOffset else batchId)
+        (inline.keySet ++ bulk.keySet).map(id =>
+          id -> (inline.getOrElse(id, 0L) + bulk.getOrElse(id, 0L))).toMap
+    }
+  }
+
+  /** Keeps bulk-expansion batch markers disjoint from inline ones. */
+  val BulkBatchIdOffset: Long = 1L << 40
+
+  /** S4 — distributed bulk-object expansion: fetch each pointed-to object
+    * ONCE (cached bytes), then decode per present collection off the cache
+    * — the same single-fetch/filtered-decode shape as [[processBatch]].
+    * `fetch` is the injected object-store client (S3/GCS/file), serialized
+    * to executors; one object = one fetch+decode task, so throughput
+    * scales with pointer count. Objects referencing unregistered
+    * collections are skipped whole (the stream can't be resumed past an
+    * unknown schema — record-skip semantics, F3).
+    */
+  def processBulk(pointers: org.apache.spark.sql.Dataset[String],
+                  registry: graft.schema.EventSchema.Registry,
+                  sink: graft.sinks.EventSink,
+                  fetch: String => Array[Byte],
+                  names: FieldNames = FieldNames(),
+                  batchId: Long = -1L)
+      : Map[CollectionId, Long] = {
+    val spark = pointers.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Observation}
+    import org.apache.spark.sql.functions.{count, lit}
+
+    val schemaPairs: Map[CollectionId, (String, StructType)] =
+      registry.all.map { case (id, st) =>
+        id -> (avroSchema(st, id.collection, names).toString, st)
+      }
+    def lookupFor(): CollectionId => (Schema, StructType) = {
+      val cache = scala.collection.mutable.Map[CollectionId, (Schema, StructType)]()
+      cid => cache.getOrElseUpdate(cid, {
+        val (json, st) = schemaPairs(cid) // unknown id throws → object skipped
+        (new Schema.Parser().parse(json), st)
+      })
+    }
+
+    val fetched = pointers.map(fetch(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val present = fetched.mapPartitions { it =>
+        val lookup = lookupFor()
+        it.flatMap { bytes =>
+          try readBulkObject(bytes, lookup, names).map(_._1).distinct
+          catch { case _: Exception => Seq.empty }
+        }
+      }.distinct().collect().toSet
+
+      present.toSeq.sortBy(id => (id.project, id.collection)).flatMap { id =>
+        val rowSchema = schemaPairs(id)._2
+        val enc = Encoders.row(rowSchema)
+        val obs = Observation()
+        val decoded = fetched.mapPartitions { it =>
+          val lookup = lookupFor()
+          it.flatMap { bytes =>
+            try readBulkObject(bytes, lookup, names)
+              .collect { case (cid, row) if cid == id => row }
+            catch { case _: Exception => Seq.empty }
+          }
+        }(enc)
+        val observed = decoded.observe(obs, count(lit(1)).as("n"))
+        if (batchId >= 0) sink.insert(id, observed, batchId)
+        else sink.insert(id, observed)
+        val n = graft.util.ObservedCount(obs)(decoded.count())
+        if (n > 0) Some(id -> n) else None
+      }.toMap
+    } finally fetched.unpersist(false)
   }
 
   // ------------------------------------------------------------- bulk frame

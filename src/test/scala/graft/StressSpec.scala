@@ -160,6 +160,62 @@ class StressSpec extends SparkSpec {
     assert(fresh.get(id).map(_.fieldNames.toSeq) == Some(Seq("_time", "_user", "x")))
   }
 
+  test("bulk pointers (tag 3) expand through the injected fetcher in one batch") {
+    import spark.implicits._
+    val registry = new EventSchema.Registry()
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("x", DoubleType)))
+    registry.put(CollectionId("proj", "c1"), rowSchema)
+    registry.put(CollectionId("proj", "c2"), rowSchema)
+    val avro = AvroIngest.avroSchema(rowSchema, "ev")
+
+    // bulk object: project header + two frames (c1 ×2 rows, c2 ×1 row)
+    val obj = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().directBinaryEncoder(obj, null)
+    enc.writeString("proj")
+    val w = new GenericDatumWriter[GenericRecord](avro)
+    enc.writeString("c1"); enc.writeInt(3); enc.writeInt(2)
+    (1 to 2).foreach { i =>
+      val r = new GenericData.Record(avro)
+      r.put("_time", 1700000000000L + i); r.put("_user", s"u$i"); r.put("x", i.toDouble)
+      w.write(r, enc)
+    }
+    enc.writeString("c2"); enc.writeInt(3); enc.writeInt(1)
+    val r3 = new GenericData.Record(avro)
+    r3.put("_time", 1700000001000L); r3.put("_user", "u3"); r3.put("x", 9.0)
+    w.write(r3, enc)
+    enc.flush()
+    val objPath = java.nio.file.Files.createTempFile("bulk", ".avro")
+    java.nio.file.Files.write(objPath, obj.toByteArray)
+
+    // inline record for c1 + a tag-3 pointer to the object
+    def inlinePayload(u: String, x: Double): Array[Byte] = {
+      val rec = new GenericData.Record(avro)
+      rec.put("_time", 1700000002000L); rec.put("_user", u); rec.put("x", x)
+      val out = new ByteArrayOutputStream()
+      out.write(0)
+      val e = EncoderFactory.get().directBinaryEncoder(out, null)
+      w.write(rec, e); e.flush()
+      out.toByteArray
+    }
+    val pointer = Array[Byte](3) ++
+      objPath.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val records = Seq(
+      ("proj.c1", inlinePayload("u0", 0.5)),
+      ("ignored", pointer)).toDF("key", "value")
+
+    val sink = new MemorySink
+    val counts = AvroIngest.processBatch(records, registry, sink,
+      bulkFetch = Some((p: String) =>
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    assert(counts == Map(
+      CollectionId("proj", "c1") -> 3L,   // 1 inline + 2 bulk
+      CollectionId("proj", "c2") -> 1L))
+    assert(sink.rows(CollectionId("proj", "c1")) == 3)
+    assert(sink.rows(CollectionId("proj", "c2")) == 1)
+  }
+
   test("avro streaming batch: tagged records through registry schemas to sink") {
     import spark.implicits._
     val registry = new EventSchema.Registry()
