@@ -571,6 +571,22 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Capstone corpus-prep composition: clean (lang+quality+dedup) →
+    // deterministic 50% sample → 64-token chunks, summarized — the whole
+    // training-data pass as one declarative plan.
+    "corpus_prep" -> ((s, dir) => {
+      import s.implicits._
+      val cleaned = graft.operators.DocPipeline.clean(docs(s, dir), "doc_id", "text")
+      val sampled = graft.operators.Sampling
+        .deterministicSample(cleaned, "doc_id", 5000, "prep")
+      sampled.select($"doc_id",
+          posexplode(TextFunctions.chunks($"text", 64, 16))
+            .as(Seq("chunk_idx", "chunk")))
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct($"doc_id").as("n_docs"),
+          sum(TextFunctions.tokenCount($"chunk")).as("sum_chunk_tokens"))
+    }),
+
     // Cleaning normalization: stopword-stripped, whitespace-collapsed text.
     "text_normalize" -> ((s, dir) => {
       import s.implicits._
@@ -1270,6 +1286,28 @@ object SparkEntry {
         |WHERE h < CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 9000
         |               ELSE 2000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_prep" ->
+      s"""WITH $docAnnotateCte,
+         |kept AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT a.doc_id, d.text,
+         |           row_number() OVER (PARTITION BY a.fingerprint
+         |                              ORDER BY a.doc_id) AS rk
+         |    FROM ann a JOIN documents d USING (doc_id)
+         |    WHERE a.lang_pred = 'en' AND a.quality_bp >= 2500)
+         |  WHERE rk = 1),
+         |samp AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE ('0x' || substr(md5('prep|' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |        % 10000 < 5000),
+         |t2 AS (SELECT doc_id, $tokensSql AS toks FROM samp),
+         |c AS (SELECT doc_id, toks,
+         |             unnest(generate_series(0, len(toks) - 1, 48)) AS s
+         |      FROM t2)
+         |SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+         |       sum(len(toks[s+1:s+64]))::BIGINT AS sum_chunk_tokens
+         |FROM c""".stripMargin,
 
     "text_normalize" -> {
       val stop = sqlList(TextFunctions.LangMarkers.toMap.apply("en"))
