@@ -29,7 +29,12 @@ object Bench {
     "agg_approx_sketch",
     "mm_features",
     "doc_pipeline_kept",    // composed clean funnel (lang+quality+dedup)
-    "d2_rakam_ingest")      // rakam-dialect schema-fixed ingest
+    "d2_rakam_ingest",      // rakam-dialect schema-fixed ingest
+    "text_chunks",          // token-window chunking
+    "decontam_hits",        // probe-gram contamination join
+    "q11_retention",        // cohort retention
+    "w3_sessions",          // gap sessionization
+    "corpus_prep")          // clean→sample→chunk capstone
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
