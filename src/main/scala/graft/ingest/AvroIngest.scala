@@ -254,7 +254,8 @@ object AvroIngest {
                    keySep: Char = '.',
                    names: FieldNames = FieldNames(),
                    batchId: Long = -1L,
-                   bulkFetch: Option[String => Array[Byte]] = None)
+                   bulkFetch: Option[String => Array[Byte]] = None,
+                   dedupBatch: Boolean = false)
       : Map[CollectionId, Long] = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -304,12 +305,19 @@ object AvroIngest {
               decodeTagged(key, payload, keySep, lookup, names).map(_._2)
             }
           }(enc)
+        // F2 per-batch duplicate drop on (user, time) — the reference's
+        // AvroDuplicateHandler runs on the DECODED record (null keys pass)
+        val deduped =
+          if (dedupBatch && rowSchema.fieldNames.contains(names.userField) &&
+              rowSchema.fieldNames.contains(names.timeField))
+            graft.operators.EventOps.dedupExact(decoded, names)
+          else decoded
         // the write is the one action; the count rides along on it.
         // batch id flows through for sink-side replay idempotence (C1)
-        val observed = decoded.observe(obs, count(lit(1)).as("n"))
+        val observed = deduped.observe(obs, count(lit(1)).as("n"))
         if (batchId >= 0) sink.insert(id, observed, batchId)
         else sink.insert(id, observed)
-        val n = graft.util.ObservedCount(obs)(decoded.count())
+        val n = graft.util.ObservedCount(obs)(deduped.count())
         if (n > 0) Some(id -> n) else None
       }.toMap
     } finally routed.unpersist(false)

@@ -31,12 +31,24 @@ object EventOps {
 
   /** F2 (batch flavor) — exact duplicate drop on the reference's dedup key
     * `(_user, _time)` (ref kinesis/AvroDuplicateHandler.java:93-111).
-    * Within one batch this is a hash-aggregate keyed on the pair; the
-    * streaming flavor with TTL state lives in
+    * Rows with a null user or time pass through UNdeduplicated — the
+    * reference only drops on a PRESENT key (isUnique), and a plain
+    * `dropDuplicates` would silently collapse all null-key rows. One
+    * window shuffle: null-key rows get a unique synthetic partition key so
+    * each is its own group. The streaming flavor with TTL state lives in
     * [[graft.streaming.IngestStream.deduplicated]].
     */
-  def dedupExact(df: DataFrame, names: FieldNames = FieldNames()): DataFrame =
-    df.dropDuplicates(Seq(names.userField, names.timeField))
+  def dedupExact(df: DataFrame, names: FieldNames = FieldNames()): DataFrame = {
+    val hasKey =
+      col(names.userField).isNotNull && col(names.timeField).isNotNull
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(names.userField), col(names.timeField),
+        when(hasKey, lit(0L)).otherwise(monotonically_increasing_id()))
+      .orderBy(lit(1))
+    df.withColumn("_graft_dedup_rk", row_number().over(w))
+      .where(col("_graft_dedup_rk") === 1)
+      .drop("_graft_dedup_rk")
+  }
 
   /** Result of the real-time/historical split (F4). */
   final case class DaySplit(realTime: DataFrame, historical: DataFrame,

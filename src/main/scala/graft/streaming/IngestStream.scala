@@ -363,7 +363,9 @@ object IngestStream {
   def startAvro(spark: SparkSession, source: DataFrame,
                 registry: EventSchema.Registry, sink: EventSink,
                 checkpointDir: String, cfg: IngestConfig = IngestConfig(),
-                keySep: Char = '.'): StreamingQuery = {
+                keySep: Char = '.',
+                bulkFetch: Option[String => Array[Byte]] = None,
+                dedupBatch: Boolean = false): StreamingQuery = {
     registry.load(registryPath(checkpointDir), spark.sparkContext.hadoopConfiguration)
     source.select(col("key").cast("string").as("key"), col("value"))
       .writeStream
@@ -371,7 +373,8 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ingest.AvroIngest.processBatch(batch, registry, sink, keySep,
-          cfg.names, batchId = batchId)
+          cfg.names, batchId = batchId, bulkFetch = bulkFetch,
+          dedupBatch = dedupBatch)
         registry.save(registryPath(checkpointDir),
                       batch.sparkSession.sparkContext.hadoopConfiguration)
         () // barrier: returning commits the batch's offsets (C1/C2)

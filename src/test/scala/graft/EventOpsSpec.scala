@@ -61,11 +61,16 @@ class EventOpsSpec extends SparkSpec {
     assert(s2.promotedDays.isEmpty && s2.realTime.count() == 2 && s2.historical.count() == 3)
   }
 
-  test("dedupExact drops repeated (_user,_time) pairs") {
+  test("dedupExact drops repeated (_user,_time) pairs; null keys all pass") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq(("u1", t, 1.0), ("u1", t, 2.0), ("u2", t, 3.0)).toDF("_user", "_time", "v")
     assert(EventOps.dedupExact(df).count() == 2)
+    // reference isUnique only acts on PRESENT keys: two null-user rows
+    // sharing a _time must both survive (AvroDuplicateHandler.java:93-111)
+    val withNulls = Seq((Option("u1"), t, 1.0), (None, t, 2.0), (None, t, 3.0))
+      .toDF("_user", "_time", "v")
+    assert(EventOps.dedupExact(withNulls).count() == 3)
   }
 
   test("concatBatches aligns evolving schemas by name") {

@@ -216,6 +216,37 @@ class StressSpec extends SparkSpec {
     assert(sink.rows(CollectionId("proj", "c2")) == 1)
   }
 
+  test("avro per-batch dedup drops repeated (user,time), null-key rows pass") {
+    import spark.implicits._
+    val registry = new EventSchema.Registry()
+    val id = CollectionId("p", "ev")
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("x", DoubleType)))
+    registry.put(id, rowSchema)
+    val avro = AvroIngest.avroSchema(rowSchema, "ev")
+    val writer = new GenericDatumWriter[GenericRecord](avro)
+    def payload(t: java.lang.Long, u: String, x: Double): Array[Byte] = {
+      val rec = new GenericData.Record(avro)
+      rec.put("_time", t); rec.put("_user", u); rec.put("x", x)
+      val out = new ByteArrayOutputStream()
+      out.write(0)
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      writer.write(rec, enc); enc.flush()
+      out.toByteArray
+    }
+    val t0 = 1700000000000L
+    val records = Seq(
+      ("p.ev", payload(t0, "u1", 1.0)),
+      ("p.ev", payload(t0, "u1", 2.0)),  // same (user,time) → dropped
+      ("p.ev", payload(t0, null, 3.0)),  // null user: both pass
+      ("p.ev", payload(t0, null, 4.0))).toDF("key", "value")
+    val sink = new MemorySink
+    val counts = AvroIngest.processBatch(records, registry, sink,
+      dedupBatch = true)
+    assert(counts == Map(id -> 3L))
+  }
+
   test("avro streaming batch: tagged records through registry schemas to sink") {
     import spark.implicits._
     val registry = new EventSchema.Registry()
