@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression gates for the scale-critical queries: these pin
+  * the physical-plan properties SCALE.md argues from, so a refactor can't
+  * silently reintroduce a pathological shape (the round-1 sketch plan, a
+  * lost broadcast, a Cartesian fallback).
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(SimpleMode)
+
+  test("sketch query: no Expand (per-distinct-key sketch buffers) and broadcast join") {
+    val p = plan("agg_approx_sketch")
+    // RewriteDistinctAggregates inserts Expand when a distinct agg shares a
+    // plan with object-buffer aggs — the verified round-1 scale-killer
+    assert(!p.contains("Expand"), s"sketch plan regained Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"exact-distinct no longer broadcast:\n$p")
+  }
+
+  test("decontamination probes broadcast; no shuffle of the corpus against itself") {
+    val p = plan("decontam_hits")
+    assert(p.contains("BroadcastHashJoin"), s"probe grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"decontam fell back to a product join:\n$p")
+  }
+
+  test("ANN brute force broadcasts the query set") {
+    val p = plan("ann_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-side product join:\n$p")
+  }
+
+  test("relational suite: no Cartesian products anywhere") {
+    for (q <- Seq("q3_top_orders", "q5_region_revenue", "q4_semi_exists",
+                  "q6_anti_join", "q8_below_avg_qty", "q11_retention",
+                  "q12_funnel", "range_price_bands")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a Cartesian product:\n$p")
+    }
+  }
+
+  test("pipeline dedup and doc pipeline keep single-exchange shapes") {
+    val kept = plan("doc_pipeline_kept")
+    // one window (fingerprint dedup); everything upstream is map-only
+    assert(kept.contains("Window"), kept)
+    assert(!kept.contains("CartesianProduct"), kept)
+  }
+}

@@ -216,6 +216,29 @@ class StressSpec extends SparkSpec {
     assert(sink.rows(CollectionId("proj", "c2")) == 1)
   }
 
+  test("bulk object referencing an unregistered collection skips whole, no abort") {
+    import spark.implicits._
+    val registry = new EventSchema.Registry()
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType)))
+    registry.put(CollectionId("p", "known"), rowSchema)
+    val avro = AvroIngest.avroSchema(rowSchema, "ev")
+    val obj = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().directBinaryEncoder(obj, null)
+    enc.writeString("p")
+    enc.writeString("unknowncoll"); enc.writeInt(2); enc.writeInt(1)
+    val r = new GenericData.Record(avro)
+    r.put("_time", 1700000000000L); r.put("_user", "u1")
+    new GenericDatumWriter[GenericRecord](avro).write(r, enc)
+    enc.flush()
+    val sink = new MemorySink
+    val objBytes = obj.toByteArray // serializable capture for the fetcher
+    val counts = AvroIngest.processBulk(
+      Seq("ptr").toDS(), registry, sink, _ => objBytes)
+    assert(counts.isEmpty)           // object skipped, batch continues
+    assert(sink.inserted.isEmpty)
+  }
+
   test("avro per-batch dedup drops repeated (user,time), null-key rows pass") {
     import spark.implicits._
     val registry = new EventSchema.Registry()
