@@ -39,4 +39,29 @@ class DocExampleSpec extends SparkSpec {
       .parquet(s"$dataDir/project=demo/collection=clicks").count()
     assert(n == 1) // whitelist dropped the spam collection
   }
+
+  test("README training-data preparation example runs end to end") {
+    import graft.functions.{DedupFunctions, TextFunctions}
+    import graft.operators.{DocPipeline, Sampling}
+    import org.apache.spark.sql.functions._
+
+    val docs = sf("documents")
+
+    val cleaned = DocPipeline.clean(docs, "doc_id", "text",
+      DocPipeline.Config(lang = "en", minQualityBp = 2500))
+
+    val pairs    = DedupFunctions.minhashCandidates(cleaned, "doc_id", "text")
+    val clusters = DedupFunctions.connectedComponents(pairs, "id_a", "id_b")
+    assert(clusters.columns.toSeq == Seq("v", "label"))
+
+    val evalSet = docs.filter(col("doc_id") < 5)
+    val dirty   = DedupFunctions.ngramContamination(cleaned, evalSet, "doc_id", "text")
+    val corpus  = Sampling.deterministicSample(
+        cleaned.join(dirty, Seq("doc_id"), "left_anti"), "doc_id", 5000, "run1")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunks(col("text"), 512, 64))
+          .as(Seq("chunk_idx", "chunk")))
+    val rows = corpus.count()
+    assert(rows > 0 && corpus.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk"))
+  }
 }
