@@ -46,6 +46,15 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("column pruning reaches the parquet scan") {
+    val p = SparkEntry.queries("q1_agg")(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema"), p)
+    // q1 touches returnflag/quantity/…, never the wide comment column — a
+    // scan reading all columns for a narrow aggregate is wrong at any SF
+    assert(!p.contains("l_comment"), s"q1_agg reads unprojected columns:\n$p")
+  }
+
   test("pipeline dedup and doc pipeline keep single-exchange shapes") {
     val kept = plan("doc_pipeline_kept")
     // one window (fingerprint dedup); everything upstream is map-only

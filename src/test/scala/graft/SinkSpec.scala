@@ -39,6 +39,21 @@ class SinkSpec extends SparkSpec {
     assert(dirs.length == 1 && dirs.head.startsWith("batch=compact-"))
   }
 
+  test("ORC format roundtrips with schema evolution (the reference's Raptor format)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sinkorc").toString
+    val sink = new ColumnarSink(base, format = "orc")
+    val id = CollectionId("p", "c")
+    sink.insert(id, Seq((1, "a")).toDF("n", "s"))
+    sink.insert(id, Seq((2, "b", true)).toDF("n", "s", "flag")) // evolved
+    val back = sink.read(spark, id)
+    assert(back.count() == 2)
+    assert(back.columns.contains("flag"))
+    assert(back.where($"flag").count() == 1)
+    sink.compact(spark, id)
+    assert(sink.read(spark, id).count() == 2)
+  }
+
   test("insertBatch + compaction work through a file: URI (Hadoop FS path)") {
     import spark.implicits._
     // markers and compaction must resolve through the Hadoop FileSystem of
