@@ -33,6 +33,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("registry evolution is thread-safe under concurrent addColumns") {
+    import scala.jdk.CollectionConverters._
+    val registry = new EventSchema.Registry()
+    val id = CollectionId("p", "c")
+    // 8 threads race to add disjoint column sets; compute() must serialize
+    // the merges so no observed column is lost and order stays stable
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 20).foreach { i =>
+            registry.addColumns(id, StructType(Seq(
+              StructField(s"c${t}_$i", DoubleType))))
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val names = registry.get(id).get.fieldNames.toSet
+    val expected = (for (t <- 0 until 8; i <- 0 until 20) yield s"c${t}_$i").toSet
+    assert(expected.subsetOf(names), s"lost columns: ${expected -- names}")
+    // defaults (_time/_user) lead; every later evolve preserves the order
+    assert(registry.get(id).get.fieldNames.take(2).toSeq == Seq("_time", "_user"))
+  }
+
   test("saltedJoin equals plain join; saltedCount equals plain count") {
     import spark.implicits._
     // skewed: 90% of rows share key 1
