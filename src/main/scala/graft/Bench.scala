@@ -25,7 +25,7 @@ object Bench {
     "text_stats", "text_token_estimate", "text_vocab_topk",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embedding_pairs", "dedup_clusters",
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
     "agg_approx_sketch",
     "mm_features",
     "doc_pipeline_kept",    // composed clean funnel (lang+quality+dedup)

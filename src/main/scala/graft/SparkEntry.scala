@@ -723,6 +723,24 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // int8-quantized brute-force top-k — the 100 TB storage tier: fixed
+    // symmetric range keeps quantization per-row deterministic, so the
+    // quantized ranking is exactly mirrorable (integer dot products).
+    "ann_quantized_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+        .select($"vec_id",
+          SimilarityFunctions.quantize8($"embedding", 1.0).as("q"))
+        .persist()
+      emb.count()
+      val out = SimilarityFunctions.bruteForceTopK(
+          emb, emb.filter($"vec_id" < 10), "vec_id", "q", 5)
+        .orderBy($"query_id", $"rank")
+      out.collect() // materialize before unpersist
+      emb.unpersist()
+      out
+    }),
+
     // IVF ANN (k-means coarse quantizer, nProbe cells) — approximate,
     // rows-only (recall vs brute force asserted in ScalaTest).
     "ann_ivf_topk" -> ((s, dir) => {
@@ -1425,6 +1443,23 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
          |           FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |             ${bpSql(cosineSql("qv", "cv"))} AS cosine_bp
+         |      FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine_bp DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, neighbor_id, cosine_bp, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Fixed-range int8 quantization is a pure per-row function — DuckDB
+    // rebuilds the identical integer vectors, then the shared cosine.
+    "ann_quantized_topk" ->
+      s"""WITH q8 AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[], x ->
+         |    greatest(-127.0, least(127.0, floor(x * 127.0 + 0.5)))) AS qe
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, qe AS qv FROM q8 WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, qe AS cv FROM q8),
          |s AS (SELECT query_id, neighbor_id,
          |             ${bpSql(cosineSql("qv", "cv"))} AS cosine_bp
          |      FROM q, c WHERE query_id <> neighbor_id),

@@ -32,6 +32,22 @@ object SimilarityFunctions {
     graft.functions.expressions.CosineSim.cosine_sim(
       a.cast("array<double>"), b.cast("array<double>"))
 
+  /** int8 scalar quantization with a fixed symmetric range `[-maxAbs,
+    * maxAbs]` — the 100 TB storage tier for embedding columns (4× smaller
+    * than float32, 8× than float64; cosine ranking degrades only
+    * marginally). The fixed range keeps quantization a PER-ROW pure
+    * function (no data-dependent calibration pass) and the engine-stable
+    * `floor(x·s + 0.5)` rounding makes it bit-reproducible in any engine.
+    * One corpus pass at write time; pairwise math then runs on small
+    * integers (exact in double — products ≤ 127²·dims).
+    */
+  def quantize8(vec: Column, maxAbs: Double = 1.0): Column = {
+    val scale = 127.0 / maxAbs
+    transform(vec.cast("array<double>"),
+      x => greatest(lit(-127.0), least(lit(127.0), floor(x * scale + 0.5)))
+        .cast("int"))
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
     *
     * `queries` is broadcast (it must be small — the typical "find neighbors

@@ -276,6 +276,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall $recall too low")
   }
 
+  test("int8 quantization preserves top-k ranking (high recall vs exact)") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = SimilarityFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val q8 = emb.select(col("vec_id"),
+      SimilarityFunctions.quantize8(col("embedding"), 1.0).as("q"))
+    val quant = SimilarityFunctions.bruteForceTopK(q8, q8.filter(col("vec_id") < 20),
+        "vec_id", "q", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall > 0.8, s"quantized recall $recall too low")
+    // quantized values are bounded int8
+    val qRow = q8.head().getSeq[Int](1)
+    assert(qRow.forall(v => v >= -127 && v <= 127))
+  }
+
   test("native hyperplane bucket is bit-identical to the composed form") {
     val emb = sf("embeddings").limit(64)
     for (nPlanes <- Seq(3, 8)) {
