@@ -245,6 +245,7 @@ object DedupFunctions {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      iter += 1
       val neighborMin = edges.join(labels, edges("dst") === labels("v"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val updated = labels.join(neighborMin, labels("v") === neighborMin("src"),
@@ -252,10 +253,17 @@ object DedupFunctions {
         .select(col("v"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("newlabel"))
-        .localCheckpoint(true) // materialize + cut lineage before the test
-      converged = updated.filter(col("newlabel") < col("label")).isEmpty
-      labels = updated.select(col("v"), col("newlabel").as("label"))
-      iter += 1
+      // materialize + test convergence every SECOND round: odd rounds stay
+      // lazy, so two propagation steps execute as one job — same shuffle
+      // count, half the job-submission/checkpoint/scan overhead (fixpoint
+      // detection shifts by at most one no-op round, bounded by maxIter)
+      if (iter % 2 == 0 || iter == maxIter) {
+        val mat = updated.localCheckpoint(true)
+        converged = mat.filter(col("newlabel") < col("label")).isEmpty
+        labels = mat.select(col("v"), col("newlabel").as("label"))
+      } else {
+        labels = updated.select(col("v"), col("newlabel").as("label"))
+      }
     }
     edges.unpersist(false)
     labels.select(col("v"), col("label"))
