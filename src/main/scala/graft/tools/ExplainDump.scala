@@ -21,7 +21,9 @@ object ExplainDump {
     val names = if (args.nonEmpty) args.toSeq
                 else Seq("q1_agg", "q3_top_orders", "q5_region_revenue",
                          "dedup_minhash_pairs", "dedup_ngram_jaccard",
-                         "ann_brute_topk", "ann_lsh_topk", "text_stats")
+                         "dedup_clusters", "decontam_hits", "doc_pipeline_kept",
+                         "ann_brute_topk", "ann_lsh_topk", "ann_quantized_topk",
+                         "agg_approx_sketch", "w3_sessions", "text_stats")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
