@@ -144,12 +144,23 @@ final class NdjsonGzipSink(basePath: String, maxRecordsPerFile: Long = 1000000)
   override def getColumns(id: CollectionId): Option[StructType] = None
 
   override def insert(id: CollectionId, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append)
+    write(df, SaveMode.Append, path(id))
+
+  /** Batch-keyed write: a replayed batch OVERWRITES its own directory —
+    * the same effectively-once trick as the reference's S3 sink, which
+    * keys each object by (table, batch offsets) so replays collide
+    * (S3DatabaseHandler.java:219-233) instead of duplicating.
+    */
+  override def insert(id: CollectionId, df: DataFrame, batchId: Long): Unit =
+    write(df, SaveMode.Overwrite, s"${path(id)}/batch=$batchId")
+
+  private def write(df: DataFrame, mode: SaveMode, target: String): Unit =
+    df.write.mode(mode)
       .option("compression", "gzip")
       .option("dateFormat", "yyyyMMdd") // BASIC_ISO_DATE, ref S3DatabaseHandler.java:241
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .json(path(id))
+      .json(target)
 }
 
 /** In-memory sink for tests + the commit-barrier specs (the reference's

@@ -39,6 +39,18 @@ class SinkSpec extends SparkSpec {
     assert(dirs.length == 1 && dirs.head.startsWith("batch=compact-"))
   }
 
+  test("ndjson sink: replayed batch overwrites its own directory, no duplicates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("ndjson").toString
+    val sink = new graft.sinks.NdjsonGzipSink(base)
+    val id = CollectionId("p", "c")
+    sink.insert(id, Seq(("a", 1)).toDF("s", "n"), batchId = 7)
+    sink.insert(id, Seq(("a", 1)).toDF("s", "n"), batchId = 7) // replay
+    sink.insert(id, Seq(("b", 2)).toDF("s", "n"), batchId = 8)
+    val back = spark.read.json(s"$base/p/c/batch=*")
+    assert(back.count() == 2)
+  }
+
   test("ORC format roundtrips with schema evolution (the reference's Raptor format)") {
     import spark.implicits._
     val base = Files.createTempDirectory("sinkorc").toString
