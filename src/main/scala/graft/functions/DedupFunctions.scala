@@ -154,10 +154,13 @@ object DedupFunctions {
     require(60 % nBands == 0, s"maxHamming + 1 = $nBands must divide 60")
     val bandBits = 60 / nBands
     val mask = (1L << bandBits) - 1
+    // localCheckpoint (not persist): both join sides read the signatures,
+    // and checkpointed RDDs are released by the ContextCleaner once the
+    // result is no longer referenced — a persist here would pin one cached
+    // copy per call for the session lifetime
     val sigs = df.select(col(idCol).as("_id"),
         simhash64(col(textCol)).as("_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count() // eager: both join sides read this
+      .localCheckpoint(true)
     val banded = sigs.select(col("_id"), col("_sig"),
       explode(array((0 until nBands).map(b => struct(
         lit(b).as("b"),

@@ -267,19 +267,25 @@ object AvroIngest {
       case (id, st) => id -> (avroSchema(st, id.collection, names).toString, st)
     }
 
+    // bulk pointers (tag 3) ride the routed pass under a marker routing key
+    // so the source is still scanned exactly ONCE per batch
+    val wantBulk = bulkFetch.isDefined
     val routed = records.select(col("key").cast("string"), col("value"))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (key, payload) =>
           routingOf(key, payload, keySep) match {
             case Some(id) => (id.project, id.collection, key, payload)
-            case None     => (null, null, key, payload)
+            case None =>
+              if (wantBulk && kindOf(payload) == RecordKind.BulkPointer)
+                (BulkMarker, BulkMarker, key, payload)
+              else (null, null, key, payload)
           }
         }
       }.toDF("_project", "_collection", "key", "value")
       .filter(col("_project").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inline: Map[CollectionId, Long] = try {
+    try {
       // one tiny aggregation tells which collections are present (absent
       // ones skip their decode+write jobs entirely) and how big each is —
       // writes go LARGEST-FIRST, the reference's MiddlewareBuffer flush
@@ -288,7 +294,8 @@ object AvroIngest {
         .collect()
         .map(r => CollectionId(r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
-      schemas.keys.toSeq.filter(present.contains)
+      val inline: Map[CollectionId, Long] =
+        schemas.keys.toSeq.filter(present.contains)
         .sortBy(id => -present(id)).flatMap { id =>
         val (avroJson, rowSchema) = schemaPairs(id)
         val enc = Encoders.row(rowSchema)
@@ -320,36 +327,50 @@ object AvroIngest {
         val n = graft.util.ObservedCount(obs)(deduped.count())
         if (n > 0) Some(id -> n) else None
       }.toMap
-    } finally routed.unpersist(false)
 
-    bulkFetch match {
-      case None => inline
-      case Some(fetch) =>
-        // S4: tag-3 records carry object-store pointers — expand them
-        // through the fetcher (environment-specific client, injected)
-        val pointers = records.select(col("value")).as[Array[Byte]]
-          .flatMap(bulkPointerOf(_))
-        val bulk = processBulk(pointers, registry, sink, fetch, names,
-          // disjoint replay-marker space: an inline write and a bulk write
-          // of the SAME collection in the SAME batch must not dedupe each
-          // other at the sink
-          if (batchId >= 0) batchId + BulkBatchIdOffset else batchId)
-        (inline.keySet ++ bulk.keySet).map(id =>
-          id -> (inline.getOrElse(id, 0L) + bulk.getOrElse(id, 0L))).toMap
-    }
+      bulkFetch match {
+        case None => inline
+        case Some(fetch) =>
+          // S4: expand tag-3 pointers (already tagged in the cached routed
+          // batch — no second source scan) through the injected fetcher
+          val pointers = routed.filter(col("_project") === BulkMarker)
+            .select(col("value")).as[Array[Byte]]
+            .flatMap(bulkPointerOf(_))
+          val bulk = processBulk(pointers, registry, sink, fetch, names,
+            // disjoint replay-marker space: an inline write and a bulk
+            // write of the SAME collection in the SAME batch must not
+            // dedupe each other at the sink
+            if (batchId >= 0) batchId + BulkBatchIdOffset else batchId)
+          (inline.keySet ++ bulk.keySet).map(id =>
+            id -> (inline.getOrElse(id, 0L) + bulk.getOrElse(id, 0L))).toMap
+      }
+    } finally routed.unpersist(false)
   }
 
   /** Keeps bulk-expansion batch markers disjoint from inline ones. */
   val BulkBatchIdOffset: Long = 1L << 40
 
+  /** Routing-key marker for tag-3 rows inside the routed batch. The empty
+    * string is collision-proof: `CollectionId.normalize` requires
+    * non-empty project/collection, so no real routing key can equal it.
+    */
+  private val BulkMarker: String = ""
+
   /** S4 — distributed bulk-object expansion: fetch each pointed-to object
-    * ONCE (cached bytes), then decode per present collection off the cache
-    * — the same single-fetch/filtered-decode shape as [[processBatch]].
-    * `fetch` is the injected object-store client (S3/GCS/file), serialized
-    * to executors; one object = one fetch+decode task, so throughput
-    * scales with pointer count. Objects referencing unregistered
-    * collections are skipped whole (the stream can't be resumed past an
-    * unknown schema — record-skip semantics, F3).
+    * ONCE (cached bytes); `fetch` is the injected object-store client
+    * (S3/GCS/file), serialized to executors; one object = one fetch+decode
+    * task, so throughput scales with pointer count. Objects referencing
+    * unregistered collections are skipped whole (the stream can't be
+    * resumed past an unknown schema — record-skip semantics, F3).
+    *
+    * Decode cost: frames INTERLEAVE collections inside one byte stream, so
+    * reaching collection X's records requires walking the whole object —
+    * the per-collection pass re-decodes the cached bytes, costing C+1
+    * record decodes for a C-collection object (fetch stays 1×). That is
+    * near-optimal for the reference's typical few-tables-per-object shape;
+    * a decode-once/re-encode-per-collection pipeline only wins for large C
+    * and would add a full Row→Avro encoder — revisit if bulk objects with
+    * many collections become the norm.
     */
   def processBulk(pointers: org.apache.spark.sql.Dataset[String],
                   registry: graft.schema.EventSchema.Registry,

@@ -33,21 +33,16 @@ object EventOps {
     * `(_user, _time)` (ref kinesis/AvroDuplicateHandler.java:93-111).
     * Rows with a null user or time pass through UNdeduplicated — the
     * reference only drops on a PRESENT key (isUnique), and a plain
-    * `dropDuplicates` would silently collapse all null-key rows. One
-    * window shuffle: null-key rows get a unique synthetic partition key so
-    * each is its own group. The streaming flavor with TTL state lives in
-    * [[graft.streaming.IngestStream.deduplicated]].
+    * `dropDuplicates` over the whole frame would silently collapse all
+    * null-key rows. The split is fully deterministic (no synthetic ids in
+    * shuffle keys — a recomputed stage after shuffle-fetch failure must
+    * reproduce identical partitioning); only the keyed branch shuffles.
     */
   def dedupExact(df: DataFrame, names: FieldNames = FieldNames()): DataFrame = {
     val hasKey =
       col(names.userField).isNotNull && col(names.timeField).isNotNull
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(names.userField), col(names.timeField),
-        when(hasKey, lit(0L)).otherwise(monotonically_increasing_id()))
-      .orderBy(lit(1))
-    df.withColumn("_graft_dedup_rk", row_number().over(w))
-      .where(col("_graft_dedup_rk") === 1)
-      .drop("_graft_dedup_rk")
+    df.where(hasKey).dropDuplicates(Seq(names.userField, names.timeField))
+      .unionByName(df.where(!hasKey))
   }
 
   /** Result of the real-time/historical split (F4). */

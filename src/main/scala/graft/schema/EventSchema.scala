@@ -118,8 +118,11 @@ object EventSchema {
       java.nio.file.Files.writeString(path, toJson)
 
     /** Hadoop-FS flavor so the registry can live next to the streaming
-      * checkpoint on any scheme (file:/hdfs:/s3a:). Written atomically via
-      * rename where the filesystem supports it.
+      * checkpoint on any scheme (file:/hdfs:/s3a:). Written via
+      * rename-with-OVERWRITE (FileContext) — one atomic step, so a crash
+      * mid-save leaves either the old registry or the new one, never
+      * neither (delete-then-rename would have a window with NO file, and a
+      * restart would silently start from an empty registry).
       */
     def save(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -128,9 +131,10 @@ object EventSchema {
       val out = fs.create(tmp, true)
       try out.write(toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"registry save rename failed: $tmp -> $p")
+      val qualified = fs.makeQualified(p)
+      org.apache.hadoop.fs.FileContext.getFileContext(qualified.toUri, conf)
+        .rename(fs.makeQualified(tmp), qualified,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
     /** Load if present; returns whether anything was read. */

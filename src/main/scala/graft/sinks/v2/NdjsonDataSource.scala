@@ -158,7 +158,7 @@ class NdjsonBatchWrite(path: String, queryId: String, maxBytes: Long) extends Ba
     new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    NdjsonCommit.rename(path, queryId, messages)
+    NdjsonCommit.rename(path, queryId, messages, streaming = false)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     NdjsonCommit.cleanup(path, queryId)
@@ -169,7 +169,7 @@ class NdjsonStreamingWrite(path: String, queryId: String, maxBytes: Long) extend
     new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    NdjsonCommit.rename(path, queryId, messages)
+    NdjsonCommit.rename(path, queryId, messages, streaming = true)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     NdjsonCommit.cleanup(path, queryId)
@@ -184,21 +184,25 @@ object NdjsonCommit {
   /** Driver-side commit barrier: every staged file renamed into place;
     * only after all tasks succeeded (Spark guarantees message completeness).
     *
-    * Idempotent under epoch replay: a crashed-then-replayed streaming epoch
-    * regenerates the same final names (`part-<pid>-<n>-e<epoch>`), and
-    * `FileSystem.rename` onto an existing target returns false on HDFS/S3A —
-    * an already-present target means the first attempt committed that file,
-    * so the staged duplicate is dropped instead of wedging the query.
-    * Cleanup is scoped to this query's staging dir so concurrent queries on
-    * the same path keep their in-flight files.
+    * STREAMING commits are idempotent under epoch replay: a
+    * crashed-then-replayed epoch regenerates the same final names
+    * (`part-<pid>-<n>-e<epoch>`), so an already-present target means the
+    * first attempt committed that file and the staged duplicate is dropped
+    * instead of wedging the query. BATCH commits never skip — batch file
+    * names carry a per-job token (no cross-job collisions by
+    * construction), so an existing target there is a real conflict and
+    * must fail loudly rather than silently discard data. Cleanup is scoped
+    * to this query's staging dir so concurrent queries on the same path
+    * keep their in-flight files.
     */
-  def rename(base: String, queryId: String, messages: Array[WriterCommitMessage]): Unit = {
+  def rename(base: String, queryId: String, messages: Array[WriterCommitMessage],
+             streaming: Boolean): Unit = {
     val (filesystem, basePath) = fs(base)
     messages.foreach {
       case StagedFiles(files) => files.foreach { case (staged, relative) =>
         val target = new Path(basePath, relative)
-        if (filesystem.exists(target)) {
-          filesystem.delete(new Path(staged), false) // replay: already committed
+        if (streaming && filesystem.exists(target)) {
+          filesystem.delete(new Path(staged), false) // epoch replay: committed
         } else {
           filesystem.mkdirs(target.getParent)
           if (!filesystem.rename(new Path(staged), target))
@@ -253,7 +257,12 @@ class NdjsonDataWriter(base: String, queryId: String, maxBytes: Long,
     val done = mutable.Buffer[(String, String)]()
 
     def open(): Unit = {
-      val name = f"part-$partitionId%05d-$n-e$epoch.ndjson.gz"
+      // streaming epochs get deterministic names so a replayed epoch
+      // COLLIDES with its first attempt (commit skips the duplicate);
+      // batch jobs get a per-job token so two appends to the same path
+      // never collide — batch never replays through commit()
+      val token = if (epoch >= 0) s"e$epoch" else s"q${queryId.take(8)}"
+      val name = f"part-$partitionId%05d-$n-$token.ndjson.gz"
       staged = s"$taskDir/$project/$collection/$name"
       done += ((staged, s"$project/$collection/$name"))
       out = new GZIPOutputStream(filesystem.create(new Path(staged), true))

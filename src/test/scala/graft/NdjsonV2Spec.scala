@@ -91,16 +91,34 @@ class NdjsonV2Spec extends SparkSpec {
 
     val first = stage("q1", "attempt-1")
     NdjsonCommit.rename(out.toString, "q1",
-      Array(StagedFiles(Seq((first, rel)))))
+      Array(StagedFiles(Seq((first, rel)))), streaming = true)
     assert(Files.exists(out.resolve(rel)))
 
     // replayed epoch: same final name regenerated — must not throw, must
     // not duplicate, and must clean its own staged copy
     val replay = stage("q1", "attempt-2")
     NdjsonCommit.rename(out.toString, "q1",
-      Array(StagedFiles(Seq((replay, rel)))))
+      Array(StagedFiles(Seq((replay, rel)))), streaming = true)
     assert(new String(Files.readAllBytes(out.resolve(rel))) == "attempt-1")
     assert(!Files.exists(out.resolve("_staging/q1")))
     assert(Files.exists(java.nio.file.Paths.get(otherStaged)))
+
+    // BATCH commits must never silently skip: a name collision there is a
+    // real conflict, not a replay
+    val batchDup = stage("q2", "batch-data")
+    intercept[java.io.IOException] {
+      NdjsonCommit.rename(out.toString, "q2",
+        Array(StagedFiles(Seq((batchDup, rel)))), streaming = false)
+    }
+  }
+
+  test("two batch appends to the same path never collide (per-job name token)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("v2append")
+    Seq(("demo", "ev", "x1")).toDF("project", "collection", "value")
+      .write.format("graft-ndjson").mode("append").save(out.toString)
+    Seq(("demo", "ev", "x2")).toDF("project", "collection", "value")
+      .write.format("graft-ndjson").mode("append").save(out.toString)
+    assert(gzLines(out.resolve("demo/ev")).toSet == Set("x1", "x2"))
   }
 }
