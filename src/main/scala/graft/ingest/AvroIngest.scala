@@ -313,11 +313,14 @@ object AvroIngest {
             }
           }(enc)
         // F2 per-batch duplicate drop on (user, time) — the reference's
-        // AvroDuplicateHandler runs on the DECODED record (null keys pass)
+        // AvroDuplicateHandler runs on the DECODED record (null keys pass).
+        // The dedup split reads its input twice; a lazy checkpoint keeps
+        // the record decode at once-per-record
         val deduped =
           if (dedupBatch && rowSchema.fieldNames.contains(names.userField) &&
               rowSchema.fieldNames.contains(names.timeField))
-            graft.operators.EventOps.dedupExact(decoded, names)
+            graft.operators.EventOps.dedupExact(
+              decoded.localCheckpoint(false), names)
           else decoded
         // the write is the one action; the count rides along on it.
         // batch id flows through for sink-side replay idempotence (C1)
