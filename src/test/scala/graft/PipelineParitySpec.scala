@@ -182,6 +182,24 @@ class IngestRoundTripPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: arbitrary garbage never throws from the parse surface (F3)") {
+    val garbage = Gen.oneOf(
+      Gen.asciiStr.map(_.take(200)),
+      Gen.listOf(Gen.chooseNum(Char.MinValue, Char.MaxValue)).map(_.mkString.take(200)),
+      Gen.const(""), Gen.const("{"), Gen.const("""{"data":"""),
+      Gen.const("""{"data":{"_project":123,"_collection":{}}}"""),
+      Gen.asciiStr.map(s => s"""{"data":{"_project":"p","_collection":"c",$s"""))
+    samples(garbage, 200).foreach { s =>
+      // record-skip semantics: malformed input yields None, never an
+      // exception that would poison the partition
+      for (d <- Seq(JsonDialect.Fabric, JsonDialect.Rakam)) {
+        JsonEventParser.routing(s, d)
+        JsonEventParser.decouple(s, d, names)
+        JsonEventParser.inferEvent(s, d, names)
+      }
+    }
+  }
+
   test("property: arrays infer from first element and round-trip") {
     samples(Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000)).map(_.take(10))).foreach { xs =>
       val json = s"""{"data":{"_project":"p","_collection":"c","arr":[${xs.mkString(",")}]}}"""
