@@ -384,11 +384,16 @@ object SparkEntry {
       import s.implicits._
       val e = tbl(s, dir, "events")
         .select($"user_id", $"event_type", expr("ts div 1000000").as("ms"))
+      // each stage is read twice (its own count + the next stage's join);
+      // lazy checkpoints materialize each once instead of re-running the
+      // whole upstream funnel per use
       val v = e.filter($"event_type" === "view")
         .groupBy($"user_id").agg(min($"ms").as("v_ms"))
+        .localCheckpoint(false)
       val c = e.filter($"event_type" === "click").join(v, "user_id")
         .filter($"ms" > $"v_ms")
         .groupBy($"user_id").agg(min($"ms").as("c_ms"))
+        .localCheckpoint(false)
       val p = e.filter($"event_type" === "purchase").join(c, "user_id")
         .filter($"ms" > $"c_ms")
         .groupBy($"user_id").agg(min($"ms").as("p_ms"))

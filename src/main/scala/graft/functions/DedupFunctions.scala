@@ -269,6 +269,14 @@ object DedupFunctions {
       }
     }
     edges.unpersist(false)
+    // silently returning half-propagated labels would split one duplicate
+    // family into several "clusters" — the exact failure this operator
+    // exists to prevent — so non-convergence is an error, not a result
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+        "raise maxIter, or use a large-star/small-star variant for " +
+        "high-diameter graphs")
     labels.select(col("v"), col("label"))
   }
 }

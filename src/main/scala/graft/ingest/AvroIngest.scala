@@ -42,7 +42,9 @@ object AvroIngest {
   }
 
   def kindOf(payload: Array[Byte]): RecordKind =
-    if (payload.isEmpty) RecordKind.Unknown(-1)
+    // null = a Kafka tombstone record; must record-skip (F3), not NPE the
+    // whole batch into a crash-loop on the same offsets
+    if (payload == null || payload.isEmpty) RecordKind.Unknown(-1)
     else payload(0) match {
       case 0 => RecordKind.Inline(collectionFromPayload = false)
       case 2 => RecordKind.Inline(collectionFromPayload = true)
@@ -299,7 +301,6 @@ object AvroIngest {
         .sortBy(id => -present(id)).flatMap { id =>
         val (avroJson, rowSchema) = schemaPairs(id)
         val enc = Encoders.row(rowSchema)
-        val obs = Observation()
         val decoded = routed
           .filter(col("_project") === id.project && col("_collection") === id.collection)
           .select(col("key"), col("value")).as[(String, Array[Byte])]
@@ -322,12 +323,9 @@ object AvroIngest {
             graft.operators.EventOps.dedupExact(
               decoded.localCheckpoint(false), names)
           else decoded
-        // the write is the one action; the count rides along on it.
-        // batch id flows through for sink-side replay idempotence (C1)
-        val observed = deduped.observe(obs, count(lit(1)).as("n"))
-        if (batchId >= 0) sink.insert(id, observed, batchId)
-        else sink.insert(id, observed)
-        val n = graft.util.ObservedCount(obs)(deduped.count())
+        // the write is the one action; the count rides along on it (C1:
+        // batch id flows through for sink-side replay idempotence)
+        val n = graft.util.ObservedCount.insertCounted(sink, id, deduped, batchId)
         if (n > 0) Some(id -> n) else None
       }.toMap
 
@@ -399,35 +397,43 @@ object AvroIngest {
       })
     }
 
-    val fetched = pointers.map(fetch(_))
+    val fetched = pointers.map(p => (p, fetch(p)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val present = fetched.mapPartitions { it =>
+      // which collections live in which OBJECT (bounded: objects/batch ×
+      // collections/object) — the per-collection pass below then decodes
+      // only the objects that actually contain it, so a single-collection
+      // object is decoded twice total, not once per collection in the batch
+      val membership = fetched.mapPartitions { it =>
         val lookup = lookupFor()
-        it.flatMap { bytes =>
-          try readBulkObject(bytes, lookup, names).map(_._1).distinct
+        it.flatMap { case (ptr, bytes) =>
+          try readBulkObject(bytes, lookup, names).map(_._1).distinct.map(ptr -> _)
           catch { case _: Exception => Seq.empty }
         }
-      }.distinct().collect().toSet
+      }.distinct().collect()
+      val byCollection: Map[CollectionId, Set[String]] =
+        membership.groupBy(_._2).map { case (cid, arr) =>
+          cid -> arr.map(_._1).toSet
+        }
 
-      present.toSeq.sortBy(id => (id.project, id.collection)).flatMap { id =>
-        val rowSchema = schemaPairs(id)._2
-        val enc = Encoders.row(rowSchema)
-        val obs = Observation()
-        val decoded = fetched.mapPartitions { it =>
-          val lookup = lookupFor()
-          it.flatMap { bytes =>
-            try readBulkObject(bytes, lookup, names)
-              .collect { case (cid, row) if cid == id => row }
-            catch { case _: Exception => Seq.empty }
-          }
-        }(enc)
-        val observed = decoded.observe(obs, count(lit(1)).as("n"))
-        if (batchId >= 0) sink.insert(id, observed, batchId)
-        else sink.insert(id, observed)
-        val n = graft.util.ObservedCount(obs)(decoded.count())
-        if (n > 0) Some(id -> n) else None
-      }.toMap
+      byCollection.keys.toSeq.sortBy(id => (id.project, id.collection))
+        .flatMap { id =>
+          val rowSchema = schemaPairs(id)._2
+          val enc = Encoders.row(rowSchema)
+          val ptrs = byCollection(id)
+          val decoded = fetched
+            .filter(r => ptrs.contains(r._1))
+            .mapPartitions { it =>
+              val lookup = lookupFor()
+              it.flatMap { case (_, bytes) =>
+                try readBulkObject(bytes, lookup, names)
+                  .collect { case (cid, row) if cid == id => row }
+                catch { case _: Exception => Seq.empty }
+              }
+            }(enc)
+          val n = graft.util.ObservedCount.insertCounted(sink, id, decoded, batchId)
+          if (n > 0) Some(id -> n) else None
+        }.toMap
     } finally fetched.unpersist(false)
   }
 

@@ -77,23 +77,44 @@ object EventSchema {
     */
   final class Registry(names: FieldNames = FieldNames()) extends Serializable {
     private val schemas = new java.util.concurrent.ConcurrentHashMap[CollectionId, StructType]()
+    // monotonic change counter: lets persistence skip the (FS round-trip)
+    // save when nothing evolved since the last one
+    private val version = new java.util.concurrent.atomic.AtomicLong(0)
+    private val savedVersions =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
     def get(id: CollectionId): Option[StructType] = Option(schemas.get(id))
 
     /** getColumns with create-if-missing semantics (D8). */
-    def getOrCreate(id: CollectionId): StructType =
-      schemas.computeIfAbsent(id, _ => defaultSchema(names))
+    def getOrCreate(id: CollectionId): StructType = {
+      val existing = schemas.get(id)
+      if (existing != null) existing
+      else {
+        val created = schemas.computeIfAbsent(id, _ => defaultSchema(names))
+        version.incrementAndGet()
+        created
+      }
+    }
 
     /** addColumns: merge observed fields into the authoritative order (D9).
       * Returns the post-merge schema.
       */
-    def addColumns(id: CollectionId, observed: StructType): StructType =
-      schemas.compute(id, (_, cur) => {
+    def addColumns(id: CollectionId, observed: StructType): StructType = {
+      var changed = false
+      val out = schemas.compute(id, (_, cur) => {
         val base = if (cur == null) defaultSchema(names) else cur
-        evolve(base, observed)
+        val evolved = evolve(base, observed)
+        if (cur == null || evolved != cur) changed = true
+        evolved
       })
+      if (changed) version.incrementAndGet()
+      out
+    }
 
-    def put(id: CollectionId, schema: StructType): Unit = schemas.put(id, schema)
+    def put(id: CollectionId, schema: StructType): Unit = {
+      schemas.put(id, schema)
+      version.incrementAndGet()
+    }
 
     def all: Map[CollectionId, StructType] = {
       import scala.jdk.CollectionConverters._
@@ -137,6 +158,22 @@ object EventSchema {
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
+    /** Per-batch persistence entry point: skips the filesystem round-trip
+      * when nothing evolved since the last save to `path` (the steady
+      * state — stable schemas, every trigger). Returns whether a save ran.
+      */
+    def saveIfChanged(path: String,
+                      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+      val v = version.get()
+      val saved = savedVersions.get(path)
+      if (saved != null && saved.longValue() == v) false
+      else {
+        save(path, conf)
+        savedVersions.put(path, v)
+        true
+      }
+    }
+
     /** Load if present; returns whether anything was read. */
     def load(path: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -147,6 +184,8 @@ object EventSchema {
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       fromJson(body)
+      // the just-loaded state IS the durable state at this path
+      savedVersions.put(path, version.get())
       true
     }
 

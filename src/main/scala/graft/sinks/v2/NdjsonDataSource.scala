@@ -169,7 +169,8 @@ class NdjsonStreamingWrite(path: String, queryId: String, maxBytes: Long) extend
     new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    NdjsonCommit.rename(path, queryId, messages, streaming = true)
+    NdjsonCommit.rename(path, queryId, messages, streaming = true,
+      epoch = epochId)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     NdjsonCommit.cleanup(path, queryId)
@@ -184,25 +185,39 @@ object NdjsonCommit {
   /** Driver-side commit barrier: every staged file renamed into place;
     * only after all tasks succeeded (Spark guarantees message completeness).
     *
-    * STREAMING commits are idempotent under epoch replay: a
-    * crashed-then-replayed epoch regenerates the same final names
-    * (`part-<pid>-<n>-e<epoch>`), so an already-present target means the
-    * first attempt committed that file and the staged duplicate is dropped
-    * instead of wedging the query. BATCH commits never skip — batch file
-    * names carry a per-job token (no cross-job collisions by
-    * construction), so an existing target there is a real conflict and
-    * must fail loudly rather than silently discard data. Cleanup is scoped
-    * to this query's staging dir so concurrent queries on the same path
-    * keep their in-flight files.
+    * STREAMING commits are idempotent under epoch replay, guarded by an
+    * epoch MANIFEST (`_epochs/<queryId>/e<epoch>`, written after all
+    * renames land): a replayed epoch that already committed drops its
+    * staged files wholesale — name-based checks alone would miss a replay
+    * whose partition split changed (different part numbers → no
+    * collisions → silent duplication). Same-name collisions inside an
+    * unfinished epoch (crash mid-commit, identical plan) still skip
+    * per-file. BATCH commits never skip — batch file names carry the full
+    * per-job id (no cross-job collisions by construction), so an existing
+    * target there is a real conflict and must fail loudly rather than
+    * silently discard data. Cleanup is scoped to this query's staging dir
+    * so concurrent queries on the same path keep their in-flight files.
     */
   def rename(base: String, queryId: String, messages: Array[WriterCommitMessage],
-             streaming: Boolean): Unit = {
+             streaming: Boolean, epoch: Long = -1L): Unit = {
     val (filesystem, basePath) = fs(base)
+    val manifest = new Path(basePath, s"_epochs/$queryId/e$epoch")
+    if (streaming && filesystem.exists(manifest)) {
+      // whole epoch already committed: drop every staged duplicate
+      messages.foreach {
+        case StagedFiles(files) => files.foreach { case (staged, _) =>
+          filesystem.delete(new Path(staged), false)
+        }
+        case _ => ()
+      }
+      cleanup(base, queryId)
+      return
+    }
     messages.foreach {
       case StagedFiles(files) => files.foreach { case (staged, relative) =>
         val target = new Path(basePath, relative)
         if (streaming && filesystem.exists(target)) {
-          filesystem.delete(new Path(staged), false) // epoch replay: committed
+          filesystem.delete(new Path(staged), false) // partial replay: committed
         } else {
           filesystem.mkdirs(target.getParent)
           if (!filesystem.rename(new Path(staged), target))
@@ -210,6 +225,10 @@ object NdjsonCommit {
         }
       }
       case _ => ()
+    }
+    if (streaming) {
+      filesystem.mkdirs(manifest.getParent)
+      filesystem.create(manifest, true).close()
     }
     cleanup(base, queryId)
   }
@@ -259,9 +278,11 @@ class NdjsonDataWriter(base: String, queryId: String, maxBytes: Long,
     def open(): Unit = {
       // streaming epochs get deterministic names so a replayed epoch
       // COLLIDES with its first attempt (commit skips the duplicate);
-      // batch jobs get a per-job token so two appends to the same path
-      // never collide — batch never replays through commit()
-      val token = if (epoch >= 0) s"e$epoch" else s"q${queryId.take(8)}"
+      // batch jobs get the FULL per-job id so two appends to the same
+      // path can never collide — batch never replays through commit(),
+      // and a truncated token would re-open silent-overwrite collisions
+      // on POSIX filesystems where rename replaces existing targets
+      val token = if (epoch >= 0) s"e$epoch" else s"q$queryId"
       val name = f"part-$partitionId%05d-$n-$token.ndjson.gz"
       staged = s"$taskDir/$project/$collection/$name"
       done += ((staged, s"$project/$collection/$name"))

@@ -1,6 +1,9 @@
 package graft.util
 
-import org.apache.spark.sql.Observation
+import graft.schema.CollectionId
+import graft.sinks.EventSink
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Reads a row count that was folded into a sink write via
   * `df.observe(obs, count(...))` — so the insert and its count accounting
@@ -31,5 +34,21 @@ object ObservedCount {
         case _         => fallback
       }
     } catch { case _: java.util.concurrent.TimeoutException => fallback }
+  }
+
+  /** One insert attempt with the row count riding the write job — the
+    * single shared implementation for every batch path. The Observation is
+    * created PER ATTEMPT: Spark's listener completes an observation on a
+    * FAILED execution too (with a zero/partial row), so reusing one across
+    * a retry would return the poisoned first-attempt count after a
+    * successful retry. Callers wrap THIS in their retry policy.
+    */
+  def insertCounted(sink: EventSink, id: CollectionId, df: DataFrame,
+                    batchId: Long): Long = {
+    val obs = Observation()
+    val observed = df.observe(obs, count(lit(1)).as("n"))
+    if (batchId >= 0) sink.insert(id, observed, batchId)
+    else sink.insert(id, observed)
+    apply(obs)(df.count())
   }
 }

@@ -33,6 +33,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("saveIfChanged skips the filesystem when nothing evolved") {
+    val registry = new EventSchema.Registry()
+    val id = CollectionId("p", "c")
+    registry.addColumns(id, StructType(Seq(StructField("a", DoubleType))))
+    val path = java.nio.file.Files.createTempDirectory("reg").toString + "/reg.json"
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(registry.saveIfChanged(path, conf))        // first save runs
+    assert(!registry.saveIfChanged(path, conf))       // steady state: skipped
+    registry.addColumns(id, StructType(Seq(StructField("b", StringType))))
+    assert(registry.saveIfChanged(path, conf))        // evolution → save
+    // re-observing existing columns is NOT a change
+    registry.addColumns(id, StructType(Seq(StructField("b", StringType))))
+    assert(!registry.saveIfChanged(path, conf))
+    // a fresh registry that LOADS is already durable — no immediate re-save
+    val loaded = new EventSchema.Registry()
+    assert(loaded.load(path, conf))
+    assert(!loaded.saveIfChanged(path, conf))
+  }
+
   test("registry evolution is thread-safe under concurrent addColumns") {
     import scala.jdk.CollectionConverters._
     val registry = new EventSchema.Registry()

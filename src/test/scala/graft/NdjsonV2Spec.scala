@@ -91,17 +91,26 @@ class NdjsonV2Spec extends SparkSpec {
 
     val first = stage("q1", "attempt-1")
     NdjsonCommit.rename(out.toString, "q1",
-      Array(StagedFiles(Seq((first, rel)))), streaming = true)
+      Array(StagedFiles(Seq((first, rel)))), streaming = true, epoch = 5)
     assert(Files.exists(out.resolve(rel)))
+    assert(Files.exists(out.resolve("_epochs/q1/e5"))) // epoch manifest
 
     // replayed epoch: same final name regenerated — must not throw, must
     // not duplicate, and must clean its own staged copy
     val replay = stage("q1", "attempt-2")
     NdjsonCommit.rename(out.toString, "q1",
-      Array(StagedFiles(Seq((replay, rel)))), streaming = true)
+      Array(StagedFiles(Seq((replay, rel)))), streaming = true, epoch = 5)
     assert(new String(Files.readAllBytes(out.resolve(rel))) == "attempt-1")
     assert(!Files.exists(out.resolve("_staging/q1")))
     assert(Files.exists(java.nio.file.Paths.get(otherStaged)))
+
+    // replay with a DIFFERENT partition split: new names would not collide,
+    // but the epoch manifest blocks the whole duplicate commit
+    val rel2 = "demo/ev/part-00009-0-e5.ndjson.gz"
+    val splitReplay = stage("q1", "attempt-3")
+    NdjsonCommit.rename(out.toString, "q1",
+      Array(StagedFiles(Seq((splitReplay, rel2)))), streaming = true, epoch = 5)
+    assert(!Files.exists(out.resolve(rel2)), "different-split replay duplicated data")
 
     // BATCH commits must never silently skip: a name collision there is a
     // real conflict, not a replay
