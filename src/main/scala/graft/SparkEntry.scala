@@ -592,6 +592,15 @@ object SparkEntry {
           sum(TextFunctions.tokenCount($"chunk")).as("sum_chunk_tokens"))
     }),
 
+    // Column profiling over the corpus (row/null/distinct counts, min/max
+    // per column) — the pre-training data-quality pass.
+    "profile_documents" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"lang", $"source",
+        length($"text").as("text_len"))
+      graft.operators.Profiler.profile(d).orderBy($"column")
+    }),
+
     // Cleaning normalization: stopword-stripped, whitespace-collapsed text.
     "text_normalize" -> ((s, dir) => {
       import s.implicits._
@@ -1331,6 +1340,18 @@ object SparkEntry {
          |SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
          |       sum(len(toks[s+1:s+64]))::BIGINT AS sum_chunk_tokens
          |FROM c""".stripMargin,
+
+    "profile_documents" -> {
+      def col1(name: String, expr: String) =
+        s"""SELECT '$name' AS "column", count(*) AS n_rows,
+           |  count(*) - count($expr) AS n_nulls,
+           |  count(DISTINCT $expr) AS n_distinct,
+           |  min($expr)::VARCHAR AS min_value, max($expr)::VARCHAR AS max_value
+           |FROM documents""".stripMargin
+      Seq(col1("doc_id", "doc_id"), col1("lang", "lang"),
+          col1("source", "source"), col1("text_len", "length(text)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "text_normalize" -> {
       val stop = sqlList(TextFunctions.LangMarkers.toMap.apply("en"))

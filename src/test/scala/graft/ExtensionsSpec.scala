@@ -33,6 +33,19 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("profiler: per-column rows/nulls/distinct/min/max") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a"))).toDF("id", "s")
+    val p = graft.operators.Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 3 && p("id").getLong(2) == 0)
+    assert(p("id").getLong(3) == 3)                       // distinct ids
+    assert(p("id").getString(4) == "1" && p("id").getString(5) == "3")
+    assert(p("s").getLong(2) == 1)                        // one null
+    assert(p("s").getLong(3) == 1)                        // distinct non-null
+    assert(p("s").getString(4) == "a" && p("s").getString(5) == "a")
+  }
+
   test("saveIfChanged skips the filesystem when nothing evolved") {
     val registry = new EventSchema.Registry()
     val id = CollectionId("p", "c")
