@@ -778,8 +778,6 @@ object SparkEntry {
 
     // ---- LLM-pipeline operators: multimodal plumbing ----------------
 
-    // Media features composed into ANN search (stub kernel → real
-    // similarity operators) — rows-only.
     // Media features composed into brute-force ANN (the point of the fixed
     // feature schema) — oracle-checked: DuckDB rebuilds the byte-histogram
     // features (float32-rounded, then double cosine, same fold order).
@@ -1051,7 +1049,7 @@ object SparkEntry {
       """SELECT event_type AS collection,
         |       count(*) AS n_events,
         |       count(CASE WHEN event_id % 10 = 0 THEN NULL ELSE 1 END) AS n_seen,
-        |       sum(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000) AS sum_time_s,
+        |       sum(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000)::BIGINT AS sum_time_s,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -183,9 +183,16 @@ object EventSchema {
       val body =
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
+      val hadEntries = !schemas.isEmpty
       fromJson(body)
-      // the just-loaded state IS the durable state at this path
-      savedVersions.put(path, version.get())
+      // The just-loaded state IS the durable state at this path — but only
+      // when the registry was empty before the load. If schemas were
+      // pre-registered in memory (e.g. startAvro), they may be absent from
+      // the file; marking the merged state durable would make saveIfChanged
+      // skip them until some later evolution, and a crash in that window
+      // would drop them. Leave savedVersions unseeded so the first
+      // saveIfChanged persists the merged registry.
+      if (!hadEntries) savedVersions.put(path, version.get())
       true
     }
 

@@ -213,6 +213,29 @@ object NdjsonCommit {
       cleanup(base, queryId)
       return
     }
+    if (streaming) {
+      // Roll back a partial first attempt: a crash mid-commit leaves some
+      // files renamed into place with this epoch's token but no manifest.
+      // If the replay's partition split changed, its part numbers differ —
+      // name collisions alone would let BOTH attempts' files survive
+      // (duplicate data). Epoch replay re-reads the same offsets, so the
+      // (project, collection) set is identical; sweeping just this
+      // replay's target dirs for `-e<epoch>` files is therefore complete,
+      // and bounded (no full-tree listing).
+      val suffix = s"-e$epoch.ndjson.gz"
+      val targetDirs = messages.flatMap {
+        case StagedFiles(files) =>
+          files.map { case (_, rel) => rel.substring(0, rel.lastIndexOf('/')) }
+        case _ => Nil
+      }.toSet
+      targetDirs.foreach { d =>
+        val dir = new Path(basePath, d)
+        if (filesystem.exists(dir)) filesystem.listStatus(dir).foreach { st =>
+          if (st.getPath.getName.endsWith(suffix))
+            filesystem.delete(st.getPath, false)
+        }
+      }
+    }
     messages.foreach {
       case StagedFiles(files) => files.foreach { case (staged, relative) =>
         val target = new Path(basePath, relative)
