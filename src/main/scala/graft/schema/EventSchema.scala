@@ -206,8 +206,18 @@ object EventSchema {
           case o: graft.ingest.JVal.JObj =>
             (o.toMap.get("project"), o.toMap.get("collection"), o.toMap.get("schema")) match {
               case (Some(graft.ingest.JVal.JStr(p)), Some(graft.ingest.JVal.JStr(c)), Some(sch)) =>
-                put(CollectionId(p, c), org.apache.spark.sql.types.DataType
-                  .fromJson(graft.ingest.JVal.encode(sch)).asInstanceOf[StructType])
+                val id = CollectionId(p, c)
+                val fileSchema = org.apache.spark.sql.types.DataType
+                  .fromJson(graft.ingest.JVal.encode(sch)).asInstanceOf[StructType]
+                // Merge-on-load: the durable file is the authoritative base
+                // order (reference MetadataDao.java:114-133 — registered
+                // columns keep their order, new ones append). A schema
+                // pre-registered in memory before the load (the startAvro
+                // window) is folded in as observed columns via evolve(),
+                // never clobbered by a possibly-stale file entry.
+                schemas.compute(id, (_, cur) =>
+                  if (cur == null) fileSchema else evolve(fileSchema, cur))
+                version.incrementAndGet()
               case _ => ()
             }
           case _ => ()

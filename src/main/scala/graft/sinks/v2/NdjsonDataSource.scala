@@ -220,9 +220,14 @@ object NdjsonCommit {
       // name collisions alone would let BOTH attempts' files survive
       // (duplicate data). Epoch replay re-reads the same offsets, so the
       // (project, collection) set is identical; sweeping just this
-      // replay's target dirs for `-e<epoch>` files is therefore complete,
-      // and bounded (no full-tree listing).
-      val suffix = s"-e$epoch.ndjson.gz"
+      // replay's target dirs for `-q<queryId>-e<epoch>` files is therefore
+      // complete, and bounded (no full-tree listing). The queryId in the
+      // suffix confines the sweep to THIS query's files: concurrent
+      // streaming queries on one base path share epoch numbering, and an
+      // epoch-only sweep would delete a sibling query's committed epoch-N
+      // output (the reference isolates writers per project queue,
+      // connector/s3/S3DatabaseHandler.java:389-479).
+      val suffix = s"-q$queryId-e$epoch.ndjson.gz"
       val targetDirs = messages.flatMap {
         case StagedFiles(files) =>
           files.map { case (_, rel) => rel.substring(0, rel.lastIndexOf('/')) }
@@ -299,13 +304,16 @@ class NdjsonDataWriter(base: String, queryId: String, maxBytes: Long,
     val done = mutable.Buffer[(String, String)]()
 
     def open(): Unit = {
-      // streaming epochs get deterministic names so a replayed epoch
-      // COLLIDES with its first attempt (commit skips the duplicate);
-      // batch jobs get the FULL per-job id so two appends to the same
-      // path can never collide — batch never replays through commit(),
-      // and a truncated token would re-open silent-overwrite collisions
-      // on POSIX filesystems where rename replaces existing targets
-      val token = if (epoch >= 0) s"e$epoch" else s"q$queryId"
+      // streaming epochs get deterministic PER-QUERY names so a replayed
+      // epoch COLLIDES with its first attempt (commit skips the duplicate)
+      // while two concurrent queries sharing the base path can never
+      // collide or sweep each other (queryId is restart-stable, epoch
+      // numbering is not query-unique); batch jobs get the FULL per-job id
+      // so two appends to the same path can never collide — batch never
+      // replays through commit(), and a truncated token would re-open
+      // silent-overwrite collisions on POSIX filesystems where rename
+      // replaces existing targets
+      val token = if (epoch >= 0) s"q$queryId-e$epoch" else s"q$queryId"
       val name = f"part-$partitionId%05d-$n-$token.ndjson.gz"
       staged = s"$taskDir/$project/$collection/$name"
       done += ((staged, s"$project/$collection/$name"))

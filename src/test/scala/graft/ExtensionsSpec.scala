@@ -104,6 +104,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(counts(1) == 900 && counts(50) == 1)
   }
 
+  test("load merges into pre-registered schemas instead of clobbering them") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val id = CollectionId("p", "c")
+    // durable state from an earlier run: _time, a:int
+    val old = new EventSchema.Registry()
+    old.put(id, StructType(Seq(
+      StructField("_time", TimestampType), StructField("a", IntegerType))))
+    val path = java.nio.file.Files.createTempDirectory("regmerge").toString + "/reg.json"
+    old.save(path, conf)
+
+    // restarted driver pre-registers BEFORE load (startAvro window): the
+    // same collection evolved — a widened to long, new column b
+    val reg = new EventSchema.Registry()
+    reg.addColumns(id, StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    assert(reg.load(path, conf))
+
+    // evolve semantics: file's authoritative order leads, pre-registered
+    // extras append, common types widen — NOT the file's stale schema
+    val merged = reg.get(id).get
+    assert(merged.fieldNames.toSeq == Seq("_time", "a", "_user", "b"))
+    assert(merged("a").dataType == LongType, "stale file type clobbered the widened one")
+    assert(merged("b").dataType == StringType)
+    // the merged (not-yet-durable) state must still trigger a save
+    assert(reg.saveIfChanged(path, conf))
+    assert(!reg.saveIfChanged(path, conf))
+  }
+
   test("registry save/load round-trips authoritative order") {
     val reg = new EventSchema.Registry()
     val id = CollectionId("p", "c")

@@ -79,7 +79,7 @@ class NdjsonV2Spec extends SparkSpec {
   test("commit is idempotent under epoch replay and scoped to its query") {
     import graft.sinks.v2.{NdjsonCommit, StagedFiles}
     val out = Files.createTempDirectory("v2replay")
-    val rel = "demo/ev/part-00000-0-e5.ndjson.gz"
+    val rel = "demo/ev/part-00000-0-qq1-e5.ndjson.gz"
     def stage(qid: String, content: String): String = {
       val staged = out.resolve(s"_staging/$qid/task-x/$rel")
       Files.createDirectories(staged.getParent)
@@ -106,7 +106,7 @@ class NdjsonV2Spec extends SparkSpec {
 
     // replay with a DIFFERENT partition split: new names would not collide,
     // but the epoch manifest blocks the whole duplicate commit
-    val rel2 = "demo/ev/part-00009-0-e5.ndjson.gz"
+    val rel2 = "demo/ev/part-00009-0-qq1-e5.ndjson.gz"
     val splitReplay = stage("q1", "attempt-3")
     NdjsonCommit.rename(out.toString, "q1",
       Array(StagedFiles(Seq((splitReplay, rel2)))), streaming = true, epoch = 5)
@@ -119,6 +119,68 @@ class NdjsonV2Spec extends SparkSpec {
       NdjsonCommit.rename(out.toString, "q2",
         Array(StagedFiles(Seq((batchDup, rel)))), streaming = false)
     }
+  }
+
+  test("replay sweep is confined to its own query: concurrent streams share a path safely") {
+    import graft.sinks.v2.{NdjsonCommit, StagedFiles}
+    val out = Files.createTempDirectory("v2concurrent")
+    def stage(qid: String, rel: String, content: String): String = {
+      val staged = out.resolve(s"_staging/$qid/task-x/$rel")
+      Files.createDirectories(staged.getParent)
+      Files.write(staged, content.getBytes)
+      staged.toString
+    }
+    // query A commits epoch 5 into demo/ev
+    val relA = "demo/ev/part-00000-0-qqA-e5.ndjson.gz"
+    NdjsonCommit.rename(out.toString, "qA",
+      Array(StagedFiles(Seq((stage("qA", relA, "A-data"), relA)))),
+      streaming = true, epoch = 5)
+    assert(Files.exists(out.resolve(relA)))
+
+    // query B crashed mid-commit on ITS epoch 5: one file renamed into the
+    // same target dir, no manifest for qB yet
+    val relBpartial = "demo/ev/part-00000-0-qqB-e5.ndjson.gz"
+    val partial = out.resolve(relBpartial)
+    Files.createDirectories(partial.getParent)
+    Files.write(partial, "B-partial".getBytes)
+
+    // query B replays epoch 5 with a different split: the rollback sweep
+    // must remove ONLY qB's partial file — an epoch-only suffix would have
+    // deleted qA's committed epoch-5 data here
+    val relB = "demo/ev/part-00007-0-qqB-e5.ndjson.gz"
+    NdjsonCommit.rename(out.toString, "qB",
+      Array(StagedFiles(Seq((stage("qB", relB, "B-data"), relB)))),
+      streaming = true, epoch = 5)
+
+    assert(Files.exists(out.resolve(relA)), "concurrent query's committed file was swept")
+    assert(new String(Files.readAllBytes(out.resolve(relA))) == "A-data")
+    assert(!Files.exists(partial), "own partial-attempt file must be swept")
+    assert(new String(Files.readAllBytes(out.resolve(relB))) == "B-data")
+  }
+
+  test("two concurrent streaming queries on one path keep both outputs") {
+    import spark.implicits._
+    val in1 = Files.createTempDirectory("v2cin1")
+    val in2 = Files.createTempDirectory("v2cin2")
+    val out = Files.createTempDirectory("v2cout")
+    Files.write(in1.resolve("b.txt"), "a1\na2".getBytes)
+    Files.write(in2.resolve("b.txt"), "b1".getBytes)
+
+    def start(in: Path, coll: String) = spark.readStream.text(in.toString)
+      .select(lit("demo").as("project"), lit(coll).as("collection"), $"value")
+      .writeStream.format("graft-ndjson")
+      .option("path", out.toString)
+      .option("checkpointLocation", Files.createTempDirectory("v2cckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    // both run epoch 0 against the same base path
+    val q1 = start(in1, "ev1")
+    val q2 = start(in2, "ev2")
+    q1.awaitTermination(60000); q2.awaitTermination(60000)
+
+    assert(gzLines(out.resolve("demo/ev1")).toSet == Set("a1", "a2"))
+    assert(gzLines(out.resolve("demo/ev2")) == Seq("b1"))
   }
 
   test("two batch appends to the same path never collide (per-job name token)") {
