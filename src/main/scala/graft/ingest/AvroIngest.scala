@@ -351,6 +351,46 @@ object AvroIngest {
   /** Keeps bulk-expansion batch markers disjoint from inline ones. */
   val BulkBatchIdOffset: Long = 1L << 40
 
+  /** Production S4 object fetcher (the default): resolves each pointer as a
+    * Hadoop FileSystem path (`s3a://bucket/key`, `gs://`, `hdfs://`,
+    * `file:`) — the reference's S3 client fetch
+    * (kinesis/KinesisMessageEventTransformer.java:80-84) generalized to any
+    * Hadoop-supported store, credentials riding the standard `fs.s3a.*`
+    * configuration. Hadoop `Configuration` is not serializable, so the
+    * fetcher ships the session's conf entries and rebuilds the conf lazily
+    * once per executor JVM; `FileSystem` instances come from Hadoop's own
+    * per-scheme cache, so repeated fetches don't re-handshake.
+    */
+  final class HadoopObjectFetcher(confProps: Array[(String, String)])
+      extends (String => Array[Byte]) with Serializable {
+    @transient private lazy val conf = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      confProps.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    def apply(key: String): Array[Byte] = {
+      val p = new org.apache.hadoop.fs.Path(key)
+      val in = p.getFileSystem(conf).open(p)
+      try in.readAllBytes() finally in.close()
+    }
+  }
+
+  object HadoopObjectFetcher {
+    def apply(spark: org.apache.spark.sql.SparkSession): HadoopObjectFetcher =
+      new HadoopObjectFetcher(
+        spark.sparkContext.hadoopConfiguration.iterator().asScala
+          .map(e => e.getKey -> e.getValue).toArray)
+  }
+
+  /** [[processBulk]] wired to the production [[HadoopObjectFetcher]]; the
+    * `fetch`-taking overload stays for tests and exotic stores.
+    */
+  def processBulk(pointers: org.apache.spark.sql.Dataset[String],
+                  registry: graft.schema.EventSchema.Registry,
+                  sink: graft.sinks.EventSink): Map[CollectionId, Long] =
+    processBulk(pointers, registry, sink,
+      HadoopObjectFetcher(pointers.sparkSession))
+
   /** Routing-key marker for tag-3 rows inside the routed batch. The empty
     * string is collision-proof: `CollectionId.normalize` requires
     * non-empty project/collection, so no real routing key can equal it.

@@ -42,17 +42,4 @@ class KafkaIntegrationSpec extends SparkSpec {
     assert(registry.all.keySet.forall(_.project.nonEmpty))
   }
 
-  test("kinesisSource builds a streaming plan against the connector") {
-    val present =
-      try {
-        // qubole/aws spark-sql-kinesis registers the aws-kinesis format
-        org.apache.spark.sql.execution.datasources.DataSource
-          .lookupDataSource("aws-kinesis", spark.sessionState.conf)
-        true
-      } catch { case _: ClassNotFoundException => false }
-    assume(present, "aws-kinesis connector not on classpath")
-    val df = IngestStream.kinesisSource(spark, "events", "us-east-1")
-    assert(df.isStreaming)
-    assert(df.schema.fieldNames.toSeq == Seq("value"))
-  }
 }

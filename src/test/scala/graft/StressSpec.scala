@@ -54,31 +54,43 @@ class StressSpec extends SparkSpec {
   private def when(c: org.apache.spark.sql.Column, v: Any) =
     org.apache.spark.sql.functions.when(c, v)
 
-  test("100-collection fan-out: JSON batch stays one routed scan + C writes") {
+  test("100-collection fan-out: JSON batch stays one raw scan + C writes, ~10% late") {
     // the reference's full stress shape (KafkaStressTest.java:107-137 runs
-    // 100 collections/poll); per-batch cost must stay ~linear in C, not the
-    // 2C full-batch re-parses the round-1 path did
+    // 100 collections/poll with ~10% late data); per-batch cost must stay
+    // ~linear in C, not the 2C full-batch re-parses the round-1 path did
     import spark.implicits._
     val now = System.currentTimeMillis()
+    val old = now - 40L * 24 * 3600 * 1000
+    // one accumulator tick per raw row per SCAN: the decouple pre-pass
+    // persists its output, so the raw batch must materialize once (plus at
+    // most one re-fill on cache pressure), never once per collection
+    val scans = spark.sparkContext.longAccumulator("rawScans")
     val raw = spark.range(20000).select(
       concat(
         lit("""{"data":{"_project":"stress","_collection":"c"""),
         ($"id" % 100), lit("\","),
-        lit(""""_time":"""), lit(now), lit(","),
+        lit(""""_time":"""),
+        when($"id" % 10 === 0, old).otherwise(now), lit(","),
         lit(""""_user":"u"""), ($"id" % 97), lit("\","),
         lit(""""n":"""), $"id", lit("}}")).as("value")
-    ).as[String]
+    ).as[String].map { s => scans.add(1); s }
 
+    val histDir = java.nio.file.Files.createTempDirectory("hist").toString
     val registry = new EventSchema.Registry()
     val sink = new MemorySink
     val t0 = System.nanoTime()
-    val counts = IngestStream.processBatch(spark, raw, registry, sink, None,
-      IngestConfig())
+    val counts = IngestStream.processBatch(spark, raw, registry, sink,
+      Some(new graft.streaming.FileHistoricalHandler(histDir)), IngestConfig())
     val secs = (System.nanoTime() - t0) / 1e9
     info(f"100-collection JSON batch: $secs%.1f s")
-    assert(counts.size == 100)
-    assert(counts.values.sum == 20000)
+    // lateness (id%10==0) correlates with collections ≡ 0 mod 10: those 10
+    // are entirely late → historical hand-off, the other 90 insert whole
+    assert(counts.size == 90)
+    assert(counts.values.sum == 18000)
     assert(counts.values.forall(_ == 200))
+    assert(spark.read.text(histDir).count() == 2000) // F5 inside the barrier
+    val rawScans = scans.value.toDouble / 20000
+    assert(rawScans <= 2.0, f"raw batch scanned $rawScans%.1f times — fan-out is re-reading the source per collection")
     assert(secs < 300, f"per-batch wall time unbounded: $secs%.1f s")
   }
 
@@ -160,7 +172,7 @@ class StressSpec extends SparkSpec {
     assert(fresh.get(id).map(_.fieldNames.toSeq) == Some(Seq("_time", "_user", "x")))
   }
 
-  test("bulk pointers (tag 3) expand through the injected fetcher in one batch") {
+  test("bulk pointers (tag 3) expand through the production Hadoop-FS fetcher in one batch") {
     import spark.implicits._
     val registry = new EventSchema.Registry()
     val rowSchema = StructType(Seq(
@@ -199,16 +211,17 @@ class StressSpec extends SparkSpec {
       w.write(rec, e); e.flush()
       out.toByteArray
     }
+    // file:-scheme pointer through the PRODUCTION Hadoop-FS fetcher — the
+    // same code path an s3a:// key takes on a real cluster
     val pointer = Array[Byte](3) ++
-      objPath.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      objPath.toUri.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val records = Seq(
       ("proj.c1", inlinePayload("u0", 0.5)),
       ("ignored", pointer)).toDF("key", "value")
 
     val sink = new MemorySink
     val counts = AvroIngest.processBatch(records, registry, sink,
-      bulkFetch = Some((p: String) =>
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      bulkFetch = Some(AvroIngest.HadoopObjectFetcher(spark)))
     assert(counts == Map(
       CollectionId("proj", "c1") -> 3L,   // 1 inline + 2 bulk
       CollectionId("proj", "c2") -> 1L))
