@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline subset: the expensive/representative operators; cheap config
-    * probes (whitelist etc.) are excluded from timing but still verified.
+  /** Every `SparkEntry.queries` entry runs under the clock — a regression
+    * in a query the bench never times is invisible to the 2× gate. Order
+    * is the (historic) headline order first, then the remainder; any entry
+    * added to SparkEntry later is picked up automatically by the
+    * set-difference below.
     */
   val headline: Seq[String] = Seq(
     "e2e_pipeline",         // full ingest pipeline incl. split+dedup+sink
@@ -36,6 +39,10 @@ object Bench {
     "w3_sessions",          // gap sessionization
     "corpus_prep")          // clean→sample→chunk capstone
 
+  /** Full run order: headline first, then every remaining registered query. */
+  def all: Seq[String] =
+    headline ++ SparkEntry.queries.keys.toSeq.filterNot(headline.contains).sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -58,7 +65,7 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
-    val results = headline.flatMap { name =>
+    val results = all.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
