@@ -11,11 +11,11 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery here — schema convention, batched
   * `mapPartitions` kernels, partition sizing — is real and tested. Image
-  * kernels (decode → features, resize) are REAL, via `javax.imageio` from
-  * the JDK. Audio/video decode kernels remain deterministic stubs (those
-  * codec libraries are not in this environment) — swap [[MediaKernels]]
-  * entries for real decoders (JavaCV/ffmpeg…) without touching the
-  * dataflow.
+  * kernels (decode → features, resize) are REAL via `javax.imageio`, and
+  * audio features are REAL via `javax.sound.sampled` (both in the JDK).
+  * Video decode remains a deterministic stub (the JDK ships no video
+  * codec) — swap the [[MediaKernels]] entry for a real decoder
+  * (JavaCV/ffmpeg…) without touching the dataflow.
   */
 object Multimodal {
 
@@ -50,8 +50,9 @@ object Multimodal {
     *
     * Dispatches on `meta.format`: image-typed media (an `image/` MIME
     * prefix) decodes for real via `javax.imageio` (luminance/color
-    * histogram features); other modalities fall back to the deterministic
-    * stub kernel.
+    * histogram features), audio-typed media via `javax.sound.sampled`
+    * (amplitude histogram); video falls back to the deterministic stub
+    * kernel.
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
                       dim: Int = 64): DataFrame = {
@@ -122,21 +123,77 @@ object Multimodal {
   }
 }
 
-/** Media kernels. Images decode for REAL via `javax.imageio` (in the JDK —
-  * no extra jars); audio/video kernels remain deterministic stubs standing
-  * in for codecs this environment doesn't ship. Every kernel is pure on its
-  * input bytes so tests and oracles are reproducible.
+/** Media kernels. Images decode for REAL via `javax.imageio` and audio via
+  * `javax.sound.sampled` (both in the JDK — no extra jars); the video
+  * kernel remains a deterministic stub standing in for codecs this
+  * environment doesn't ship. Every kernel is pure on its input bytes so
+  * tests and oracles are reproducible.
   */
 object MediaKernels {
 
-  /** Modality dispatch: an `image/` MIME prefix → real ImageIO decode
-    * (falling back to the stub when the bytes aren't a decodable image);
-    * everything else → stub.
+  /** Modality dispatch: an `image/` MIME prefix → real ImageIO decode, an
+    * `audio/` prefix → real `javax.sound.sampled` decode (each falling back
+    * to the stub when the bytes don't decode); everything else → stub.
     */
   def decodeFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float] =
     if (format != null && format.startsWith("image/"))
       imageFeatures(bytes, dim).getOrElse(fakeDecodeFeatures(bytes, dim))
+    else if (format != null && format.startsWith("audio/"))
+      audioFeatures(bytes, dim).getOrElse(fakeDecodeFeatures(bytes, dim))
     else fakeDecodeFeatures(bytes, dim)
+
+  /** Real audio features via `javax.sound.sampled` (in the JDK — no extra
+    * jars): decode the container (WAV/AIFF/AU), convert to 16-bit signed
+    * little-endian PCM, mean-mix channels per frame, and histogram the
+    * amplitudes — `dim` buckets spanning the signed 16-bit range,
+    * normalized per frame. Deterministic: PCM decode is bit-exact. None
+    * when the bytes aren't a decodable audio stream (caller falls back to
+    * the stub, same contract as [[imageFeatures]]).
+    */
+  def audioFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val ch = src.getChannels
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, ch, 2 * ch, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val hist = new Array[Float](dim)
+          val frameBytes = 2 * ch
+          val buf = new Array[Byte](4096 * frameBytes)
+          var frames = 0L
+          var n = pcm.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + frameBytes <= n) {
+              var mix = 0
+              var c = 0
+              while (c < ch) {
+                mix += ((buf(i + 2 * c) & 0xff) | (buf(i + 2 * c + 1) << 8))
+                c += 1
+              }
+              val s = mix / ch // mean over channels, still signed 16-bit
+              hist(((s + 32768).toLong * dim / 65536).toInt) += 1f
+              frames += 1
+              i += frameBytes
+            }
+            n = pcm.read(buf)
+          }
+          if (frames == 0) None
+          else {
+            var i = 0
+            while (i < dim) { hist(i) /= frames; i += 1 }
+            Some(hist)
+          }
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
 
   /** Real image features: 4 interleaved normalized histograms over the
     * decoded pixels — luminance, R, G, B — each `dim/4` buckets (so
@@ -198,8 +255,9 @@ object MediaKernels {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
 
-  /** Stub for non-image modalities (audio/video codecs are not in this
-    * environment): normalized 256-bucket byte histogram folded to `dim`.
+  /** Stub for undecodable media and the video modality (no video codec in
+    * this environment): normalized 256-bucket byte histogram folded to
+    * `dim`.
     */
   def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Float](dim)

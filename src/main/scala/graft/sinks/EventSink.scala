@@ -133,10 +133,16 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
   * reference serializes rows to newline-delimited JSON, gzips, and rolls
   * files at a 256 MB cap per project; Spark's json writer with gzip codec +
   * `maxRecordsPerFile` reproduces the format and the rolling policy, with
-  * dates as ISO and timestamps as ISO-8601 (documented deviation from the
-  * reference's locale-dependent FormatStyle.SHORT — SURVEY.md §7.4.5).
+  * dates as BASIC_ISO_DATE and timestamps as ISO-8601 (documented deviation
+  * from the reference's locale-dependent FormatStyle.SHORT — SURVEY.md
+  * §7.4.5). A byte-parity consumer can opt into `localeExactTimestamps`,
+  * which reproduces the reference's formatter
+  * (S3DatabaseHandler.java:72,243: localized SHORT style, English, UTC) by
+  * asking the JDK for the concrete localized pattern — so output tracks the
+  * running JDK's CLDR data exactly, the same way the reference's does.
   */
-final class NdjsonGzipSink(basePath: String, maxRecordsPerFile: Long = 1000000)
+final class NdjsonGzipSink(basePath: String, maxRecordsPerFile: Long = 1000000,
+                           localeExactTimestamps: Boolean = false)
     extends EventSink {
 
   def path(id: CollectionId): String = s"$basePath/${id.project}/${id.collection}"
@@ -154,13 +160,29 @@ final class NdjsonGzipSink(basePath: String, maxRecordsPerFile: Long = 1000000)
   override def insert(id: CollectionId, df: DataFrame, batchId: Long): Unit =
     write(df, SaveMode.Overwrite, s"${path(id)}/batch=$batchId")
 
-  private def write(df: DataFrame, mode: SaveMode, target: String): Unit =
-    df.write.mode(mode)
+  private def write(df: DataFrame, mode: SaveMode, target: String): Unit = {
+    val w = df.write.mode(mode)
       .option("compression", "gzip")
       .option("dateFormat", "yyyyMMdd") // BASIC_ISO_DATE, ref S3DatabaseHandler.java:241
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .json(target)
+    val exact = if (localeExactTimestamps)
+      w.option("timestampFormat", NdjsonGzipSink.referenceShortPattern)
+        .option("timeZone", "UTC") // ref formatter is pinned to ZoneOffset.UTC
+    else
+      w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    exact.json(target)
+  }
+}
+
+object NdjsonGzipSink {
+  /** The concrete pattern behind the reference's
+    * `ofLocalizedDateTime(FormatStyle.SHORT)` English formatter
+    * (S3DatabaseHandler.java:72) on the running JDK — e.g. `M/d/yy, h:mm a`.
+    */
+  def referenceShortPattern: String =
+    java.time.format.DateTimeFormatterBuilder.getLocalizedDateTimePattern(
+      java.time.format.FormatStyle.SHORT, java.time.format.FormatStyle.SHORT,
+      java.time.chrono.IsoChronology.INSTANCE, java.util.Locale.ENGLISH)
 }
 
 /** In-memory sink for tests + the commit-barrier specs (the reference's

@@ -376,6 +376,55 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaKernels.imageFeatures("notapng".getBytes, 16).isEmpty)
   }
 
+  /** Deterministic 16-bit little-endian PCM WAV from raw samples. */
+  private def testWav(samples: Array[Short], channels: Int = 1,
+                      sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels,
+      true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio modality decodes for real: amplitude histogram from WAV samples") {
+    import spark.implicits._
+    // 400 frames at +8192, 400 at -8192; dim=16 buckets over [-32768,32767]
+    // put them in buckets 10 and 6 exactly, 0.5 mass each
+    val samples = Array.fill(400)(8192.toShort) ++ Array.fill(400)((-8192).toShort)
+    val wav = testWav(samples)
+    val direct = MediaKernels.audioFeatures(wav, 16).get
+    assert(math.abs(direct(10) - 0.5f) < 1e-6, s"+8192 bucket: ${direct.toSeq}")
+    assert(math.abs(direct(6) - 0.5f) < 1e-6, s"-8192 bucket: ${direct.toSeq}")
+    assert(math.abs(direct.sum - 1f) < 1e-4)
+
+    // Spark path agrees with the direct kernel call
+    val df = Seq((1L, wav)).toDF("id", "bytes")
+      .select($"id", Multimodal.asMedia($"bytes", lit("audio/wav")).as("media"))
+    val feats = Multimodal.extractFeatures(df, "id", "media", dim = 16)
+      .collect().head.getSeq[Float](1)
+    assert(feats.toSeq == direct.toSeq)
+
+    // stereo mean-mix: L=+8192, R=-8192 per frame → mixes to 0 → bucket 8
+    val stereo = testWav(
+      Array.tabulate(800)(i => if (i % 2 == 0) 8192.toShort else (-8192).toShort),
+      channels = 2)
+    val mixed = MediaKernels.audioFeatures(stereo, 16).get
+    assert(math.abs(mixed(8) - 1f) < 1e-6, s"stereo mix buckets: ${mixed.toSeq}")
+
+    // undecodable bytes under an audio format fall back to the stub
+    assert(MediaKernels.audioFeatures("notawav".getBytes, 16).isEmpty)
+    assert(MediaKernels.decodeFeatures("notawav".getBytes, "audio/wav", 16).toSeq ==
+      MediaKernels.fakeDecodeFeatures("notawav".getBytes, 16).toSeq)
+  }
+
   test("image modality resizes for real: ImageIO roundtrip preserves pixels") {
     import spark.implicits._
     val df = Seq((1L, testPng())).toDF("id", "bytes")

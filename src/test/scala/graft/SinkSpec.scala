@@ -51,6 +51,39 @@ class SinkSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("ndjson locale-exact mode matches the reference's serialization byte-for-byte") {
+    import spark.implicits._
+    import java.io.{BufferedReader, InputStreamReader}
+    import java.util.zip.GZIPInputStream
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("ndjson_exact").toString
+    val sink = new graft.sinks.NdjsonGzipSink(base, localeExactTimestamps = true)
+    val id = CollectionId("p", "c")
+    val t = java.time.Instant.parse("2018-03-09T17:45:30.123Z")
+    val d = java.time.LocalDate.of(2018, 3, 9)
+    sink.insert(id, Seq((java.sql.Timestamp.from(t), java.sql.Date.valueOf(d), "x"))
+      .toDF("_time", "day", "s"))
+
+    val lines = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .iterator().asScala.filter(_.toString.endsWith(".json.gz")).flatMap { p =>
+        val r = new BufferedReader(new InputStreamReader(
+          new GZIPInputStream(java.nio.file.Files.newInputStream(p))))
+        try Iterator.continually(r.readLine()).takeWhile(_ != null).toList
+        finally r.close()
+      }.toList
+
+    // golden line built with the REFERENCE's exact formatter calls
+    // (S3DatabaseHandler.java:72,241-243): localized SHORT datetime
+    // (English, UTC) and BASIC_ISO_DATE
+    val refTs = java.time.format.DateTimeFormatter
+      .ofLocalizedDateTime(java.time.format.FormatStyle.SHORT)
+      .withLocale(java.util.Locale.ENGLISH)
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(t)
+    val refDay = d.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    assert(lines == List(s"""{"_time":"$refTs","day":"$refDay","s":"x"}"""))
+  }
+
   test("ORC format roundtrips with schema evolution (the reference's Raptor format)") {
     import spark.implicits._
     val base = Files.createTempDirectory("sinkorc").toString
