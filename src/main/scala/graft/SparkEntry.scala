@@ -687,6 +687,19 @@ object SparkEntry {
         .orderBy($"cluster_id")
     }),
 
+    // Same clusters via alternating large-star/small-star — the
+    // high-diameter O(log n)-round variant; must agree exactly with the
+    // label-propagation plan (and the recursive-CTE oracle).
+    "dedup_clusters_star" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = DedupFunctions.minhashCandidates(docs(s, dir), "doc_id",
+        "text", k = 12, nBands = 4, shingleSize = 3)
+      DedupFunctions.connectedComponentsAlternating(pairs, "id_a", "id_b")
+        .groupBy($"label".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max($"v").as("max_member"))
+        .orderBy($"cluster_id")
+    }),
+
     // SimHash (60-bit, token multiset) per document.
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -1412,6 +1425,22 @@ object SparkEntry {
     // with a recursive CTE; the engine's distributed equivalent is
     // min-label propagation (DedupFunctions.connectedComponents).
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashBandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s AS v, s AS r FROM edges
+         |          UNION SELECT e.d, reach.r
+         |                FROM reach JOIN edges e ON e.s = reach.v),
+         |labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+         |SELECT cluster_id, count(*) AS n_members, max(v) AS max_member
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical transitive closure — the engine side differs only in the
+    // distributed algorithm (alternating star vs label propagation)
+    "dedup_clusters_star" ->
       s"""WITH RECURSIVE $minhashBandsCte,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -232,9 +232,9 @@ object DedupFunctions {
     * Rounds needed = the graph diameter, which for near-dup clusters is
     * small (dup groups are dense). Each round is ONE shuffle (join + min
     * aggregate on vertex id); lineage is cut per round with a local
-    * checkpoint so
-    * plans don't grow. At extreme scale swap in large-star/small-star
-    * (fewer rounds on high-diameter graphs) — same join shape.
+    * checkpoint so plans don't grow. For high-diameter graphs use
+    * [[connectedComponentsAlternating]] (O(log n) rounds regardless of
+    * shape) — same join shapes, same output contract.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
@@ -275,8 +275,74 @@ object DedupFunctions {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
-        "raise maxIter, or use a large-star/small-star variant for " +
+        "raise maxIter, or use connectedComponentsAlternating for " +
         "high-diameter graphs")
     labels.select(col("v"), col("label"))
+  }
+
+  /** Connected components via alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * high-diameter escape hatch [[connectedComponents]] documents: label
+    * propagation needs diameter-many rounds (a 10k-link chain = 10k
+    * shuffles), this converges in O(log n) rounds regardless of shape.
+    *
+    * Per round, over the current edge set E (undirected, no self-loops):
+    *   - large-star: for each vertex u, m = min(Γ(u) ∪ {u}); rewire every
+    *     STRICTLY LARGER neighbor v > u to m.
+    *   - small-star: orient edges larger→smaller, m = min(Γ(u) ∪ {u});
+    *     rewire every (now all-smaller) neighbor AND u itself to m.
+    * Both are one groupBy + one join on vertex id — the same
+    * hash-partitioned shapes as every other operator here; no driver
+    * state, lineage cut per round. Fixpoint: the edge set is a disjoint
+    * union of stars centered on component minima.
+    *
+    * Same output contract as [[connectedComponents]]: (v, label) with
+    * label = smallest member of v's component.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, aCol: String,
+                                     bCol: String, maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // large-star over the symmetrized edge list
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val minLarge = sym.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val large = sym.join(minLarge, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star on large-star's output, edges oriented larger→smaller
+      // (so Γ(u) here is all-smaller and min(v) = min(Γ(u) ∪ {u}))
+      val oriented = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val minSmall = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = oriented.join(minSmall, "u")
+        .select(explode(array(
+          struct(col("v").as("s"), col("m").as("d")),
+          struct(col("u").as("s"), col("m").as("d")))).as("e"))
+        .select(col("e.s").as("u"), col("e.d").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // fixpoint: the round was a no-op on the edge SET (both sides are
+      // distinct, so count-equal ∧ no-new-edges ⇔ set-equal)
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge within $maxIter " +
+        "rounds — raise maxIter (expected O(log n) rounds)")
+    // stars: every non-root points straight at its component min; roots
+    // label themselves
+    edges.select(col("u").as("v"), col("v").as("label"))
+      .unionAll(edges.select(col("v").as("v"), col("v").as("label")))
+      .distinct()
   }
 }

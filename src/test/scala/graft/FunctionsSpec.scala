@@ -191,6 +191,39 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("alternating-star components agree with propagation, incl. high diameter") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = DedupFunctions
+      .connectedComponentsAlternating(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // a 64-link chain has diameter 64: propagation would need ~64 rounds
+    // (here it would hit the default maxIter and throw); alternating star
+    // must collapse it within its O(log n) bound — the default 50 rounds —
+    // and label every vertex with the chain head. Reversed ids exercise the
+    // orientation logic (min is at the END of the input order).
+    val chain = (1L until 65L).map(i => (65L - i, 65L - i + 1)).toDF("id_a", "id_b")
+    val chainLabels = DedupFunctions
+      .connectedComponentsAlternating(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLabels.size == 65)
+    assert(chainLabels.values.forall(_ == 1L))
+
+    // randomized parity on a denser graph: star ≡ propagation
+    val rnd = new scala.util.Random(7)
+    val randomPairs = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val viaStar = DedupFunctions
+      .connectedComponentsAlternating(randomPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = DedupFunctions
+      .connectedComponents(randomPairs, "id_a", "id_b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
   test("doc pipeline: funnel stages agree with clean() output") {
     import spark.implicits._
     import graft.operators.DocPipeline
