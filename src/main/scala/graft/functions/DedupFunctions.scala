@@ -305,6 +305,7 @@ object DedupFunctions {
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -330,10 +331,12 @@ object DedupFunctions {
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
       // fixpoint: the round was a no-op on the edge SET (both sides are
-      // distinct, so count-equal ∧ no-new-edges ⇔ set-equal)
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // distinct, so count-equal ∧ no-new-edges ⇔ set-equal); the previous
+      // round's count is carried over instead of recounted
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.except(edges).isEmpty
       edges = small
+      edgeCount = smallCount
     }
     if (!converged)
       throw new IllegalStateException(
