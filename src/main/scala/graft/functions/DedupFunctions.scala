@@ -301,6 +301,13 @@ object DedupFunctions {
     */
   def connectedComponentsAlternating(pairs: DataFrame, aCol: String,
                                      bCol: String, maxIter: Int = 50): DataFrame = {
+    // vertex set BEFORE the self-loop filter: a vertex appearing only in
+    // self-pairs still owes a singleton (v, v) row — the propagation
+    // variant emits it, and the "same output contract" promise must hold
+    val vertices = pairs.select(col(aCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
     var edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v")).distinct()
@@ -343,9 +350,12 @@ object DedupFunctions {
         s"connectedComponentsAlternating did not converge within $maxIter " +
         "rounds — raise maxIter (expected O(log n) rounds)")
     // stars: every non-root points straight at its component min; roots
-    // label themselves
-    edges.select(col("u").as("v"), col("v").as("label"))
+    // label themselves; vertices with no surviving edge (self-loop-only)
+    // are singletons labeled by themselves
+    val starLabels = edges.select(col("u").as("v"), col("v").as("label"))
       .unionAll(edges.select(col("v").as("v"), col("v").as("label")))
       .distinct()
+    vertices.join(starLabels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }
 }

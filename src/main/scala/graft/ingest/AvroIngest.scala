@@ -376,10 +376,18 @@ object AvroIngest {
   }
 
   object HadoopObjectFetcher {
-    def apply(spark: org.apache.spark.sql.SparkSession): HadoopObjectFetcher =
+    def apply(spark: org.apache.spark.sql.SparkSession): HadoopObjectFetcher = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      // ship only entries that differ from a stock Configuration — the
+      // executor-side rebuild reloads the defaults anyway, and the full
+      // merged conf is hundreds of redundant entries per task binary
+      val defaults = new org.apache.hadoop.conf.Configuration()
       new HadoopObjectFetcher(
-        spark.sparkContext.hadoopConfiguration.iterator().asScala
-          .map(e => e.getKey -> e.getValue).toArray)
+        conf.iterator().asScala
+          .map(e => e.getKey -> e.getValue)
+          .filter { case (k, v) => defaults.getRaw(k) != v }
+          .toArray)
+    }
   }
 
   /** [[processBulk]] wired to the production [[HadoopObjectFetcher]]; the

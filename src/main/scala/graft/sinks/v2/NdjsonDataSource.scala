@@ -226,7 +226,10 @@ object NdjsonCommit {
       // streaming queries on one base path share epoch numbering, and an
       // epoch-only sweep would delete a sibling query's committed epoch-N
       // output (the reference isolates writers per project queue,
-      // connector/s3/S3DatabaseHandler.java:389-479).
+      // connector/s3/S3DatabaseHandler.java:389-479). Upgrade note: files
+      // written by the pre-queryId token format are neither swept nor
+      // collided with — stop streams cleanly (no epoch mid-commit) before
+      // upgrading, or sweep stale `-e<epoch>` leftovers out of band.
       val suffix = s"-q$queryId-e$epoch.ndjson.gz"
       val targetDirs = messages.flatMap {
         case StagedFiles(files) =>

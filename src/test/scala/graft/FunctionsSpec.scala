@@ -193,11 +193,14 @@ class DedupFunctionsSpec extends SparkSpec {
 
   test("alternating-star components agree with propagation, incl. high diameter") {
     import spark.implicits._
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // includes a self-loop-only vertex (42): must come back as a singleton
+    // cluster, same as the propagation variant's contract
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (42L, 42L)).toDF("id_a", "id_b")
     val labels = DedupFunctions
       .connectedComponentsAlternating(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      42L -> 42L))
 
     // a 64-link chain has diameter 64: propagation would need ~64 rounds
     // (here it would hit the default maxIter and throw); alternating star
