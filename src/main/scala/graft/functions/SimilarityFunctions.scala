@@ -109,42 +109,67 @@ object SimilarityFunctions {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
-    * corpus vector to one centroid cell; each query probes its `nProbe`
-    * nearest cells. The probe is an equi-join on the cell id — the
-    * standard billion-scale ANN layout (cells ≈ √n at scale; the centroid
-    * set stays tiny and broadcasts). Recall is governed by nProbe/cells.
+  /** A trained IVF coarse quantizer. At 100 TB this is the long-lived
+    * artifact: train ONCE ([[ivfTrain]]), materialize the inverted file
+    * once ([[IvfIndex.assign]] → write to storage), then serve every query
+    * batch with [[ivfSearch]] against the stored assignment — never
+    * retrain per query. `model.save(path)` / `KMeansModel.load` persist
+    * the quantizer itself across drivers.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, cells: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, maxTrainRows: Long = 100000L): DataFrame = {
+  final class IvfIndex private[functions] (
+      val model: org.apache.spark.ml.clustering.KMeansModel) extends Serializable {
+
+    /** Centroids as a tiny (cell, vector) frame — always broadcast-sized. */
+    def centroids(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      model.clusterCenters.zipWithIndex
+        .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+        .toDF("_cell", "_centroid")
+    }
+
+    /** Assign every corpus vector to its nearest cell — ONE distributed
+      * map-only pass (the model broadcasts with the task closure). The
+      * result is the inverted file; persist it to storage at scale.
+      */
+    def assign(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      import org.apache.spark.ml.functions.array_to_vector
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      model.transform(c.withColumn("features", array_to_vector(col("_cv"))))
+        .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
+    }
+  }
+
+  /** Train the IVF coarse quantizer on a bounded sample: k-means is
+    * iterative (multiple full passes), so fitting on the whole corpus is
+    * the one step that would NOT scale to 100 TB. A ~100k-row seeded
+    * sample gives statistically identical centroids; assignment still
+    * covers the full corpus in one pass.
+    */
+  def ivfTrain(corpus: DataFrame, vecCol: String, cells: Int = 16,
+               seed: Long = 42L, maxTrainRows: Long = 100000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("_cv"))
-    val all = c.withColumn("features", array_to_vector(col("_cv")))
-    // Train the coarse quantizer on a bounded sample: k-means is iterative
-    // (multiple full passes), so fitting on the whole corpus is the one
-    // step that would NOT scale to 100 TB. A ~100k-row seeded sample gives
-    // statistically identical centroids; cell ASSIGNMENT below still runs
-    // over the full corpus in a single distributed pass.
+    val all = corpus
+      .select(col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("features", array_to_vector(col("_cv")))
     val n = all.count()
     val train =
       if (n <= maxTrainRows) all
       else all.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    val model = new KMeans().setK(cells).setSeed(seed).setFeaturesCol("features")
-      .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.toSeq)
-    }.toSeq
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = centroids.toDF("_cell", "_centroid") // tiny: broadcasts
+    new IvfIndex(new KMeans().setK(cells).setSeed(seed)
+      .setFeaturesCol("features").fit(train))
+  }
 
-    val assigned = model.transform(all)
-      .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
-
+  /** Query an IVF index: each query ranks the (broadcast) centroids, keeps
+    * its `nProbe` nearest cells, and equi-joins the pre-assigned inverted
+    * file on cell id — no retrain, no corpus re-scan beyond the probed
+    * cells. `assigned` is the output of [[IvfIndex.assign]] (typically read
+    * back from storage).
+    */
+  def ivfSearch(assigned: DataFrame, queries: DataFrame, index: IvfIndex,
+                idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val centDf = index.centroids(queries.sparkSession) // tiny: broadcasts
     // queries rank ALL centroids (tiny cross join) and keep the nProbe best
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
@@ -164,6 +189,24 @@ object SimilarityFunctions {
       .orderBy(col("cosine_bp").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * corpus vector to one centroid cell; each query probes its `nProbe`
+    * nearest cells. The probe is an equi-join on the cell id — the
+    * standard billion-scale ANN layout (cells ≈ √n at scale; the centroid
+    * set stays tiny and broadcasts). Recall is governed by nProbe/cells.
+    *
+    * One-shot convenience over [[ivfTrain]] → [[IvfIndex.assign]] →
+    * [[ivfSearch]]; long-lived corpora should call those directly and
+    * persist the index + inverted file instead of retraining per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, cells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, maxTrainRows: Long = 100000L): DataFrame = {
+    val index = ivfTrain(corpus, vecCol, cells, seed, maxTrainRows)
+    ivfSearch(index.assign(corpus, idCol, vecCol), queries, index,
+      idCol, vecCol, k, nProbe)
   }
 
   /** ANN top-k via multi-probe LSH: the corpus keeps ONE bucket per vector;

@@ -298,6 +298,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.6, s"recall $recall too low")
   }
 
+  test("ivf train-once/search-many equals the one-shot path, index reusable") {
+    val emb = sf("embeddings")
+    // the scale shape: train once, assign once (→ storage), search many
+    val index = SimilarityFunctions.ivfTrain(emb, "embedding", cells = 8)
+    val assigned = index.assign(emb, "vec_id", "embedding")
+      .localCheckpoint(true) // stands in for the persisted inverted file
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+
+    val q1 = emb.filter(col("vec_id") < 20)
+    val split = SimilarityFunctions.ivfSearch(assigned, q1, index,
+      "vec_id", "embedding", 3, nProbe = 4)
+    val oneShot = SimilarityFunctions.ivfTopK(emb, q1, "vec_id", "embedding", 3,
+      cells = 8, nProbe = 4)
+    assert(ids(split) == ids(oneShot))
+
+    // a second, disjoint query batch reuses index + assignment untouched
+    val q2 = emb.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+    val second = SimilarityFunctions.ivfSearch(assigned, q2, index,
+      "vec_id", "embedding", 3, nProbe = 4)
+    assert(second.select("query_id").distinct().count() == 5)
+    assert(second.groupBy("query_id").count().collect().forall(_.getLong(1) == 3))
+  }
+
   test("lshTopK recall against brute force is reasonable") {
     val emb = sf("embeddings")
     val queries = emb.filter(col("vec_id") < 20)
