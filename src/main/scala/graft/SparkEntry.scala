@@ -636,6 +636,26 @@ object SparkEntry {
         TextFunctions.rollingHash($"text").as("rhash")).orderBy($"doc_id")
     }),
 
+    // Gopher-style repetition profile: duplicate-line / duplicate-token
+    // fractions and top bigram/trigram character shares, in basis points —
+    // the boilerplate/spam signals of a pre-training quality pass.
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Repetition.profile(docs(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Repetition quality gate (token-volume floor + repetition ceilings)
+    // summarized per source — the corpus-level effect of the Gopher rules.
+    "quality_gate" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Repetition.gate(docs(s, dir), "doc_id", "text")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"),
+          sum($"n_tokens").as("kept_tokens"))
+        .orderBy($"source")
+    }),
+
     // ---- LLM-pipeline operators: dedup family -----------------------
 
     // Exact dedup via normalized-content fingerprint.
@@ -739,6 +759,22 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Cross-document repeated passages (5-token windows): the windowed
+    // exact-substring dedup signal — verbatim passages shared across docs.
+    "dedup_repeated_passages" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.repeatedPassages(docs(s, dir), "doc_id", "text", 5)
+        .orderBy($"win_hash")
+    }),
+
+    // Per-document duplicate-passage coverage: share of a doc's 5-token
+    // windows that also appear in another document (basis points).
+    "dedup_passage_coverage" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.passageDupCoverage(docs(s, dir), "doc_id", "text", 5)
+        .orderBy($"doc_id")
+    }),
+
     // ---- LLM-pipeline operators: similarity search ------------------
 
     // Exact brute-force cosine top-5 for the probe set (vec_id < 20).
@@ -781,6 +817,17 @@ object SparkEntry {
 
     // Multi-probe LSH ANN — approximate by construction, so rows-only
     // (recall vs brute force asserted in ScalaTest).
+    // PQ (product-quantized) ANN — the compressed storage tier: 8 codes
+    // per 64-dim vector, ADC table-lookup scoring. Approximate by
+    // construction (rows-only; recall vs brute force is spec-pinned).
+    "ann_pq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityFunctions.pqTopK(
+          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
@@ -983,6 +1030,67 @@ object SparkEntry {
           |      + 0.2 * least(1.0, greatest(avg_wl - 2.0, 0.0) / 8.0)""".stripMargin)} AS quality_bp,
        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
        |  FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s))""".stripMargin
+  }
+
+  /** Repetition-signal base CTE (operators.Repetition): non-empty trimmed
+    * lines + tokens per doc, then the per-row duplicate fractions.
+    */
+  private val repetitionCte: String =
+    s"""pr AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
+       |                x -> trim(x)), x -> len(x) > 0) AS ls,
+       |    $tokensSql AS toks
+       |  FROM documents),
+       |row_sig AS (
+       |  SELECT doc_id, len(ls)::INT AS n_lines,
+       |    CASE WHEN len(ls) = 0 THEN 0 ELSE
+       |      ${bpSql("(len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)")} END
+       |      AS dup_line_bp,
+       |    CASE WHEN len(toks) = 0 THEN 0 ELSE
+       |      ${bpSql("(len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)")} END
+       |      AS dup_token_bp
+       |  FROM pr)""".stripMargin
+
+  /** Top word-`n`-gram character-share CTE chain (`tg$n(doc_id, alias)`):
+    * mirrors Repetition.topGramShare — count ties break on smallest gram,
+    * short texts fall back to the whole-text single gram (WordShingles).
+    */
+  private def topGramCte(n: Int, alias: String): String = {
+    val concat = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""g$n AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $n
+       |    THEN list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $concat)
+       |    ELSE [array_to_string(toks, ' ')] END) AS gram
+       |  FROM pr),
+       |gc$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g$n GROUP BY 1, 2),
+       |tg$n AS (
+       |  SELECT doc_id, $alias FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN sum(cnt * length(gram)) OVER (PARTITION BY doc_id) = 0
+       |           THEN 0 ELSE
+       |        ${bpSql("(cnt * length(gram))::DOUBLE / " +
+                        "sum(cnt * length(gram)) OVER (PARTITION BY doc_id)")} END
+       |        AS $alias,
+       |      row_number() OVER (PARTITION BY doc_id
+       |                         ORDER BY cnt DESC, gram ASC) AS rk
+       |    FROM gc$n)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** Token-window CTE chain (`wh(doc_id, win_hash)`) for the repeated-
+    * passage oracles — mirrors DedupFunctions.repeatedPassages' windowing
+    * (WordShingles stride-1 windows, whole-text fallback below `w` tokens).
+    */
+  private def tokenWindowsCte(w: Int): String = {
+    val concat = (0 until w).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |wn AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $w
+       |    THEN list_transform(generate_series(1, len(toks) - ${w - 1}), i -> $concat)
+       |    ELSE [array_to_string(toks, ' ')] END) AS win
+       |  FROM t),
+       |wh AS (SELECT doc_id, md5(win) AS win_hash FROM wn)""".stripMargin
   }
 
   /** SimHash signature CTE shared by the per-doc and pairs oracles —
@@ -1399,6 +1507,27 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 15)) AS b15_cnt
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_repetition" ->
+      s"""WITH $repetitionCte,
+         |${topGramCte(2, "top_bigram_bp")},
+         |${topGramCte(3, "top_trigram_bp")}
+         |SELECT doc_id, n_lines, dup_line_bp, dup_token_bp,
+         |       top_bigram_bp, top_trigram_bp
+         |FROM row_sig JOIN tg2 USING (doc_id) JOIN tg3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_gate" ->
+      s"""WITH $repetitionCte,
+         |${topGramCte(2, "top_bigram_bp")}
+         |SELECT d.source, count(*) AS n_kept, sum(d.doc_id)::BIGINT AS id_sum,
+         |       sum(len(pr.toks))::BIGINT AS kept_tokens
+         |FROM documents d
+         |JOIN pr USING (doc_id) JOIN row_sig USING (doc_id)
+         |JOIN tg2 USING (doc_id)
+         |WHERE len(pr.toks) BETWEEN 25 AND 100000
+         |  AND row_sig.dup_token_bp <= 6000 AND tg2.top_bigram_bp <= 800
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_exact_docs" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS doc_id, count(*) AS n_copies
@@ -1482,6 +1611,24 @@ object SparkEntry {
          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
          |WHERE $jaccardSql >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_repeated_passages" ->
+      s"""WITH ${tokenWindowsCte(5)}
+         |SELECT win_hash, count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_occurrences, min(doc_id) AS first_doc
+         |FROM wh GROUP BY 1
+         |HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY win_hash""".stripMargin,
+
+    "dedup_passage_coverage" ->
+      s"""WITH ${tokenWindowsCte(5)},
+         |sh AS (SELECT win_hash FROM wh GROUP BY 1
+         |       HAVING count(DISTINCT doc_id) > 1)
+         |SELECT doc_id, count(*) AS n_windows,
+         |       ${bpSql("sum(CASE WHEN sh.win_hash IS NOT NULL THEN 1 ELSE 0 END)" +
+                         "::DOUBLE / count(*)")} AS shared_bp
+         |FROM wh LEFT JOIN sh USING (win_hash)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

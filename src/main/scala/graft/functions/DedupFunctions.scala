@@ -219,6 +219,62 @@ object DedupFunctions {
       .groupBy(col("_id").as(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  // ------------------------------------------------ repeated passages
+
+  /** Cross-document repeated passages — the windowed form of
+    * exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": verbatim passages
+    * repeated across documents are memorization fuel and should be found
+    * at token granularity, not whole-document granularity).
+    *
+    * Every `windowTokens`-token window (stride 1, [[TextFunctions.shingles]])
+    * is keyed by its md5; windows whose key occurs in more than one
+    * document are repeated passages. One explode + one hash-aggregate on
+    * the window key — map-side combinable, skew-free (md5 keys), candidate
+    * output ∝ actual repetition, never n². At 100 TB this is the same
+    * shape as the MinHash band join; the window key doubles as the
+    * blocking key for any downstream span-removal pass.
+    *
+    * Returns one row per repeated passage:
+    * `(win_hash, n_docs, n_occurrences, first_doc)`.
+    */
+  def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int = 5): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(TextFunctions.shingles(col(textCol), windowTokens)).as("_w"))
+      .select(col("_id"), md5(col("_w")).as("win_hash"))
+      .groupBy(col("win_hash"))
+      .agg(count_distinct(col("_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("_id")).as("first_doc"))
+      .where(col("n_docs") > 1)
+
+  /** Per-document share of token windows that also occur in ANOTHER
+    * document — the gate-able "duplicate passage coverage" signal (a doc
+    * that is 60% shared passages is boilerplate even if no single whole-doc
+    * duplicate exists). Windows explode once; the cross-doc window set
+    * joins back on the window key (equi-join, one shuffle each side).
+    *
+    * Returns `(id, n_windows, shared_bp)` for every input document.
+    */
+  def passageDupCoverage(df: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 5): DataFrame = {
+    val wins = df.select(col(idCol).as("_id"),
+        explode(TextFunctions.shingles(col(textCol), windowTokens)).as("_w"))
+      .select(col("_id"), md5(col("_w")).as("win_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wins.count() // eager: both the shared-set agg and the coverage agg read it
+    val shared = wins.groupBy(col("win_hash"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .where(col("_nd") > 1).select(col("win_hash"))
+    wins.join(shared.withColumn("_shared", lit(1)), Seq("win_hash"), "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        TextFunctions.basisPoints(
+          sum(coalesce(col("_shared"), lit(0))).cast("double") / count(lit(1)))
+          .as("shared_bp"))
+  }
+
   // --------------------------------------------- duplicate clusters (CC)
 
   /** Connected components over a candidate-pair edge list — turns pairwise

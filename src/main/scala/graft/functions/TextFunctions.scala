@@ -19,6 +19,12 @@ object TextFunctions {
   /** Whitespace token count — the cheap token-budget estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Non-empty trimmed lines (CRLF-tolerant). Per-row array — the unit of
+    * the line-level repetition signals in [[graft.operators.Repetition]].
+    */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\\r?\\n"), l => trim(l)), l => length(l) > 0)
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Conservative PII/artifact patterns, valid in both Java regex and

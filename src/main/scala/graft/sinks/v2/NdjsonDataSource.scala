@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,22 +79,65 @@ final class NdjsonTable(properties: Map[String, String]) extends Table
 
 /** Scan of the sink layout `path/project/collection/part.ndjson.gz`: one
   * input partition per file (gzip is not splittable), routing columns
-  * recovered from the directory structure, requested-column pruning.
+  * recovered from the directory structure, requested-column pruning, and
+  * routing-predicate pushdown — equality/IN filters on `project` /
+  * `collection` skip whole directories at planning time (the layout IS the
+  * partitioning, so a filtered read must not list-and-open every file; at
+  * scale the sink holds thousands of collections and a per-collection
+  * consumer reads one of them). Pushed filters are still returned as
+  * residuals so Spark re-checks them row-side — pruning is a planning
+  * optimization, never a correctness dependency.
   */
 class NdjsonScanBuilder(path: String)
     extends org.apache.spark.sql.connector.read.ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = NdjsonDataSource.Schema
+  private var routing: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    routing = filters.filter(NdjsonScan.isRoutingFilter)
+    filters // all residual: the source prunes files, Spark keeps row checks
+  }
+  override def pushedFilters(): Array[sources.Filter] = routing
+
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new NdjsonScan(path, required)
+    new NdjsonScan(path, required, routing)
 }
 
 final case class NdjsonFilePartition(file: String, project: String, collection: String)
     extends org.apache.spark.sql.connector.read.InputPartition
 
-class NdjsonScan(path: String, required: StructType)
+object NdjsonScan {
+  /** Routing predicates the scan can evaluate against directory names. */
+  def isRoutingFilter(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo("project" | "collection", _: String) => true
+    case sources.In("project" | "collection", _) => true
+    case sources.IsNotNull("project" | "collection") => true
+    case _ => false
+  }
+
+  /** Conservative match: unknown shapes keep the dir (residual row-side
+    * filters preserve correctness either way). `IsNotNull` always keeps —
+    * directory-derived values are never null.
+    */
+  def keepsProject(f: sources.Filter, project: String): Boolean = f match {
+    case sources.EqualTo("project", v: String) => project == v
+    case sources.In("project", vs) => vs.exists(v => v != null && v == project)
+    case _ => true
+  }
+
+  def keepsCollection(f: sources.Filter, collection: String): Boolean = f match {
+    case sources.EqualTo("collection", v: String) => collection == v
+    case sources.In("collection", vs) => vs.exists(v => v != null && v == collection)
+    case _ => true
+  }
+}
+
+class NdjsonScan(path: String, required: StructType, routing: Array[sources.Filter])
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = required
@@ -104,14 +148,23 @@ class NdjsonScan(path: String, required: StructType)
     val filesystem = base.getFileSystem(new Configuration())
     if (!filesystem.exists(base)) return Array.empty
     val out = mutable.Buffer[NdjsonFilePartition]()
-    val it = filesystem.listFiles(base, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      if (p.getName.endsWith(".ndjson.gz") && !p.toString.contains("/_staging/")) {
-        val collection = p.getParent.getName
-        val project = p.getParent.getParent.getName
-        out += NdjsonFilePartition(p.toString, project, collection)
+    // prune at the directory level: list projects, then collections, and
+    // only descend into dirs every routing filter keeps — a one-collection
+    // read of an N-collection sink lists one subtree, not N
+    filesystem.listStatus(base).foreach { proj =>
+      val project = proj.getPath.getName
+      if (proj.isDirectory && project != "_staging" && project != "_epochs" &&
+          routing.forall(NdjsonScan.keepsProject(_, project))) {
+        filesystem.listStatus(proj.getPath).foreach { coll =>
+          val collection = coll.getPath.getName
+          if (coll.isDirectory &&
+              routing.forall(NdjsonScan.keepsCollection(_, collection))) {
+            filesystem.listStatus(coll.getPath).foreach { f =>
+              if (f.getPath.getName.endsWith(".ndjson.gz"))
+                out += NdjsonFilePartition(f.getPath.toString, project, collection)
+            }
+          }
+        }
       }
     }
     out.toArray

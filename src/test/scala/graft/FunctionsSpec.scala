@@ -181,6 +181,33 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(!hits.contains(11L))
   }
 
+  test("repeated passages: cross-doc windows found, per-doc coverage in bp") {
+    import spark.implicits._
+    val df = Seq(
+      // docs 1 and 2 share exactly one 5-token window
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "intro text the quick brown fox jumps closing words here"),
+      (3L, "completely different content with no common passages at all"))
+      .toDF("doc_id", "text")
+
+    val rep = DedupFunctions.repeatedPassages(df, "doc_id", "text", 5).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getAs[Long]("n_docs") == 2L)
+    assert(rep(0).getAs[Long]("n_occurrences") == 2L)
+    assert(rep(0).getAs[Long]("first_doc") == 1L)
+
+    val cov = DedupFunctions.passageDupCoverage(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    // doc 1: 9 tokens -> 5 windows, 1 shared -> 2000 bp
+    assert(cov(0).getAs[Long]("n_windows") == 5L)
+    assert(cov(0).getAs[Long]("shared_bp") == 2000L)
+    // doc 2: 10 tokens -> 6 windows, 1 shared -> floor(1666.7 + .5) = 1667
+    assert(cov(1).getAs[Long]("n_windows") == 6L)
+    assert(cov(1).getAs[Long]("shared_bp") == 1667L)
+    // doc 3: nothing shared
+    assert(cov(2).getAs[Long]("shared_bp") == 0L)
+  }
+
   test("connected components: transitive duplicate families, isolated pairs") {
     import spark.implicits._
     // chain 1-2-3 plus disjoint pair 10-11: labels collapse to each
@@ -321,6 +348,47 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", 3, nProbe = 4)
     assert(second.select("query_id").distinct().count() == 5)
     assert(second.groupBy("query_id").count().collect().forall(_.getLong(1) == 3))
+  }
+
+  test("pq encode/search: codes in range, ADC recall beats chance") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+
+    val index = SimilarityFunctions.pqTrain(emb, "embedding", m = 8, codes = 16)
+    val encoded = index.encode(emb, "vec_id", "embedding")
+      .localCheckpoint(true) // stands in for the stored code table
+    val codeRows = encoded.collect()
+    assert(codeRows.length == emb.count())
+    codeRows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+
+    val exact = SimilarityFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+    // pure ADC: ranks inside quantization error — must clearly beat chance
+    // (3 random picks from 500 land < 1%) even without the exact pass
+    val adc = SimilarityFunctions.pqSearch(encoded, queries, index,
+        "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(adc.groupBy(_._1).size == 20) // every query answered
+    val adcRecall = (exact & adc).size.toDouble / exact.size
+    assert(adcRecall > 0.05, s"ADC recall $adcRecall not above chance")
+
+    // shortlist-32 + exact re-rank is the deployment shape: high recall
+    val rer = SimilarityFunctions.pqSearchRerank(encoded, emb, queries, index,
+        "vec_id", "embedding", 3, shortlist = 32)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rerRecall = (exact & rer).size.toDouble / exact.size
+    assert(rerRecall > 0.5, s"PQ rerank recall $rerRecall too low")
+    assert(rerRecall >= adcRecall)
+
+    // one-shot path agrees with the split train/encode/search lifecycle
+    val oneShot = SimilarityFunctions.pqTopK(emb, queries, "vec_id", "embedding", 3,
+        shortlist = 32)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(oneShot == rer)
   }
 
   test("lshTopK recall against brute force is reasonable") {

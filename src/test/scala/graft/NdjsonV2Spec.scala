@@ -56,6 +56,46 @@ class NdjsonV2Spec extends SparkSpec {
     assert(back.select($"collection").distinct().count() == 2)
   }
 
+  test("DSv2 read path: routing filters prune directories at planning time") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("v2prune")
+    Seq(
+      ("p1", "clicks", """{"a":1}"""),
+      ("p1", "views", """{"a":2}"""),
+      ("p2", "clicks", """{"a":3}"""),
+      ("p2", "views", """{"a":4}"""))
+      .toDF("project", "collection", "value")
+      .write.format("graft-ndjson").mode("append").save(out.toString)
+
+    def scanPartitions(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputPartitions.collect {
+        case p: graft.sinks.v2.NdjsonFilePartition => p
+      }
+
+    val read = () => spark.read.format("graft-ndjson").load(out.toString)
+
+    // equality on both routing columns: exactly one directory planned
+    val q1 = read().filter($"project" === "p1" && $"collection" === "clicks")
+    assert(q1.select($"value").as[String].collect().toSeq == Seq("""{"a":1}"""))
+    val parts1 = scanPartitions(q1)
+    assert(parts1.nonEmpty &&
+      parts1.forall(p => p.project == "p1" && p.collection == "clicks"))
+
+    // IN-list prunes to the listed collections of one project
+    val q2 = read().filter($"project" === "p2" && $"collection".isin("clicks", "views"))
+    assert(q2.count() == 2)
+    val parts2 = scanPartitions(q2)
+    assert(parts2.map(_.collection).sorted == Seq("clicks", "views") &&
+      parts2.forall(_.project == "p2"))
+
+    // a disjunction is not separable: nothing pruned, results still correct
+    val q3 = read().filter($"project" === "p1" || $"collection" === "views")
+    assert(q3.count() == 3)
+    assert(scanPartitions(q3).length == 4)
+  }
+
   test("DSv2 streaming write: epochs commit through the same protocol") {
     import spark.implicits._
     val in = Files.createTempDirectory("v2in")

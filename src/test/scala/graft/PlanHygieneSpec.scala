@@ -55,6 +55,22 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("l_comment"), s"q1_agg reads unprojected columns:\n$p")
   }
 
+  test("repetition and passage queries: aggregation shapes, no product joins") {
+    for (q <- Seq("text_repetition", "quality_gate",
+                  "dedup_repeated_passages", "dedup_passage_coverage")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q fell back to a product join:\n$p")
+    }
+  }
+
+  test("PQ search: queries broadcast for the ADC scan, no Cartesian") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"PQ query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PQ corpus-side product join:\n$p")
+  }
+
   test("pipeline dedup and doc pipeline keep single-exchange shapes") {
     val kept = plan("doc_pipeline_kept")
     // one window (fingerprint dedup); everything upstream is map-only
