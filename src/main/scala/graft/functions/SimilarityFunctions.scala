@@ -308,32 +308,82 @@ object SimilarityFunctions {
       }: _*)
   }
 
+  /** Driver-local Lloyd's iterations — the PQ codebook fit. The sample is
+    * BOUNDED by [[pqTrain]] (≤maxTrainRows), so fitting in driver memory
+    * is the right trade at any corpus size: m small k-means problems over
+    * ≤100k low-dim points beat m distributed fits (each a multi-job
+    * iterative program) by orders of magnitude in scheduling overhead —
+    * the same sample-then-fit-locally shape production PQ trainers use.
+    * Empty clusters keep their previous centroid; seeded init (distinct
+    * shuffled sample points) keeps the fit deterministic.
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                    iters: Int = 15): Array[Array[Double]] = {
+    require(points.length >= k, s"need >= $k training points, got ${points.length}")
+    val rnd = new java.util.Random(seed)
+    val order = rnd.ints(0, points.length).distinct().limit(k).toArray
+    val dim = points(0).length
+    val cents = order.map(i => points(i).clone())
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) { // nearest centroid, first index on ties
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < k) {
+          var d = 0.0; var x = 0
+          while (x < dim) { val t = points(p)(x) - cents(j)(x); d += t * t; x += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(p) = best; p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < points.length) {
+        val a = assign(p); counts(a) += 1
+        var x = 0
+        while (x < dim) { sums(a)(x) += points(p)(x); x += 1 }
+        p += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var x = 0
+          while (x < dim) { cents(j)(x) = sums(j)(x) / counts(j); x += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Train a product quantizer on a bounded seeded sample — like
     * [[ivfTrain]], the iterative k-means fits are the only steps that must
     * not see the full corpus; encoding covers it in one pass. `dim` must
-    * be divisible by `m`.
+    * be divisible by `m`. The bounded sample collects to the driver and
+    * fits locally (see [[lloyd]]).
     */
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8, codes: Int = 16,
               seed: Long = 42L, maxTrainRows: Long = 100000L): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // train on NORMALIZED vectors — encode/search normalize the same way
     val all = corpus.select(
       l2Normalize(col(vecCol).cast("array<double>")).as("_cv"))
     val n = all.count()
-    val train = (if (n <= maxTrainRows) all
-                 else all.sample(withReplacement = false, maxTrainRows.toDouble / n, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = train.select(size(col("_cv"))).head().getInt(0)
+    val train = if (n <= maxTrainRows) all
+                else all.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    // bounded collect (≤maxTrainRows rows) — the only driver-side data
+    val sample = train.collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training corpus")
+    val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val books = (0 until m).map { i =>
-      val sub = train.select(array_to_vector(
-        slice(col("_cv"), i * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(codes).setSeed(seed + i).setFeaturesCol("features")
-        .fit(sub).clusterCenters.map(_.toArray)
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, i * subDim, (i + 1) * subDim))
+      lloyd(sub, codes, seed + i)
     }.toArray
-    train.unpersist()
     new PqIndex(subDim, books)
   }
 
