@@ -828,6 +828,18 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF-PQ — the billion-scale composition: cell probing bounds the
+    // candidate set, PQ codes bound scan bandwidth, exact re-rank restores
+    // recall. Approximate by construction (rows-only; recall spec-pinned).
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityFunctions.ivfPqTopK(
+          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5,
+          cells = 16, nProbe = 4)
+        .orderBy($"query_id", $"rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")

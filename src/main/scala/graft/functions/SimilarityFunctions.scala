@@ -280,10 +280,23 @@ object SimilarityFunctions {
       * map-only distributed pass (per subspace: L2 argmin over the k
       * broadcast-literal centroids; ties resolve to the smallest code).
       */
-    def encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
-      // normalize FIRST (own projection, once per row): with unit vectors,
-      // ADC inner product approximates cosine — unnormalized corpora rank
-      // by magnitude and recall collapses
+    /** Encode every corpus vector to its `m` nearest-centroid codes — one
+      * map-only distributed pass through the native codegen'd kernel
+      * (normalization + per-subspace L2 argmin in one tight loop; the
+      * codebook ships with the plan). Normalization matters: with unit
+      * vectors, ADC inner product approximates cosine — unnormalized
+      * corpora rank by magnitude and recall collapses.
+      */
+    def encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+      corpus.select(col(idCol).as("neighbor_id"),
+        expressions.PqExpressions.pq_encode(
+          col(vecCol).cast("array<double>"), codebooks).as("_codes"))
+
+    /** Composed-builtin encode, kept ONLY as the bit-parity reference for
+      * the native kernel (same normalization, same left-to-right sums,
+      * same first-index tie-break).
+      */
+    def encodeComposed(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
       val base = corpus.select(col(idCol).as("neighbor_id"),
         l2Normalize(col(vecCol).cast("array<double>")).as("_nv"))
       val codes = array((0 until m).map { i =>
@@ -299,13 +312,10 @@ object SimilarityFunctions {
       * `tab[i][j] = <query subvector i, codebook[i][j]>` — inner-product
       * tables, computed once per QUERY row (m·k small dots), so scoring a
       * corpus pair is `m` table lookups instead of a d-dim dot product.
+      * Native kernel; normalizes internally.
       */
     private[functions] def adcTable(qv: Column): Column =
-      array((0 until m).map { i =>
-        transform(element_at(codebookLit, i + 1), cent =>
-          aggregate(zip_with(subVec(qv, i), cent, (x, c) => x * c),
-            lit(0.0d), (acc, x) => acc + x))
-      }: _*)
+      expressions.PqExpressions.pq_adc_table(qv, codebooks)
   }
 
   /** Driver-local Lloyd's iterations — the PQ codebook fit. The sample is
@@ -396,16 +406,13 @@ object SimilarityFunctions {
     */
   def pqSearch(encoded: DataFrame, queries: DataFrame, index: PqIndex,
                idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries
-      .select(col(idCol).as("query_id"),
-        l2Normalize(col(vecCol).cast("array<double>")).as("_nqv"))
-      .select(col("query_id"), index.adcTable(col("_nqv")).as("_tab"))
+    val q = queries.select(col(idCol).as("query_id"),
+      index.adcTable(col(vecCol).cast("array<double>")).as("_tab"))
     val scored = encoded.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        floor(aggregate(
-            zip_with(col("_codes"), col("_tab"), (c, t) => element_at(t, c + 1)),
-            lit(0.0d), (acc, x) => acc + x) * 10000 + 0.5)
+        floor(expressions.PqExpressions.pq_adc_score(col("_codes"), col("_tab"))
+            * 10000 + 0.5)
           .cast("long").as("score_bp"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_bp").desc, col("neighbor_id").asc)
@@ -451,5 +458,65 @@ object SimilarityFunctions {
     val sl = if (shortlist > 0) shortlist else math.max(8 * k, 32)
     pqSearchRerank(index.encode(corpus, idCol, vecCol), corpus, queries,
       index, idCol, vecCol, k, sl)
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ search — the canonical billion-scale composition: the IVF
+    * coarse quantizer bounds WHICH vectors each query scores (nProbe cell
+    * equi-join), PQ codes bound the BANDWIDTH of scoring them (m lookups
+    * per candidate), and the exact pass re-ranks only the ADC shortlist.
+    * `inv` is the inverted file carrying both artifacts per row:
+    * `(neighbor_id, _cell, _cv, _codes)` — [[IvfIndex.assign]] joined with
+    * [[PqIndex.encode]] (see [[ivfPqTopK]]); persist it to storage at
+    * scale. The exact re-rank reads `_cv` off the already-joined candidate
+    * rows, so no second corpus join happens.
+    */
+  def ivfPqSearch(inv: DataFrame, queries: DataFrame, index: IvfIndex,
+                  pq: PqIndex, idCol: String, vecCol: String, k: Int,
+                  nProbe: Int = 4, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else math.max(8 * k, 32)
+    require(sl >= k, s"shortlist $sl < k $k")
+    val centDf = index.centroids(queries.sparkSession) // tiny: broadcasts
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"),
+      pq.adcTable(col(vecCol).cast("array<double>")).as("_tab"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cdist").asc, col("_cell").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("_cdist", -cosine(col("_qv"), col("_centroid")))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_tab"), col("_cell"))
+    val adc = inv.join(probes, Seq("_cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"),
+        expressions.PqExpressions.pq_adc_score(col("_codes"), col("_tab"))
+          .as("_adc"))
+    val slW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id").asc)
+    val scored = adc.withColumn("_sr", row_number().over(slW))
+      .where(col("_sr") <= sl)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(cosine(col("_qv"), col("_cv")) * 10000 + 0.5).cast("long").as("cosine_bp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_bp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** One-shot IVF-PQ: train both quantizers, build the combined inverted
+    * file, search. Long-lived corpora persist the inverted file and call
+    * [[ivfPqSearch]] per query batch.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, cells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, codes: Int = 16, seed: Long = 42L,
+                shortlist: Int = 0): DataFrame = {
+    val ivf = ivfTrain(corpus, vecCol, cells, seed)
+    val pq = pqTrain(corpus, vecCol, m, codes, seed)
+    val inv = ivf.assign(corpus, idCol, vecCol)
+      .join(pq.encode(corpus, idCol, vecCol), Seq("neighbor_id"))
+    ivfPqSearch(inv, queries, ivf, pq, idCol, vecCol, k, nProbe, shortlist)
   }
 }

@@ -391,6 +391,41 @@ class SimilaritySpec extends SparkSpec {
     assert(oneShot == rer)
   }
 
+  test("native PQ encode is bit-identical to the composed builtin form") {
+    val emb = sf("embeddings")
+    val index = SimilarityFunctions.pqTrain(emb, "embedding", m = 8, codes = 16)
+    val native = index.encode(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val composed = index.encodeComposed(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == composed)
+  }
+
+  test("ivfPq: probed-cell ADC + rerank recall, one-shot = split lifecycle") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = SimilarityFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+    val ivf = SimilarityFunctions.ivfTrain(emb, "embedding", cells = 8)
+    val pq = SimilarityFunctions.pqTrain(emb, "embedding", m = 8, codes = 16)
+    val inv = ivf.assign(emb, "vec_id", "embedding")
+      .join(pq.encode(emb, "vec_id", "embedding"), Seq("neighbor_id"))
+      .localCheckpoint(true) // stands in for the persisted inverted file
+    val split = SimilarityFunctions.ivfPqSearch(inv, queries, ivf, pq,
+        "vec_id", "embedding", 3, nProbe = 4, shortlist = 32)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // both quantizers lose a bit: bound below the PQ-only rerank floor but
+    // far above chance (3 random picks from 500 land < 1%)
+    val recall = (exact & split).size.toDouble / exact.size
+    assert(recall > 0.35, s"IVF-PQ recall $recall too low")
+
+    val oneShot = SimilarityFunctions.ivfPqTopK(emb, queries, "vec_id", "embedding", 3,
+        cells = 8, nProbe = 4, shortlist = 32)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(oneShot == split)
+  }
+
   test("lshTopK recall against brute force is reasonable") {
     val emb = sf("embeddings")
     val queries = emb.filter(col("vec_id") < 20)

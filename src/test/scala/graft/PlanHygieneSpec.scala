@@ -71,6 +71,14 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"PQ corpus-side product join:\n$p")
   }
 
+  test("IVF-PQ: candidate fetch is an equi-join on the cell id") {
+    val p = plan("ann_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ product join:\n$p")
+    // the inverted-file probe must hash-join on _cell, not loop-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join on cell:\n$p")
+  }
+
   test("pipeline dedup and doc pipeline keep single-exchange shapes") {
     val kept = plan("doc_pipeline_kept")
     // one window (fingerprint dedup); everything upstream is map-only
