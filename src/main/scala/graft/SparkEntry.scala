@@ -636,6 +636,18 @@ object SparkEntry {
         TextFunctions.rollingHash($"text").as("rhash")).orderBy($"doc_id")
     }),
 
+    // Markup stripping (tag removal + entity decode + whitespace collapse):
+    // the synthetic corpus is markup-free, so this pins the no-op side
+    // (tag count 0, fingerprint = normalized text); the positive side is
+    // spec-pinned on real HTML fixtures — same pattern as text_redact.
+    "text_strip_markup" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+          size(regexp_extract_all($"text", lit("<[^>]*>"), lit(0))).as("n_tags"),
+          md5(TextFunctions.stripMarkup($"text")).as("stripped_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style repetition profile: duplicate-line / duplicate-token
     // fractions and top bigram/trigram character shares, in basis points —
     // the boilerplate/spam signals of a pre-training quality pass.
@@ -1517,6 +1529,17 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 5)) AS b5_cnt,
         |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 10)) AS b10_cnt,
         |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 15)) AS b15_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_strip_markup" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '<[^>]*>')) AS n_tags,
+        |  md5(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g'))) AS stripped_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

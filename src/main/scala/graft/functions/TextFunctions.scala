@@ -144,6 +144,28 @@ object TextFunctions {
     */
   def basisPoints(x: Column): Column = floor(x * 10000 + 0.5).cast("long")
 
+  /** Common HTML entities decoded after tag removal. Order matters:
+    * `&amp;` decodes LAST so `&amp;lt;` becomes the literal `&lt;` and not
+    * a re-decoded `<` (the standard double-escape rule). Mirrored
+    * literally in the SQL oracle — keep in sync.
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Strip HTML/XML markup: drop tags (replaced by a space so adjacent
+    * words don't fuse), decode the common entities, collapse whitespace.
+    * Per-row regexp/replace chain — codegen'd, shuffle-free; the web-scrape
+    * cleaning pass that precedes every other text operator.
+    */
+  def stripMarkup(text: Column): Column = {
+    val untagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(untagged) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Cleaning normalization: lower-case, collapse whitespace, drop
     * stopwords — the standard pre-tokenization scrub of a training-data
     * pipeline. Stays codegen-composable (filter + array_join).

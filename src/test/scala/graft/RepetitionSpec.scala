@@ -70,6 +70,51 @@ class RepetitionSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("top_bigram_bp") == 4000L)
   }
 
+  test("stripMarkup: tags dropped, entities decoded, whitespace collapsed") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "<p>Hello &amp; <b>world</b></p>",
+      "a<br/>b",
+      "&amp;lt;",                       // double-escape: decodes to &lt;
+      "no markup at all",
+      "<div class=\"x\">spaced   out</div>")
+      .toDF("t")
+    val out = df.select(TextFunctions.stripMarkup($"t").as("s"))
+      .as[String].collect().toSeq
+    assert(out == Seq("Hello & world", "a b", "&lt;", "no markup at all",
+      "spaced out"))
+  }
+
+  test("profile signals agree with brute-force recomputation on random docs") {
+    import spark.implicits._
+    // deterministic pseudo-random docs over a tiny vocab so repetition is
+    // dense; brute-force recompute per doc must match the operator exactly
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docsSeq = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i)
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Repetition.profile(docsSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_token_bp"), r.getAs[Long]("top_bigram_bp"))).toMap
+
+    docsSeq.foreach { case (id, text) =>
+      val toks = text.split("\\s+").toSeq
+      val dupBp = math.floor((toks.size - toks.distinct.size).toDouble /
+        toks.size * 10000 + 0.5).toLong
+      val grams = if (toks.size < 2) Seq(toks.mkString(" "))
+                  else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val (topGram, topCnt) = counts.toSeq.sortBy { case (g, c) => (-c, g) }.head
+      val total = counts.map { case (g, c) => g.length.toLong * c }.sum
+      val topBp = if (total == 0) 0L
+        else math.floor(topGram.length.toLong * topCnt.toDouble / total * 10000 + 0.5).toLong
+      assert(got(id) == (dupBp, topBp), s"doc $id: ${got(id)} != ($dupBp, $topBp)")
+    }
+  }
+
   test("gate: volume floor and repetition ceilings filter rows") {
     import spark.implicits._
     val longUnique = (1 to 40).map(i => s"tok$i").mkString(" ")
