@@ -257,7 +257,8 @@ object AvroIngest {
                    names: FieldNames = FieldNames(),
                    batchId: Long = -1L,
                    bulkFetch: Option[String => Array[Byte]] = None,
-                   dedupBatch: Boolean = false)
+                   dedupBatch: Boolean = false,
+                   writeParallelism: Int = 4)
       : Map[CollectionId, Long] = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -296,9 +297,12 @@ object AvroIngest {
         .collect()
         .map(r => CollectionId(r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
-      val inline: Map[CollectionId, Long] =
+      // writes submit from a bounded pool (ParallelWrites — the
+      // reference's writer-queue shape); largest-first kept as submission
+      // order, failures surface only after every write finished
+      val inline: Map[CollectionId, Long] = graft.util.ParallelWrites.run(
         schemas.keys.toSeq.filter(present.contains)
-        .sortBy(id => -present(id)).flatMap { id =>
+          .sortBy(id => -present(id)), writeParallelism) { id =>
         val (avroJson, rowSchema) = schemaPairs(id)
         val enc = Encoders.row(rowSchema)
         val decoded = routed
@@ -327,7 +331,7 @@ object AvroIngest {
         // batch id flows through for sink-side replay idempotence)
         val n = graft.util.ObservedCount.insertCounted(sink, id, deduped, batchId)
         if (n > 0) Some(id -> n) else None
-      }.toMap
+      }.flatten.toMap
 
       bulkFetch match {
         case None => inline

@@ -52,7 +52,8 @@ final case class IngestConfig(
     splitEnabled: Boolean = true,                 // false on the historical drain
     commitRetries: Int = 3,                       // C4, TargetConnectorCommitter.java:35-39
     commitRetryBaseMillis: Long = 1000,
-    schemaFixed: Boolean = false)                 // registry authoritative; skip inference
+    schemaFixed: Boolean = false,                 // registry authoritative; skip inference
+    writeParallelism: Int = 4)                    // B3 writer queues, S3DatabaseHandler:389-479
 
 /** The streaming ingest pipeline: the reference's Kafka/Kinesis worker loop
   * (SURVEY.md §3.1) re-expressed as one Structured Streaming query.
@@ -265,28 +266,33 @@ object IngestStream {
         -routedSizes.getOrElse((id.project, id.collection), 0L)
       }
       try {
-        ordered.map { case (id, df) =>
-          val withCheckpoint = EventOps.withShardTime(df, cfg.names)
-          try {
-            // C4: job-level retry with backoff around the sink commit;
-            // batch id flows through for sink-side idempotence. The
-            // inserted-row count rides on the write job itself (a fresh
-            // Observation per attempt, inside the retry) instead of
-            // re-running the parse in a second job per collection.
-            id -> withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
-              graft.util.ObservedCount.insertCounted(
-                sink, id, withCheckpoint, batchId))
-          } catch {
-            case e: Throwable =>
-              deadLetter match {
-                case Some(dl) => // C7: preserve + advance instead of skip/abort
-                  dl.handle(id, routed.filter(
-                    col("_project") === id.project &&
-                      col("_collection") === id.collection), e)
-                  id -> 0L
-                case None => throw e // abort the batch: offsets never commit
-              }
-          }
+        // writes submit from a bounded pool (ParallelWrites — the
+        // reference's writer-queue shape); largest-first is preserved as
+        // submission order, and a failure only surfaces after every
+        // in-flight write finished, keeping the barrier clean
+        graft.util.ParallelWrites.run(ordered, cfg.writeParallelism) {
+          case (id, df) =>
+            val withCheckpoint = EventOps.withShardTime(df, cfg.names)
+            try {
+              // C4: job-level retry with backoff around the sink commit;
+              // batch id flows through for sink-side idempotence. The
+              // inserted-row count rides on the write job itself (a fresh
+              // Observation per attempt, inside the retry) instead of
+              // re-running the parse in a second job per collection.
+              id -> withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
+                graft.util.ObservedCount.insertCounted(
+                  sink, id, withCheckpoint, batchId))
+            } catch {
+              case e: Throwable =>
+                deadLetter match {
+                  case Some(dl) => // C7: preserve + advance instead of skip/abort
+                    dl.handle(id, routed.filter(
+                      col("_project") === id.project &&
+                        col("_collection") === id.collection), e)
+                    id -> 0L
+                  case None => throw e // abort the batch: offsets never commit
+                }
+            }
         }.toMap
       } finally routed.unpersist(false)
     } finally decoupled.unpersist(false)
