@@ -241,7 +241,8 @@ object DedupFunctions {
   def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
                        windowTokens: Int = 5): DataFrame =
     df.select(col(idCol).as("_id"),
-        explode(TextFunctions.shingles(col(textCol), windowTokens)).as("_w"))
+        explode(TextFunctions.shingles(coalesce(col(textCol), lit("")),
+          windowTokens)).as("_w"))
       .select(col("_id"), md5(col("_w")).as("win_hash"))
       .groupBy(col("win_hash"))
       .agg(count_distinct(col("_id")).as("n_docs"),
@@ -259,8 +260,11 @@ object DedupFunctions {
     */
   def passageDupCoverage(df: DataFrame, idCol: String, textCol: String,
                          windowTokens: Int = 5): DataFrame = {
+    // NULL text = empty text (one fallback window) so every input doc
+    // keeps its output row — explode(null) would silently drop it
     val wins = df.select(col(idCol).as("_id"),
-        explode(TextFunctions.shingles(col(textCol), windowTokens)).as("_w"))
+        explode(TextFunctions.shingles(coalesce(col(textCol), lit("")),
+          windowTokens)).as("_w"))
       .select(col("_id"), md5(col("_w")).as("win_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.count() // eager: both the shared-set agg and the coverage agg read it

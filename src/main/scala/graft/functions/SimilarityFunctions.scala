@@ -276,12 +276,8 @@ object SimilarityFunctions {
     private def subVec(vec: Column, i: Int): Column =
       slice(vec, i * subDim + 1, subDim)
 
-    /** Encode every corpus vector to its `m` nearest-centroid codes — one
-      * map-only distributed pass (per subspace: L2 argmin over the k
-      * broadcast-literal centroids; ties resolve to the smallest code).
-      */
-    /** Encode every corpus vector to its `m` nearest-centroid codes — one
-      * map-only distributed pass through the native codegen'd kernel
+    /** Encode every corpus vector to its `m` nearest-centroid byte codes
+      * — one map-only distributed pass through the native codegen'd kernel
       * (normalization + per-subspace L2 argmin in one tight loop; the
       * codebook ships with the plan). Normalization matters: with unit
       * vectors, ADC inner product approximates cosine — unnormalized
@@ -303,7 +299,7 @@ object SimilarityFunctions {
         val dists = transform(element_at(codebookLit, i + 1), cent =>
           aggregate(zip_with(subVec(col("_nv"), i), cent, (x, c) => (x - c) * (x - c)),
             lit(0.0d), (acc, x) => acc + x))
-        (array_position(dists, array_min(dists)) - 1).cast("int")
+        (array_position(dists, array_min(dists)) - 1).cast("tinyint")
       }: _*)
       base.select(col("neighbor_id"), codes.as("_codes"))
     }
@@ -385,6 +381,7 @@ object SimilarityFunctions {
     val train = if (n <= maxTrainRows) all
                 else all.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
     // bounded collect (≤maxTrainRows rows) — the only driver-side data
+    require(codes >= 1 && codes <= 256, s"codes $codes not in 1..256 (byte codes)")
     val sample = train.collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training corpus")
     val dim = sample(0).length
@@ -408,16 +405,21 @@ object SimilarityFunctions {
                idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       index.adcTable(col(vecCol).cast("array<double>")).as("_tab"))
+    // rank on the RAW ADC score — quantizing to basis points before the
+    // top-k window would collapse <1e-4 score gaps into id-order ties and
+    // cut true neighbors from a rerank shortlist; bp is presentation only
     val scored = encoded.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        floor(expressions.PqExpressions.pq_adc_score(col("_codes"), col("_tab"))
-            * 10000 + 0.5)
-          .cast("long").as("score_bp"))
+        expressions.PqExpressions.pq_adc_score(col("_codes"), col("_tab"))
+          .as("_score"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_bp").desc, col("neighbor_id").asc)
+      .orderBy(col("_score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("_score") * 10000 + 0.5).cast("long").as("score_bp"),
+        col("rank"))
   }
 
   /** ADC shortlist → exact re-rank: take the `shortlist` best ADC scores

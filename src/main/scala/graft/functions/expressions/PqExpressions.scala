@@ -38,7 +38,9 @@ object PqKernel {
 
   /** Per-subspace nearest-centroid codes of the normalized vector
     * (L2 argmin; first index wins ties, matching `array_position` of the
-    * min in the composed form).
+    * min in the composed form). Codes are BYTES (k ≤ 256 by contract) —
+    * the storage width is the whole point of the operator: m=8 byte codes
+    * vs a 256-byte float32 vector is the advertised 32× compression.
     */
   def encode(vec: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val v = normalize(vec)
@@ -58,7 +60,7 @@ object PqKernel {
         if (d < bestD) { bestD = d; best = j }
         j += 1
       }
-      out(s) = best
+      out(s) = best.toByte
       s += 1
     }
     new GenericArrayData(out)
@@ -91,13 +93,15 @@ object PqKernel {
     new GenericArrayData(out)
   }
 
-  /** ADC score: Σₛ table[s][codes[s]] — m array lookups per candidate. */
+  /** ADC score: Σₛ table[s][codes[s]] — m array lookups per candidate.
+    * Codes are unsigned bytes (k ≤ 256).
+    */
   def score(codes: ArrayData, table: ArrayData): Double = {
     val m = math.min(codes.numElements(), table.numElements())
     var acc = 0.0
     var s = 0
     while (s < m) {
-      acc += table.getArray(s).getDouble(codes.getInt(s))
+      acc += table.getArray(s).getDouble(codes.getByte(s) & 0xff)
       s += 1
     }
     acc
@@ -106,7 +110,7 @@ object PqKernel {
 
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"pq_encode needs array<double>, got $other")
@@ -144,10 +148,10 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
 case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+    case (ArrayType(ByteType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_adc_score needs (array<int>, array<array<double>>), got $other")
+      s"pq_adc_score needs (array<tinyint>, array<array<double>>), got $other")
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     PqKernel.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

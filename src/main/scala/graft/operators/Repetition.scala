@@ -48,7 +48,8 @@ object Repetition {
   private def topGramShare(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, outName: String): DataFrame = {
     val counted = docs
-      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol),
+        explode(TextFunctions.shingles(coalesce(col(textCol), lit("")), n)).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
     val byDoc = Window.partitionBy(col(idCol))
     val ranked = byDoc.orderBy(col("cnt").desc, col("gram").asc)
@@ -65,8 +66,12 @@ object Repetition {
     * `(id, n_lines, dup_line_bp, dup_token_bp, top_bigram_bp, top_trigram_bp)`.
     */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ls = TextFunctions.lines(col(textCol))
-    val toks = TextFunctions.tokens(col(textCol))
+    // NULL text behaves as empty text (all signals zero): exploding a null
+    // shingle array emits no rows and would silently DROP the doc from the
+    // inner joins below, breaking the one-row-per-document contract
+    val t = coalesce(col(textCol), lit(""))
+    val ls = TextFunctions.lines(t)
+    val toks = TextFunctions.tokens(t)
     val perRow = docs.select(col(idCol),
       size(ls).as("n_lines"),
       bpShare(size(ls) - size(array_distinct(ls)), size(ls)).as("dup_line_bp"),
@@ -83,7 +88,8 @@ object Repetition {
   def gate(docs: DataFrame, idCol: String, textCol: String,
            cfg: Config = Config()): DataFrame =
     docs
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(coalesce(col(textCol), lit(""))))
       .join(profile(docs, idCol, textCol)
         .select(col(idCol), col("dup_token_bp"), col("top_bigram_bp")), idCol)
       .where(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&

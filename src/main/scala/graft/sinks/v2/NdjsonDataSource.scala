@@ -160,7 +160,9 @@ class NdjsonScan(path: String, required: StructType, routing: Array[sources.Filt
           if (coll.isDirectory &&
               routing.forall(NdjsonScan.keepsCollection(_, collection))) {
             filesystem.listStatus(coll.getPath).foreach { f =>
-              if (f.getPath.getName.endsWith(".ndjson.gz"))
+              // isFile: a stray DIRECTORY named *.ndjson.gz must not plan
+              // (the old recursive listFiles returned files only)
+              if (f.isFile && f.getPath.getName.endsWith(".ndjson.gz"))
                 out += NdjsonFilePartition(f.getPath.toString, project, collection)
             }
           }

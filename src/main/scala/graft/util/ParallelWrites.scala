@@ -3,7 +3,6 @@ package graft.util
 import java.util.concurrent.Executors
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.util.Try
 
 /** Bounded-parallel execution of independent per-collection write jobs.
   *
@@ -29,9 +28,22 @@ object ParallelWrites {
       val pool = Executors.newFixedThreadPool(math.min(parallelism, items.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
+        // EVERY Throwable is captured inside the task (scala.util.Try only
+        // holds NonFatal — a fatal task error would fail the Future and
+        // bypass the all-finished barrier), so Future.sequence can only
+        // complete after each task ended one way or the other. The one
+        // remaining early exit is an interrupt of the AWAITING thread
+        // (StreamExecution.stop): pool threads inherit the caller's job
+        // group (InheritableThreadLocal local properties), so Spark's
+        // group cancellation reaps the in-flight jobs there.
         val done = Await.result(
-          Future.sequence(items.map(a => Future(Try(f(a))))), Duration.Inf)
-        done.map(_.get) // first failure rethrown only after ALL finished
+          Future.sequence(items.map(a => Future(
+            try Right(f(a)) catch { case t: Throwable => Left(t) }))),
+          Duration.Inf)
+        done.map { // first failure rethrown only after ALL finished
+          case Right(b) => b
+          case Left(t)  => throw t
+        }
       } finally pool.shutdown()
     }
 }

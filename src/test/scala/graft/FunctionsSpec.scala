@@ -187,7 +187,9 @@ class DedupFunctionsSpec extends SparkSpec {
       // docs 1 and 2 share exactly one 5-token window
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "intro text the quick brown fox jumps closing words here"),
-      (3L, "completely different content with no common passages at all"))
+      (3L, "completely different content with no common passages at all"),
+      // null text: must keep its coverage row (fallback window, 0 shared)
+      (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
 
     val rep = DedupFunctions.repeatedPassages(df, "doc_id", "text", 5).collect()
@@ -206,6 +208,10 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(cov(1).getAs[Long]("shared_bp") == 1667L)
     // doc 3: nothing shared
     assert(cov(2).getAs[Long]("shared_bp") == 0L)
+    // doc 4 (null text): row present, one fallback window, nothing shared
+    assert(cov.length == 4)
+    assert(cov(3).getAs[Long]("n_windows") == 1L)
+    assert(cov(3).getAs[Long]("shared_bp") == 0L)
   }
 
   test("connected components: transitive duplicate families, isolated pairs") {
@@ -360,7 +366,7 @@ class SimilaritySpec extends SparkSpec {
     val codeRows = encoded.collect()
     assert(codeRows.length == emb.count())
     codeRows.foreach { r =>
-      val cs = r.getSeq[Int](1)
+      val cs = r.getSeq[Byte](1) // byte codes: the 32x storage tier
       assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
     }
 
@@ -395,9 +401,9 @@ class SimilaritySpec extends SparkSpec {
     val emb = sf("embeddings")
     val index = SimilarityFunctions.pqTrain(emb, "embedding", m = 8, codes = 16)
     val native = index.encode(emb, "vec_id", "embedding")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     val composed = index.encodeComposed(emb, "vec_id", "embedding")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     assert(native == composed)
   }
 

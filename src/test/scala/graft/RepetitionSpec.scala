@@ -19,7 +19,9 @@ class RepetitionSpec extends SparkSpec {
       // short text below the bigram fallback: single whole-text gram
       (4L, "one", "s1"),
       // whitespace-only: zero lines, zero tokens, all signals 0
-      (5L, "  \n \n ", "s1"))
+      (5L, "  \n \n ", "s1"),
+      // NULL text: must still produce a row (all signals 0), not vanish
+      (6L, null.asInstanceOf[String], "s1"))
       .toDF("doc_id", "text", "source")
   }
 
@@ -53,6 +55,13 @@ class RepetitionSpec extends SparkSpec {
     assert(d5.getAs[Long]("dup_line_bp") == 0L)
     assert(d5.getAs[Long]("dup_token_bp") == 0L)
     assert(d5.getAs[Long]("top_bigram_bp") == 0L) // zero-char fallback gram
+
+    // null text: one-row-per-document contract holds, zeros everywhere
+    assert(rows.length == 6)
+    val d6 = rows(5)
+    assert(d6.getAs[Int]("n_lines") == 0)
+    assert(d6.getAs[Long]("dup_token_bp") == 0L)
+    assert(d6.getAs[Long]("top_bigram_bp") == 0L)
   }
 
   test("profile: top-bigram share prefers count, ties break on gram") {
