@@ -50,6 +50,31 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Self-validating recall certificate for an approximate top-k result —
+    * the `agg_approx_sketch` pattern applied to ANN: join the approximate
+    * top-k against the exact brute-force top-k IN the query and emit one
+    * row of engine-stable facts. `n_queries`/`n_exact` the oracle
+    * recomputes from the probe predicate; `recall_floor_bp` is the
+    * contract constant; `recall_ok` asserts the approximate method met it
+    * (a recall regression flips the flag and fails the hash compare —
+    * unlike a rows-only check, which would not notice).
+    */
+  private def recallCertificate(approx: DataFrame, exact: DataFrame,
+                                recallFloorBp: Long): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val totals = e.agg(
+      count_distinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("_n_hits"))
+    totals.crossJoin(hits) // 1 row × 1 row
+      .select(col("n_queries"), col("n_exact"),
+        lit(recallFloorBp).as("recall_floor_bp"),
+        (col("_n_hits") * 10000 >= col("n_exact") * recallFloorBp)
+          .cast("long").as("recall_ok"))
+  }
+
   /** Full JSON ingest of the events wire stream → per-collection frames. */
   private def ingested(s: SparkSession, dir: String): Map[CollectionId, DataFrame] = {
     val registry = new EventSchema.Registry()
@@ -628,8 +653,10 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // Rolling-hash fingerprint (native Catalyst expression) — rows-only
-    // (no SQL mirror for the per-byte fold; covered by ScalaTest).
+    // Rolling-hash fingerprint (native Catalyst expression). The oracle
+    // mirrors the double Rabin-Karp byte fold with DuckDB list_reduce —
+    // exact, because the synthetic corpus is pure ASCII (byte = codepoint,
+    // the same property the mm_features oracle already leans on).
     "text_rolling_fingerprint" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select($"doc_id",
@@ -708,25 +735,30 @@ object SparkEntry {
     // Duplicate CLUSTERS: LSH candidate pairs → connected components →
     // one group per duplicate family labeled by its smallest member (what
     // a keep-one-representative pass actually needs; pairs alone can't
-    // express transitive duplicates A~B~C).
+    // express transitive duplicates A~B~C). Routes through the alternating
+    // large-star/small-star CC — O(log n) rounds regardless of graph
+    // shape; label propagation needs diameter-many rounds and measured
+    // 57-95× slower on a chain-shaped duplicate graph at sf0.1.
     "dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       val pairs = DedupFunctions.minhashCandidates(docs(s, dir), "doc_id",
         "text", k = 12, nBands = 4, shingleSize = 3)
-      DedupFunctions.connectedComponents(pairs, "id_a", "id_b")
+      DedupFunctions.connectedComponentsAlternating(pairs, "id_a", "id_b")
         .groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max($"v").as("max_member"))
         .orderBy($"cluster_id")
     }),
 
-    // Same clusters via alternating large-star/small-star — the
-    // high-diameter O(log n)-round variant; must agree exactly with the
-    // label-propagation plan (and the recursive-CTE oracle).
+    // Same clusters through the auto-escalating entry point: label
+    // propagation (cheapest per round on genuinely low-diameter graphs)
+    // hands off to the star variant when the diameter budget runs out.
+    // Must agree exactly with the plain star plan (and the recursive-CTE
+    // oracle).
     "dedup_clusters_star" -> ((s, dir) => {
       import s.implicits._
       val pairs = DedupFunctions.minhashCandidates(docs(s, dir), "doc_id",
         "text", k = 12, nBands = 4, shingleSize = 3)
-      DedupFunctions.connectedComponentsAlternating(pairs, "id_a", "id_b")
+      DedupFunctions.connectedComponentsAuto(pairs, "id_a", "id_b")
         .groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max($"v").as("max_member"))
         .orderBy($"cluster_id")
@@ -816,48 +848,61 @@ object SparkEntry {
       out
     }),
 
-    // IVF ANN (k-means coarse quantizer, nProbe cells) — approximate,
-    // rows-only (recall vs brute force asserted in ScalaTest).
+    // IVF ANN (k-means coarse quantizer, nProbe cells): approximate by
+    // construction, so the query emits a recall CERTIFICATE against the
+    // in-query brute-force answer instead of the (engine-specific)
+    // neighbor rows — deterministic, hash-checkable, and a recall
+    // regression fails the gate. The neighbor-level contract stays pinned
+    // in SimilaritySpec.
     "ann_ivf_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
-      SimilarityFunctions.ivfTopK(
-          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5,
-          cells = 16, nProbe = 4)
-        .orderBy($"query_id", $"rank")
+      val probes = emb.filter($"vec_id" < 20)
+      recallCertificate(
+        SimilarityFunctions.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+          cells = 16, nProbe = 4),
+        SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
+        recallFloorBp = 5000)
     }),
 
-    // Multi-probe LSH ANN — approximate by construction, so rows-only
-    // (recall vs brute force asserted in ScalaTest).
-    // PQ (product-quantized) ANN — the compressed storage tier: 8 codes
-    // per 64-dim vector, ADC table-lookup scoring. Approximate by
-    // construction (rows-only; recall vs brute force is spec-pinned).
+    // PQ (product-quantized) ANN — the compressed storage tier: 8 byte
+    // codes per 64-dim vector, ADC shortlist + exact re-rank. Recall
+    // certificate vs in-query brute force (see ann_ivf_topk).
     "ann_pq_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
-      SimilarityFunctions.pqTopK(
-          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5)
-        .orderBy($"query_id", $"rank")
+      val probes = emb.filter($"vec_id" < 20)
+      recallCertificate(
+        SimilarityFunctions.pqTopK(emb, probes, "vec_id", "embedding", 5),
+        SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
+        recallFloorBp = 4000)
     }),
 
     // IVF-PQ — the billion-scale composition: cell probing bounds the
     // candidate set, PQ codes bound scan bandwidth, exact re-rank restores
-    // recall. Approximate by construction (rows-only; recall spec-pinned).
+    // recall. Recall certificate vs in-query brute force (see ann_ivf_topk).
     "ann_ivfpq_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
-      SimilarityFunctions.ivfPqTopK(
-          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5,
-          cells = 16, nProbe = 4)
-        .orderBy($"query_id", $"rank")
+      val probes = emb.filter($"vec_id" < 20)
+      recallCertificate(
+        SimilarityFunctions.ivfPqTopK(emb, probes, "vec_id", "embedding", 5,
+          cells = 16, nProbe = 4),
+        SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
+        recallFloorBp = 3000)
     }),
 
+    // Multi-probe LSH ANN. Recall certificate vs in-query brute force
+    // (see ann_ivf_topk).
     "ann_lsh_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
-      SimilarityFunctions.lshTopK(
-          emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", 5, nPlanes = 3)
-        .orderBy($"query_id", $"rank")
+      val probes = emb.filter($"vec_id" < 20)
+      recallCertificate(
+        SimilarityFunctions.lshTopK(emb, probes, "vec_id", "embedding", 5,
+          nPlanes = 3),
+        SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
+        recallFloorBp = 5000)
     }),
 
     // ---- LLM-pipeline operators: multimodal plumbing ----------------
@@ -1103,8 +1148,9 @@ object SparkEntry {
   }
 
   /** Token-window CTE chain (`wh(doc_id, win_hash)`) for the repeated-
-    * passage oracles — mirrors DedupFunctions.repeatedPassages' windowing
-    * (WordShingles stride-1 windows, whole-text fallback below `w` tokens).
+    * passage oracles — mirrors DedupFunctions.passageWindows (WordShingles
+    * stride-1 windows, whole-text fallback below `w` tokens, zero-token
+    * docs emit NO windows — two blank docs do not "share a passage").
     */
   private def tokenWindowsCte(w: Int): String = {
     val concat = (0 until w).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
@@ -1113,7 +1159,7 @@ object SparkEntry {
        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $w
        |    THEN list_transform(generate_series(1, len(toks) - ${w - 1}), i -> $concat)
        |    ELSE [array_to_string(toks, ' ')] END) AS win
-       |  FROM t),
+       |  FROM t WHERE len(toks) > 0),
        |wh AS (SELECT doc_id, md5(win) AS win_hash FROM wn)""".stripMargin
   }
 
@@ -1131,6 +1177,19 @@ object SparkEntry {
        |         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT
        |           AS simhash
        |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** ANN recall-certificate oracle: the deterministic facts (probe count,
+    * exact-result count) recomputed from the table, the contract constant,
+    * and the asserted flag — mirrors [[recallCertificate]]'s output shape.
+    * Every probe has ≥ 5 non-self neighbors (the corpus is ≥ 500 vectors),
+    * so n_exact = 5 · n_queries.
+    */
+  private def annRecallOracleSql(floorBp: Long): String =
+    s"""SELECT count(*)::BIGINT AS n_queries,
+       |       (count(*) * 5)::BIGINT AS n_exact,
+       |       $floorBp::BIGINT AS recall_floor_bp,
+       |       1::BIGINT AS recall_ok
+       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
   /** MinHash banding CTE shared by the pairs and clusters oracles. */
   private val minhashBandsCte: String =
@@ -1655,15 +1714,22 @@ object SparkEntry {
          |HAVING count(DISTINCT doc_id) > 1
          |ORDER BY win_hash""".stripMargin,
 
+    // zero-token docs emit no windows (tokenWindowsCte) and report (0, 0)
+    // via the left join from documents — mirrors passageDupCoverage.
     "dedup_passage_coverage" ->
       s"""WITH ${tokenWindowsCte(5)},
          |sh AS (SELECT win_hash FROM wh GROUP BY 1
-         |       HAVING count(DISTINCT doc_id) > 1)
-         |SELECT doc_id, count(*) AS n_windows,
-         |       ${bpSql("sum(CASE WHEN sh.win_hash IS NOT NULL THEN 1 ELSE 0 END)" +
-                         "::DOUBLE / count(*)")} AS shared_bp
-         |FROM wh LEFT JOIN sh USING (win_hash)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |       HAVING count(DISTINCT doc_id) > 1),
+         |cov AS (
+         |  SELECT doc_id, count(*) AS n_windows,
+         |         ${bpSql("sum(CASE WHEN sh.win_hash IS NOT NULL THEN 1 ELSE 0 END)" +
+                           "::DOUBLE / count(*)")} AS shared_bp
+         |  FROM wh LEFT JOIN sh USING (win_hash)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_windows, 0)::BIGINT AS n_windows,
+         |       coalesce(shared_bp, 0)::BIGINT AS shared_bp
+         |FROM documents d LEFT JOIN cov USING (doc_id)
+         |ORDER BY 1""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1685,6 +1751,40 @@ object SparkEntry {
          |                ORDER BY cosine_bp DESC, neighbor_id ASC) AS rank FROM s)
          |SELECT query_id, neighbor_id, cosine_bp, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // ANN recall certificates: the approximate methods themselves are not
+    // SQL-expressible (k-means centroids, PQ codebooks), but the CLAIM is —
+    // the Spark query joins its approximate top-k against the in-query
+    // brute-force top-k and emits (n_queries, n_exact, floor, ok); the
+    // oracle recomputes the deterministic facts and asserts the contract
+    // flag, so a recall regression breaks the hash compare.
+    "ann_ivf_topk" -> annRecallOracleSql(5000),
+    "ann_pq_topk" -> annRecallOracleSql(4000),
+    "ann_ivfpq_topk" -> annRecallOracleSql(3000),
+    "ann_lsh_topk" -> annRecallOracleSql(5000),
+
+    // Double Rabin-Karp over the normalized text's bytes, mirrored with
+    // two list_reduce folds (the corpus is pure ASCII: ord(char) = byte —
+    // the same property the mm_features oracle leans on). Empty text folds
+    // to 0 on both sides; NULL text stays NULL.
+    "text_rolling_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |         list_transform(string_split(t, ''), ch -> ord(ch)::BIGINT) AS cs
+        |  FROM n)
+        |SELECT doc_id,
+        |  CASE WHEN t IS NULL THEN NULL
+        |       WHEN length(t) = 0 THEN 0
+        |       ELSE (list_reduce(list_prepend(0::BIGINT, cs),
+        |               (h, c) -> (h * 257 + c) % 2147483647) << 31)
+        |          | list_reduce(list_prepend(0::BIGINT, cs),
+        |               (h, c) -> (h * 131 + c) % 2147483629)
+        |  END AS rhash
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Fixed-range int8 quantization is a pure per-row function — DuckDB
     // rebuilds the identical integer vectors, then the shared cosine.

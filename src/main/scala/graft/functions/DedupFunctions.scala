@@ -240,43 +240,62 @@ object DedupFunctions {
     */
   def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
                        windowTokens: Int = 5): DataFrame =
-    df.select(col(idCol).as("_id"),
-        explode(TextFunctions.shingles(coalesce(col(textCol), lit("")),
-          windowTokens)).as("_w"))
-      .select(col("_id"), md5(col("_w")).as("win_hash"))
+    passageWindows(df, idCol, textCol, windowTokens)
       .groupBy(col("win_hash"))
       .agg(count_distinct(col("_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col("_id")).as("first_doc"))
       .where(col("n_docs") > 1)
 
+  /** Stride-1 token windows keyed by md5, one row per occurrence. Docs
+    * with NO tokens (empty or null text) emit no windows at all — the
+    * short-text fallback would otherwise give every blank document the
+    * same "" window, reporting all blank docs as sharing a repeated
+    * passage (a spurious dedup signal).
+    */
+  private def passageWindows(df: DataFrame, idCol: String, textCol: String,
+                             windowTokens: Int): DataFrame =
+    df.select(col(idCol).as("_id"), coalesce(col(textCol), lit("")).as("_t"))
+      .where(size(TextFunctions.tokens(col("_t"))) > 0)
+      .select(col("_id"),
+        explode(TextFunctions.shingles(col("_t"), windowTokens)).as("_w"))
+      .select(col("_id"), md5(col("_w")).as("win_hash"))
+
   /** Per-document share of token windows that also occur in ANOTHER
     * document — the gate-able "duplicate passage coverage" signal (a doc
     * that is 60% shared passages is boilerplate even if no single whole-doc
-    * duplicate exists). Windows explode once; the cross-doc window set
-    * joins back on the window key (equi-join, one shuffle each side).
+    * duplicate exists). Zero-token documents (empty/null text) report
+    * `(id, 0, 0)` — they share nothing (see [[passageWindows]]).
+    *
+    * ONE exploded pass, no persist, no join-back: windows collapse to
+    * distinct (window, doc) rows first (map-side combinable), the
+    * cross-doc count comes from a window function OVER the window key
+    * (md5 keys — skew-free partitions), and the per-doc rollup is a final
+    * hash aggregate. Nothing is pinned in cache and the corpus is scanned
+    * once — at 100 TB the previous persist held the full tokenized corpus.
     *
     * Returns `(id, n_windows, shared_bp)` for every input document.
     */
   def passageDupCoverage(df: DataFrame, idCol: String, textCol: String,
                          windowTokens: Int = 5): DataFrame = {
-    // NULL text = empty text (one fallback window) so every input doc
-    // keeps its output row — explode(null) would silently drop it
-    val wins = df.select(col(idCol).as("_id"),
-        explode(TextFunctions.shingles(coalesce(col(textCol), lit("")),
-          windowTokens)).as("_w"))
-      .select(col("_id"), md5(col("_w")).as("win_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wins.count() // eager: both the shared-set agg and the coverage agg read it
-    val shared = wins.groupBy(col("win_hash"))
-      .agg(count_distinct(col("_id")).as("_nd"))
-      .where(col("_nd") > 1).select(col("win_hash"))
-    wins.join(shared.withColumn("_shared", lit(1)), Seq("win_hash"), "left")
-      .groupBy(col("_id").as(idCol))
-      .agg(count(lit(1)).as("n_windows"),
+    import org.apache.spark.sql.expressions.Window
+    val perWinDoc = passageWindows(df, idCol, textCol, windowTokens)
+      .groupBy(col("win_hash"), col("_id"))
+      .agg(count(lit(1)).as("_occ"))
+    // rows per win_hash = distinct docs containing it
+    val flagged = perWinDoc.withColumn("_nd",
+      count(lit(1)).over(Window.partitionBy(col("win_hash"))))
+    val covered = flagged.groupBy(col("_id"))
+      .agg(sum(col("_occ")).as("n_windows"),
         TextFunctions.basisPoints(
-          sum(coalesce(col("_shared"), lit(0))).cast("double") / count(lit(1)))
+          sum(when(col("_nd") > 1, col("_occ")).otherwise(lit(0L)))
+            .cast("double") / sum(col("_occ")))
           .as("shared_bp"))
+    // zero-token docs emitted no windows — restore their (id, 0, 0) rows
+    df.select(col(idCol).as("_id")).join(covered, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("shared_bp"), lit(0L)).as("shared_bp"))
   }
 
   // --------------------------------------------- duplicate clusters (CC)
@@ -289,15 +308,35 @@ object DedupFunctions {
     * Iterative min-label propagation: every vertex starts labeled with its
     * own id; each round takes the min label across itself and its
     * neighbors; fixpoint = components labeled by their smallest member.
-    * Rounds needed = the graph diameter, which for near-dup clusters is
-    * small (dup groups are dense). Each round is ONE shuffle (join + min
-    * aggregate on vertex id); lineage is cut per round with a local
-    * checkpoint so plans don't grow. For high-diameter graphs use
-    * [[connectedComponentsAlternating]] (O(log n) rounds regardless of
-    * shape) — same join shapes, same output contract.
+    * Rounds needed = the graph DIAMETER. Real duplicate graphs are NOT
+    * reliably low-diameter: boilerplate families chain A~B~C~… through
+    * borderline pairs, and a measured chain-shaped corpus at sf0.1 put
+    * this variant 57-95× behind [[connectedComponentsAlternating]] (O(log
+    * n) rounds regardless of shape — same join shapes, same output
+    * contract). PREFER THE STAR VARIANT, or [[connectedComponentsAuto]]
+    * which tries a few cheap propagation rounds and escalates; this one
+    * stays as the simple parity reference and for graphs KNOWN to be
+    * dense (each round is one shuffle with no re-orientation work).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20): DataFrame =
+    propagateLabels(pairs, aCol, bCol, maxIter) match {
+      case Some(labels) => labels
+      // silently returning half-propagated labels would split one
+      // duplicate family into several "clusters" — the exact failure this
+      // operator exists to prevent — so non-convergence is an error here
+      // (connectedComponentsAuto escalates instead)
+      case None => throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+        "use connectedComponentsAlternating (or connectedComponentsAuto) " +
+        "for high-diameter graphs")
+    }
+
+  /** Min-label propagation core: Some(labels) on fixpoint within
+    * `maxIter` rounds, None if the diameter budget ran out.
+    */
+  private def propagateLabels(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int): Option[DataFrame] = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -329,16 +368,22 @@ object DedupFunctions {
       }
     }
     edges.unpersist(false)
-    // silently returning half-propagated labels would split one duplicate
-    // family into several "clusters" — the exact failure this operator
-    // exists to prevent — so non-convergence is an error, not a result
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds — " +
-        "raise maxIter, or use connectedComponentsAlternating for " +
-        "high-diameter graphs")
-    labels.select(col("v"), col("label"))
+    if (converged) Some(labels.select(col("v"), col("label"))) else None
   }
+
+  /** Single adaptive entry point: a few cheap label-propagation rounds
+    * (each ONE shuffle — wins outright when the duplicate graph is dense
+    * and the diameter is 2-4, the common whole-doc-dup case), then
+    * escalation to [[connectedComponentsAlternating]] when the diameter
+    * budget runs out (chain-shaped graphs, where propagation would need
+    * diameter-many rounds). The escalation re-reads only the candidate
+    * PAIRS — bounded, already-computed input — never the corpus.
+    */
+  def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
+                              propagationRounds: Int = 4,
+                              maxIter: Int = 50): DataFrame =
+    propagateLabels(pairs, aCol, bCol, propagationRounds)
+      .getOrElse(connectedComponentsAlternating(pairs, aCol, bCol, maxIter))
 
   /** Connected components via alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the

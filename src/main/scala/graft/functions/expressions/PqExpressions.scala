@@ -94,10 +94,18 @@ object PqKernel {
   }
 
   /** ADC score: Σₛ table[s][codes[s]] — m array lookups per candidate.
-    * Codes are unsigned bytes (k ≤ 256).
+    * Codes are unsigned bytes (k ≤ 256). A subspace-count mismatch always
+    * means codes from one PqIndex were scored against another index's ADC
+    * table — silently truncating would return a plausible-but-wrong score
+    * and recall would degrade with no error, so it throws.
     */
   def score(codes: ArrayData, table: ArrayData): Double = {
-    val m = math.min(codes.numElements(), table.numElements())
+    val m = codes.numElements()
+    if (m != table.numElements())
+      throw new IllegalArgumentException(
+        s"PQ codes have $m subspaces but the ADC table has " +
+        s"${table.numElements()} — codes and table come from different " +
+        "quantizers")
     var acc = 0.0
     var s = 0
     while (s < m) {

@@ -40,10 +40,15 @@ object ParallelWrites {
           Future.sequence(items.map(a => Future(
             try Right(f(a)) catch { case t: Throwable => Left(t) }))),
           Duration.Inf)
-        done.map { // first failure rethrown only after ALL finished
-          case Right(b) => b
-          case Left(t)  => throw t
+        // first failure (submission order) rethrown only after ALL
+        // finished; the rest ride along as suppressed so a multi-collection
+        // outage keeps every stack trace
+        val failures = done.collect { case Left(t) => t }
+        failures.headOption.foreach { first =>
+          failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
+          throw first
         }
+        done.collect { case Right(b) => b }
       } finally pool.shutdown()
     }
 }

@@ -188,12 +188,14 @@ class DedupFunctionsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "intro text the quick brown fox jumps closing words here"),
       (3L, "completely different content with no common passages at all"),
-      // null text: must keep its coverage row (fallback window, 0 shared)
-      (4L, null.asInstanceOf[String]))
+      // blank docs: two of them, so the old whole-text-fallback bug would
+      // report them as sharing a repeated "" passage with shared_bp=10000
+      (4L, null.asInstanceOf[String]),
+      (5L, "   "))
       .toDF("doc_id", "text")
 
     val rep = DedupFunctions.repeatedPassages(df, "doc_id", "text", 5).collect()
-    assert(rep.length == 1)
+    assert(rep.length == 1) // docs 4/5 share NOTHING despite both being blank
     assert(rep(0).getAs[Long]("n_docs") == 2L)
     assert(rep(0).getAs[Long]("n_occurrences") == 2L)
     assert(rep(0).getAs[Long]("first_doc") == 1L)
@@ -208,10 +210,13 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(cov(1).getAs[Long]("shared_bp") == 1667L)
     // doc 3: nothing shared
     assert(cov(2).getAs[Long]("shared_bp") == 0L)
-    // doc 4 (null text): row present, one fallback window, nothing shared
-    assert(cov.length == 4)
-    assert(cov(3).getAs[Long]("n_windows") == 1L)
-    assert(cov(3).getAs[Long]("shared_bp") == 0L)
+    // docs 4/5 (null / whitespace-only text): rows present, zero windows,
+    // zero shared — NOT 10000 bp of mutual "duplication"
+    assert(cov.length == 5)
+    Seq(3, 4).foreach { i =>
+      assert(cov(i).getAs[Long]("n_windows") == 0L)
+      assert(cov(i).getAs[Long]("shared_bp") == 0L)
+    }
   }
 
   test("connected components: transitive duplicate families, isolated pairs") {
@@ -258,6 +263,30 @@ class DedupFunctionsSpec extends SparkSpec {
       .connectedComponents(randomPairs, "id_a", "id_b", maxIter = 40)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStar == viaProp)
+  }
+
+  test("auto CC: propagation on low-diameter graphs, star escalation on chains") {
+    import spark.implicits._
+    // diameter 2: converges inside the propagation budget, no escalation
+    val dense = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val denseLabels = DedupFunctions
+      .connectedComponentsAuto(dense, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(denseLabels ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // a 64-link chain blows the 4-round propagation budget: auto must
+    // escalate to the alternating-star variant instead of throwing (the
+    // plain propagation entry point throws on this input — pinned below)
+    val chain = (1L until 65L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainLabels = DedupFunctions
+      .connectedComponentsAuto(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLabels.size == 65 && chainLabels.values.forall(_ == 1L))
+    assertThrows[IllegalStateException] {
+      DedupFunctions.connectedComponents(chain, "id_a", "id_b", maxIter = 4)
+        .collect()
+    }
   }
 
   test("doc pipeline: funnel stages agree with clean() output") {
