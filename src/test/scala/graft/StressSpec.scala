@@ -318,4 +318,47 @@ class StressSpec extends SparkSpec {
     val rows = sink.inserted.get(id).head.collect()
     assert(rows.map(_.getAs[Double]("x")).toSet == Set(1.5, 2.5))
   }
+
+  // The regenerated sf0.1 corpus produced a chain-shaped duplicate graph
+  // in practice (the round-5 bench regression); the 64-link parity test in
+  // DedupFunctionsSpec is too small to catch round-count blowups, so pin
+  // the behavior at a realistic diameter.
+  test("10k-link chain CC: star converges within 25 rounds, propagation fails loudly, auto escalates") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    // minhashCandidates-shaped candidate pairs: (id_a < id_b) long ids,
+    // one borderline pair linking each doc to the next — diameter 10k
+    val chain = spark.range(1, 10000)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+
+    // O(log n) bound in practice: 25 rounds or the variant throws.
+    // Results are consumed inside local scopes so the checkpointed plans
+    // become unreachable before the drain below.
+    def assertOneComponent(labels: org.apache.spark.sql.DataFrame): Unit = {
+      assert(labels.filter($"label" =!= 1L).isEmpty, "one component labeled 1")
+      assert(labels.count() == 10000L)
+    }
+    locally {
+      assertOneComponent(DedupFunctions
+        .connectedComponentsAlternating(chain, "id_a", "id_b", maxIter = 25))
+    }
+
+    // propagation cannot cross a 10k diameter in its default budget and
+    // must FAIL (a silently split duplicate family is the worst outcome);
+    // auto escalates to the star variant instead
+    assertThrows[IllegalStateException] {
+      DedupFunctions.connectedComponents(chain, "id_a", "id_b").collect()
+    }
+    locally {
+      assertOneComponent(DedupFunctions
+        .connectedComponentsAuto(chain, "id_a", "id_b"))
+    }
+
+    // iterative CC localCheckpoints one edge set per round; the bench's
+    // drain must release them all (a 20-round run would otherwise leave
+    // ~20 materialized RDDs polluting every later measurement)
+    graft.Bench.drainBlocks(spark, timeoutMs = 30000)
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      s"blocks left: ${spark.sparkContext.getRDDStorageInfo.map(_.name).mkString(", ")}")
+  }
 }
