@@ -66,23 +66,36 @@ object DedupFunctions {
     * expansion never approaches n² — this is the standard LSH join, the
     * scale path for fuzzy dedup at 100 TB.
     *
+    * The banded signature table is materialized ONCE (the self-join would
+    * otherwise recompute the full shingle+hash pipeline on both sides).
+    * Default materialization is an eager local checkpoint — executor
+    * memory/disk, released by the ContextCleaner when the result goes out
+    * of scope. At 100 TB pass `stagingPath` instead: the banded table is
+    * written to storage as parquet and BOTH join sides read the file —
+    * no big intermediate pinned in the block manager at all, and the
+    * staged signatures can be reused by later passes (the clusters query
+    * reads them twice more).
+    *
     * Returns distinct (id_a < id_b) candidate pairs with their exact
     * token-set Jaccard for threshold filtering downstream.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 12, nBands: Int = 4, shingleSize: Int = 3): DataFrame = {
+                        k: Int = 12, nBands: Int = 4, shingleSize: Int = 3,
+                        stagingPath: Option[String] = None): DataFrame = {
     val rowsPerBand = k / nBands
-    // materialize signatures once — the self-join would otherwise recompute
-    // the full shingle+hash pipeline on both sides (at scale: stage this to
-    // storage instead of recomputing over the corpus twice)
-    val sigs = df.select(
+    val banded = df.select(
         col(idCol).as("_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"),
         minhashSignature(col(textCol), k, shingleSize).as("_sig"))
       .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count() // eager: both join sides racing to fill the cache would
-                 // otherwise each recompute partitions
+      .select(col("_id"), col("_toks"), col("_band"))
+    val sigs = stagingPath match {
+      case Some(path) =>
+        banded.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None =>
+        banded.localCheckpoint(true)
+    }
     val a = sigs.select(col("_band"), col("_id").as("id_a"), col("_toks").as("_toks_a"))
     val b = sigs.select(col("_band"), col("_id").as("id_b"), col("_toks").as("_toks_b"))
     a.join(b, Seq("_band"))
@@ -109,13 +122,15 @@ object DedupFunctions {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.0): DataFrame = {
-    // persist: both self-join sides read this; without the boundary the
-    // shingle+hash projection would execute twice over the corpus
+    // eager local checkpoint: both self-join sides read this (without the
+    // boundary the shingle+hash projection would execute twice over the
+    // corpus), and checkpointed blocks are released by the ContextCleaner
+    // once the result is unreachable — a persist would stay pinned for the
+    // session lifetime
     val prepped = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
       sort_array(array_distinct(transform(TextFunctions.shingles(col(textCol), n),
         s => hash60(s)))).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prepped.count() // eager for the same cache-race reason as above
+      .localCheckpoint(true)
     val a = prepped.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = prepped.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_blk"))

@@ -77,11 +77,20 @@ object EventSchema {
     */
   final class Registry(names: FieldNames = FieldNames()) extends Serializable {
     private val schemas = new java.util.concurrent.ConcurrentHashMap[CollectionId, StructType]()
-    // monotonic change counter: lets persistence skip the (FS round-trip)
-    // save when nothing evolved since the last one
+    // monotonic change counters: let persistence skip the (FS round-trip)
+    // save when nothing evolved since the last one — globally for the
+    // single-file layout, per PROJECT for the sharded layout (so one hot
+    // collection in one project never rewrites every other project's file)
     private val version = new java.util.concurrent.atomic.AtomicLong(0)
+    private val projectVersions =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     private val savedVersions =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    private def bump(project: String): Unit = {
+      version.incrementAndGet()
+      projectVersions.merge(project, 1L, (a, b) => a + b)
+    }
 
     def get(id: CollectionId): Option[StructType] = Option(schemas.get(id))
 
@@ -91,7 +100,7 @@ object EventSchema {
       if (existing != null) existing
       else {
         val created = schemas.computeIfAbsent(id, _ => defaultSchema(names))
-        version.incrementAndGet()
+        bump(id.project)
         created
       }
     }
@@ -107,13 +116,13 @@ object EventSchema {
         if (cur == null || evolved != cur) changed = true
         evolved
       })
-      if (changed) version.incrementAndGet()
+      if (changed) bump(id.project)
       out
     }
 
     def put(id: CollectionId, schema: StructType): Unit = {
       schemas.put(id, schema)
-      version.incrementAndGet()
+      bump(id.project)
     }
 
     def all: Map[CollectionId, StructType] = {
@@ -126,14 +135,15 @@ object EventSchema {
       * persists this in MySQL `tables`/`columns`; schema JSON on the
       * checkpoint volume plays that role here).
       */
-    def toJson: String = {
-      val entries = all.toSeq.sortBy(e => (e._1.project, e._1.collection))
+    private def entriesJson(entries: Seq[(CollectionId, StructType)]): String =
+      entries.sortBy(e => (e._1.project, e._1.collection))
         .map { case (id, st) =>
           s"""{"project":"${id.project}","collection":"${id.collection}",
              |"schema":${st.json}}""".stripMargin.replace("\n", "")
         }
-      entries.mkString("[", ",", "]")
-    }
+        .mkString("[", ",", "]")
+
+    def toJson: String = entriesJson(all.toSeq)
 
     def save(path: java.nio.file.Path): Unit =
       java.nio.file.Files.writeString(path, toJson)
@@ -145,12 +155,16 @@ object EventSchema {
       * neither (delete-then-rename would have a window with NO file, and a
       * restart would silently start from an empty registry).
       */
-    def save(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    def save(path: String, conf: org.apache.hadoop.conf.Configuration): Unit =
+      writeAtomic(path, toJson, conf)
+
+    private def writeAtomic(path: String, body: String,
+                            conf: org.apache.hadoop.conf.Configuration): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
       val out = fs.create(tmp, true)
-      try out.write(toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val qualified = fs.makeQualified(p)
       org.apache.hadoop.fs.FileContext.getFileContext(qualified.toUri, conf)
@@ -172,6 +186,71 @@ object EventSchema {
         savedVersions.put(path, v)
         true
       }
+    }
+
+    /** Sharded (per-project) persistence: `dir/<project>.json`, one file
+      * per project, each written with the same atomic rename as the
+      * single-file layout. Nothing bounds how many COLLECTIONS one file
+      * can hold in the single-file layout — at 10k collections every
+      * trigger would re-serialize all of them inside the commit barrier;
+      * sharding bounds each write to the projects that actually evolved
+      * this batch (the reference's metastore equivalently writes only the
+      * touched `tables`/`columns` rows, MetadataDao.java:89-133).
+      * Returns whether any shard was written.
+      */
+    def saveShardedIfChanged(dir: String,
+                             conf: org.apache.hadoop.conf.Configuration): Boolean = {
+      val byProject = all.toSeq.groupBy(_._1.project)
+      var any = false
+      byProject.foreach { case (project, entries) =>
+        val v = projectVersions.getOrDefault(project, 0L)
+        val key = s"$dir|$project"
+        val saved = savedVersions.get(key)
+        if (saved == null || saved.longValue() != v.longValue()) {
+          writeAtomic(shardPath(dir, project), entriesJson(entries), conf)
+          savedVersions.put(key, v)
+          any = true
+        }
+      }
+      any
+    }
+
+    private def shardPath(dir: String, project: String): String =
+      dir + "/" + java.net.URLEncoder.encode(project, "UTF-8") + ".json"
+
+    /** Load every shard under `dir` (merge-on-load per entry, exactly like
+      * the single-file loader). A FILE at `dir` is read as a legacy
+      * single-file registry, so pre-sharding checkpoints still resume.
+      * Returns whether anything was read.
+      */
+    def loadSharded(dir: String,
+                    conf: org.apache.hadoop.conf.Configuration): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return false
+      if (fs.getFileStatus(p).isFile) return load(dir, conf)
+      val shards = fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      if (shards.isEmpty) return false
+      val hadEntries = !schemas.isEmpty
+      shards.foreach { st =>
+        val in = fs.open(st.getPath)
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        fromJson(body)
+      }
+      // same durability rule as the single-file load: only an
+      // empty-before-load registry may mark the loaded state as already
+      // saved (pre-registered in-memory schemas must survive the next
+      // saveShardedIfChanged even if the files lack them)
+      if (!hadEntries) {
+        import scala.jdk.CollectionConverters._
+        projectVersions.asScala.foreach { case (project, v) =>
+          savedVersions.put(s"$dir|$project", v)
+        }
+      }
+      true
     }
 
     /** Load if present; returns whether anything was read. */
@@ -217,7 +296,7 @@ object EventSchema {
                 // never clobbered by a possibly-stale file entry.
                 schemas.compute(id, (_, cur) =>
                   if (cur == null) fileSchema else evolve(fileSchema, cur))
-                version.incrementAndGet()
+                bump(id.project)
               case _ => ()
             }
           case _ => ()

@@ -317,9 +317,23 @@ object IngestStream {
     * the schema registry is saved after every committed batch and loaded on
     * start, so a restarted driver keeps the authoritative column order (the
     * reference persists it in MySQL, connector/MetadataDao.java:114-133).
+    * A DIRECTORY of per-project shards — one hot collection rewrites one
+    * project's file per trigger, not the whole fleet's registry.
     */
   def registryPath(checkpointDir: String): String =
-    s"$checkpointDir/graft_schema_registry.json"
+    s"$checkpointDir/graft_schema_registry"
+
+  /** Resume the registry: sharded layout first, then any legacy
+    * single-file registry from a pre-sharding checkpoint (merge-on-load
+    * keeps both paths clobber-free).
+    */
+  private def loadRegistry(spark: SparkSession,
+                           registry: EventSchema.Registry,
+                           checkpointDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    registry.loadSharded(registryPath(checkpointDir), conf)
+    registry.load(s"$checkpointDir/graft_schema_registry.json", conf)
+  }
 
   /** Start the continuous query. `source` must provide a string `value`
     * column ([[kafkaSource]] / [[fileSource]]).
@@ -328,7 +342,7 @@ object IngestStream {
             sink: EventSink, historical: Option[HistoricalHandler],
             checkpointDir: String, cfg: IngestConfig = IngestConfig()): StreamingQuery = {
     // resume the authoritative schema order from the last run, if any
-    registry.load(registryPath(checkpointDir), spark.sparkContext.hadoopConfiguration)
+    loadRegistry(spark, registry, checkpointDir)
     val base = cfg.dedupWithinWatermark match {
       case Some(ttl) =>
         val dec = EventOps.decouple(source.select(col("value")).as(Encoders.STRING),
@@ -348,7 +362,7 @@ object IngestStream {
         // K4: persist schema evolution alongside the offset checkpoint,
         // INSIDE the barrier — offsets only commit once the registry that
         // produced this batch's tables is durable
-        registry.saveIfChanged(registryPath(checkpointDir),
+        registry.saveShardedIfChanged(registryPath(checkpointDir),
                       s.sparkContext.hadoopConfiguration)
         () // barrier: returning commits the batch's offsets (C1/C2)
       }
@@ -369,7 +383,7 @@ object IngestStream {
                 keySep: Char = '.',
                 bulkFetch: Option[String => Array[Byte]] = None,
                 dedupBatch: Boolean = false): StreamingQuery = {
-    registry.load(registryPath(checkpointDir), spark.sparkContext.hadoopConfiguration)
+    loadRegistry(spark, registry, checkpointDir)
     source.select(col("key").cast("string").as("key"), col("value"))
       .writeStream
       .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
@@ -378,7 +392,7 @@ object IngestStream {
         graft.ingest.AvroIngest.processBatch(batch, registry, sink, keySep,
           cfg.names, batchId = batchId, bulkFetch = bulkFetch,
           dedupBatch = dedupBatch)
-        registry.saveIfChanged(registryPath(checkpointDir),
+        registry.saveShardedIfChanged(registryPath(checkpointDir),
                       batch.sparkSession.sparkContext.hadoopConfiguration)
         () // barrier: returning commits the batch's offsets (C1/C2)
       }

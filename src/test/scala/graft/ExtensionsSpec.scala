@@ -65,6 +65,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(!loaded.saveIfChanged(path, conf))
   }
 
+  test("sharded registry: 1k collections, per-project files, changed shards only, merge-on-load") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val registry = new EventSchema.Registry()
+    // 1k collections over 20 projects — the 10k-collection shape scaled
+    // down: the single-file layout would re-serialize all of them on any
+    // change; shards bound each write to one project
+    for (p <- 0 until 20; c <- 0 until 50)
+      registry.addColumns(CollectionId(s"proj$p", s"coll$c"),
+        StructType(Seq(StructField(s"f$c", DoubleType))))
+    val dir = java.nio.file.Files.createTempDirectory("regshard").toString + "/reg"
+    assert(registry.saveShardedIfChanged(dir, conf))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.length == 20, s"expected one shard per project, got ${files.length}")
+    assert(files.map(_.getName).toSet == (0 until 20).map(p => s"proj$p.json").toSet)
+    // steady state: nothing rewritten
+    assert(!registry.saveShardedIfChanged(dir, conf))
+    // one project evolves → exactly that shard rewritten
+    val before = files.map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(20)
+    registry.addColumns(CollectionId("proj7", "coll0"),
+      StructType(Seq(StructField("extra", StringType))))
+    assert(registry.saveShardedIfChanged(dir, conf))
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after("proj7.json") > before("proj7.json"))
+    assert(before.filterNot(_._1 == "proj7.json").forall {
+      case (n, t) => after(n) == t
+    }, "an unchanged project's shard was rewritten")
+
+    // fresh load: all 1000 collections back, loaded state already durable
+    val loaded = new EventSchema.Registry()
+    assert(loaded.loadSharded(dir, conf))
+    assert(loaded.all.size == 1000)
+    assert(loaded.get(CollectionId("proj7", "coll0")).get.fieldNames
+      .contains("extra"))
+    assert(!loaded.saveShardedIfChanged(dir, conf))
+
+    // merge-on-load still green through the sharded path: pre-registered
+    // in-memory schemas fold in (not clobbered) and stay save-pending
+    val merging = new EventSchema.Registry()
+    merging.addColumns(CollectionId("proj0", "coll0"),
+      StructType(Seq(StructField("pre", StringType))))
+    assert(merging.loadSharded(dir, conf))
+    val merged = merging.get(CollectionId("proj0", "coll0")).get
+    assert(merged.fieldNames.contains("pre") && merged.fieldNames.contains("f0"))
+    assert(merging.saveShardedIfChanged(dir, conf),
+      "pre-registered schema must survive to the next save")
+  }
+
   test("registry evolution is thread-safe under concurrent addColumns") {
     import scala.jdk.CollectionConverters._
     val registry = new EventSchema.Registry()

@@ -135,6 +135,27 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(!cands.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("minhash staging path: parquet-staged signatures yield identical pairs") {
+    import spark.implicits._
+    // real corpus slice so the staged table has non-trivial band buckets
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_minhash_stage")
+    def pairs(staging: Option[String]) =
+      DedupFunctions.minhashCandidates(docs, "doc_id", "text",
+          k = 12, nBands = 4, shingleSize = 3, stagingPath = staging)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.round(r.getAs[Double]("jaccard") * 10000)))
+        .toSet
+    val inMemory = pairs(None)
+    val staged = pairs(Some(stage.toString + "/bands"))
+    assert(staged == inMemory)
+    assert(inMemory.nonEmpty) // the sf0.001 corpus has planted near-dups
+    // the staged signature table is reusable input for later passes
+    val bands = spark.read.parquet(stage.toString + "/bands")
+    assert(bands.columns.toSet == Set("_id", "_toks", "_band"))
+  }
+
   test("simhash: near-dups close in hamming, distinct docs far") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the river bank"

@@ -166,8 +166,9 @@ class StressSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(sink.read(spark, id).count() == 5)
     // registry persisted checkpoint-adjacent (K4): a fresh registry resumes
+    // from the per-project shard directory
     val fresh = new EventSchema.Registry()
-    assert(fresh.load(IngestStream.registryPath(ckpt),
+    assert(fresh.loadSharded(IngestStream.registryPath(ckpt),
       spark.sparkContext.hadoopConfiguration))
     assert(fresh.get(id).map(_.fieldNames.toSeq) == Some(Seq("_time", "_user", "x")))
   }
