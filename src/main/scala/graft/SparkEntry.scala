@@ -601,6 +601,21 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Deterministic token-budget sample ("~20k tokens of this corpus"):
+    // greedy prefix in seeded-hash priority order, selected through the
+    // bucketed-histogram cutoff (no global sort — see
+    // Sampling.tokenBudgetSample). The oracle replays the naive global
+    // cumulative sum; both must pick the identical doc set.
+    "sample_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).withColumn("tok_cnt",
+        size(TextFunctions.tokens(coalesce($"text", lit("")))).cast("long"))
+      graft.operators.Sampling.tokenBudgetSample(d, "doc_id", "tok_cnt",
+          budgetTokens = 20000L, salt = "mix")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok_cnt").as("token_sum"),
+          sum($"doc_id").as("id_sum"))
+    }),
+
     // Capstone corpus-prep composition: clean (lang+quality+dedup) →
     // deterministic 50% sample → 64-token chunks, summarized — the whole
     // training-data pass as one declarative plan.
@@ -817,6 +832,32 @@ object SparkEntry {
       import s.implicits._
       DedupFunctions.passageDupCoverage(docs(s, dir), "doc_id", "text", 5)
         .orderBy($"doc_id")
+    }),
+
+    // Duplicate-SPAN removal (the rewrite half of exact-substring dedup):
+    // every cross-doc 5-token span survives exactly once, in its smallest
+    // doc; other docs lose the covered tokens. Output is per-doc counts +
+    // the md5 of the rewritten text (DuckDB rebuilds the whole surgery).
+    "dedup_span_removal" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.removeRepeatedSpans(docs(s, dir), "doc_id", "text", 5)
+        .select($"doc_id", $"n_tokens", $"n_removed",
+          md5($"cleaned").as("cleaned_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // The dedup capstone a pipeline actually runs: LSH pairs → star CC →
+    // keep the smallest doc per duplicate family, drop the rest — then
+    // per-source survivor accounting.
+    "dedup_keep_representatives" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val pairs = DedupFunctions.minhashCandidates(d, "doc_id", "text",
+        k = 12, nBands = 4, shingleSize = 3)
+      DedupFunctions.keepRepresentatives(d, pairs, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
     }),
 
     // ---- LLM-pipeline operators: similarity search ------------------
@@ -1521,6 +1562,23 @@ object SparkEntry {
         |               ELSE 2000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // naive replay of the token-budget greedy prefix: ONE global cumulative
+    // window — fine for an oracle, the engine side uses the bucketed cutoff
+    "sample_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+        |        '\s+'), x -> len(x) > 0))::BIGINT AS tok_cnt,
+        |    ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 15))::BIGINT AS prio
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(tok_cnt) OVER (ORDER BY prio, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS token_sum,
+        |       sum(doc_id)::BIGINT AS id_sum
+        |FROM c WHERE cum <= 20000""".stripMargin,
+
     "corpus_prep" ->
       s"""WITH $docAnnotateCte,
          |kept AS (
@@ -1713,6 +1771,61 @@ object SparkEntry {
          |FROM wh GROUP BY 1
          |HAVING count(DISTINCT doc_id) > 1
          |ORDER BY win_hash""".stripMargin,
+
+    // Full replay of the span surgery: windows (no short-text fallback) →
+    // canonical owner per window hash → covered positions in non-owner
+    // docs → token-level anti-join → per-doc reassembly in position order.
+    "dedup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+        |        '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |wn AS (
+        |  SELECT doc_id, i - 1 AS wpos,
+        |         md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |             toks[i+3] || ' ' || toks[i+4]) AS h
+        |  FROM t, unnest(generate_series(1, len(toks) - 4)) AS g(i)
+        |  WHERE len(toks) >= 5),
+        |own AS (SELECT h, min(doc_id) AS fd, count(DISTINCT doc_id) AS nd
+        |        FROM wn GROUP BY 1),
+        |rem AS (
+        |  SELECT DISTINCT wn.doc_id AS doc_id, wpos + k AS rpos
+        |  FROM wn JOIN own USING (h), unnest(generate_series(0, 4)) AS gk(k)
+        |  WHERE own.nd > 1 AND wn.doc_id <> own.fd),
+        |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |        FROM t, unnest(generate_series(1, len(toks))) AS gi(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM tok LEFT JOIN rem ON rem.doc_id = tok.doc_id AND rem.rpos = tok.pos
+        |  WHERE rem.rpos IS NULL GROUP BY 1)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        |       coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+        |       md5(coalesce(k.cleaned, '')) AS cleaned_md5
+        |FROM t
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY 1) r
+        |  USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // identical pairs + transitive closure as dedup_clusters, then keep
+    // only each component's min id and account survivors per source
+    "dedup_keep_representatives" ->
+      s"""WITH RECURSIVE $minhashBandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s AS v, s AS r FROM edges
+         |          UNION SELECT e.d, reach.r
+         |                FROM reach JOIN edges e ON e.s = reach.v),
+         |labels AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v),
+         |drops AS (SELECT v FROM labels WHERE v <> lbl)
+         |SELECT source, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_sum
+         |FROM documents LEFT JOIN drops ON doc_id = v
+         |WHERE v IS NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // zero-token docs emit no windows (tokenWindowsCte) and report (0, 0)
     // via the left join from documents — mirrors passageDupCoverage.

@@ -313,6 +313,66 @@ object DedupFunctions {
         coalesce(col("shared_bp"), lit(0L)).as("shared_bp"))
   }
 
+  /** Cross-document duplicate-SPAN removal — the rewrite half of the
+    * exact-substring dedup story ([[repeatedPassages]] is the detection
+    * half; Lee et al. 2022 remove one copy of every duplicated span
+    * instead of dropping whole documents). A token position is removed
+    * when some `windowTokens`-token window covering it also occurs in a
+    * DIFFERENT document and this document is not the window's canonical
+    * owner (the smallest doc id containing it) — so exactly one copy of
+    * every cross-doc span survives, in the smallest doc. Documents
+    * shorter than one window are never rewritten.
+    *
+    * Plan shape: one window explode + one token explode (both ∝ corpus
+    * tokens, md5/hash-keyed — skew-free), a window-key aggregate for the
+    * canonical owner, and position-keyed joins back. No n², no driver
+    * state; the per-doc reassembly (`collect_list` + sort) holds one
+    * document's tokens at a time.
+    *
+    * Returns `(id, n_tokens, n_removed, cleaned)` for every input doc —
+    * `cleaned` is the surviving tokens joined by single spaces
+    * (whitespace-normalized by construction, like [[TextFunctions.fingerprint]]).
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 5): DataFrame = {
+    val w = windowTokens
+    // read 3× (windows, tokens, totals): eager local checkpoint, released
+    // by the ContextCleaner with the result
+    val base = df.select(col(idCol).as("_id"),
+        coalesce(col(textCol), lit("")).as("_t"))
+      .localCheckpoint(true)
+    val toksOf = TextFunctions.tokens(col("_t"))
+    // window starts are 0-based token positions; the short-text fallback
+    // window is EXCLUDED (size >= w) — sub-window texts are whole-doc
+    // duplicates, which is [[exactDedup]]'s job, not span surgery's
+    val wins = base.where(size(toksOf) >= w)
+      .select(col("_id"),
+        posexplode(TextFunctions.shingles(col("_t"), w)).as(Seq("_wpos", "_win")))
+      .select(col("_id"), col("_wpos"), md5(col("_win")).as("_h"))
+    val owners = wins.groupBy(col("_h"))
+      .agg(min(col("_id")).as("_fd"), count_distinct(col("_id")).as("_nd"))
+    val removedPos = wins.join(owners, Seq("_h"))
+      .where(col("_nd") > 1 && col("_id") =!= col("_fd"))
+      .select(col("_id"),
+        explode(sequence(col("_wpos"), col("_wpos") + lit(w - 1))).as("_pos"))
+      .distinct()
+    val toksTbl = base.select(col("_id"),
+      posexplode(toksOf).as(Seq("_pos", "_tok")))
+    val cleaned = toksTbl.join(removedPos, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("cleaned"))
+    val removedCounts = removedPos.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    base.select(col("_id"), size(toksOf).cast("long").as("n_tokens"))
+      .join(removedCounts, Seq("_id"), "left")
+      .join(cleaned, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   // --------------------------------------------- duplicate clusters (CC)
 
   /** Connected components over a candidate-pair edge list — turns pairwise
@@ -477,5 +537,26 @@ object DedupFunctions {
       .distinct()
     vertices.join(starLabels, Seq("v"), "left")
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+  }
+
+  /** The corpus-level dedup capstone: fuzzy candidate pairs → connected
+    * components → KEEP one representative per duplicate family (its
+    * smallest id), drop the rest. This is the pass a training pipeline
+    * actually runs — pairs and clusters are diagnostics; the deliverable
+    * is the deduplicated corpus.
+    *
+    * `pairs` come from any candidate generator ([[minhashCandidates]],
+    * [[simhashNearDups]], [[embeddingNearDups]]) so the blocking strategy
+    * stays the caller's choice. Non-representative ids are a TINY frame
+    * (≤ the duplicated subset of the corpus) — the anti-join broadcasts
+    * at any realistic duplication rate, making the drop a map-only pass
+    * over the corpus.
+    */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
+                          aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drops = connectedComponentsAlternating(pairs, aCol, bCol)
+      .where(col("v") =!= col("label"))
+      .select(col("v").as("_drop_id"))
+    df.join(broadcast(drops), df(idCol) === col("_drop_id"), "left_anti")
   }
 }

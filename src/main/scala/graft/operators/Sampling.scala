@@ -35,4 +35,58 @@ object Sampling {
     df.where(DedupFunctions.hash60(
       concat_ws("|", lit(salt), col(idCol).cast("string"))).%(10000) < rate)
   }
+
+  /** Deterministic TOKEN-BUDGET sample — "give me ~N tokens of this
+    * corpus", the knob a training-data mix actually turns (doc-rate
+    * sampling over-represents long documents). Docs are ranked by the
+    * seeded 60-bit priority hash and taken greedily in priority order
+    * while the running token total stays ≤ `budgetTokens`; the kept set
+    * is a pure function of (salt, ids) — stable across runs, engines, and
+    * cluster sizes, and mirrorable in oracle SQL.
+    *
+    * Scale shape: the naive form is ONE GLOBAL cumulative-sum window —
+    * a single-reducer sort that dies at 100 TB. Instead the priority
+    * space is range-bucketed (top 12 bits → 4096 buckets): one map-side
+    * aggregate sums tokens per bucket, the tiny (≤4096-row) histogram
+    * finds the boundary bucket on the driver, every bucket strictly below
+    * it is kept with NO sort at all, and only the boundary bucket (~1/4096
+    * of the corpus) pays the exact cumulative window. Same greedy result,
+    * no global sort.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
+                        budgetTokens: Long, salt: String = "budget"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prio = DedupFunctions.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val bucketed = df.withColumn("_prio", prio)
+      .withColumn("_bkt", shiftright(col("_prio"), 48).cast("int"))
+    // tiny bounded histogram: ≤4096 rows to the driver
+    val hist = bucketed.groupBy(col("_bkt"))
+      .agg(sum(col(tokenCountCol)).as("_toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    var boundary = -1            // first bucket whose full inclusion overflows
+    var below = 0L               // tokens in buckets strictly before it
+    hist.foreach { case (b, t) =>
+      if (boundary < 0) {
+        if (acc + t > budgetTokens) { boundary = b; below = acc }
+        else acc += t
+      }
+    }
+    if (boundary < 0)
+      bucketed.drop("_prio", "_bkt") // whole corpus fits the budget
+    else {
+      val whole = bucketed.where(col("_bkt") < boundary)
+      // exact greedy inside the single boundary bucket: window over ~1/4096
+      // of the corpus, keyed by priority (hash ties broken by id)
+      val cumW = Window.orderBy(col("_prio"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val edge = bucketed.where(col("_bkt") === boundary)
+        .withColumn("_cum", sum(col(tokenCountCol)).over(cumW))
+        .where(col("_cum") + lit(below) <= budgetTokens)
+        .drop("_cum")
+      whole.unionByName(edge).drop("_prio", "_bkt")
+    }
+  }
 }

@@ -51,6 +51,80 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kept.length == 5000 && kept.forall(_.getString(1) == "odd"))
   }
 
+  test("token-budget sample: bucketed cutoff equals the naive global prefix") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("tok_cnt",
+        size(TextFunctions.tokens(coalesce($"text", lit("")))).cast("long"))
+    def naive(budget: Long): Set[Long] = {
+      val prio = DedupFunctions.hash60(
+        concat_ws("|", lit("t"), $"doc_id".cast("string")))
+      docs.withColumn("_p", prio)
+        .withColumn("_cum", sum($"tok_cnt").over(Window.orderBy($"_p", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where($"_cum" <= budget)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    def bucketed(budget: Long): Set[Long] =
+      Sampling.tokenBudgetSample(docs, "doc_id", "tok_cnt", budget, "t")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val total = docs.agg(sum($"tok_cnt")).head().getLong(0)
+    for (budget <- Seq(0L, 37L, total / 10, total / 2, total, total * 2)) {
+      val n = naive(budget)
+      assert(bucketed(budget) == n, s"mismatch at budget=$budget")
+      if (budget >= total) assert(n.size == docs.count())
+    }
+    // kept set only grows with the budget (greedy prefix property)
+    assert(naive(total / 10).subsetOf(naive(total / 2)))
+  }
+
+  test("span removal: non-owner copies rewritten, owner and short docs untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e x y z w q"),                  // owner of "a b c d e"
+      (2L, "p1 p2 a b c d e k l m"),                // loses positions 2..6
+      (3L, "entirely different words without any shared span here"),
+      (4L, "a b c"),                                 // < window: never rewritten
+      (5L, "a b c"))                                 // even though doc 4 matches
+      .toDF("doc_id", "text")
+    val out = DedupFunctions.removeRepeatedSpans(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(10L, 10L, 8L, 3L, 3L))
+    assert(out.map(_.getAs[Long]("n_removed")).toSeq == Seq(0L, 5L, 0L, 0L, 0L))
+    assert(out(0).getAs[String]("cleaned") == "a b c d e x y z w q")
+    assert(out(1).getAs[String]("cleaned") == "p1 p2 k l m")
+    assert(out(3).getAs[String]("cleaned") == "a b c")
+    assert(out(4).getAs[String]("cleaned") == "a b c")
+
+    // overlapping shared windows: doc 7 shares doc 6's entire 6-token run,
+    // so BOTH stride-1 windows hit and the whole 0..5 range is removed
+    val df2 = Seq(
+      (6L, "q r s t u v tail1 tail2"),
+      (7L, "q r s t u v other words here"))
+      .toDF("doc_id", "text")
+    val out2 = DedupFunctions.removeRepeatedSpans(df2, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out2(1).getAs[Long]("n_removed") == 6L)
+    assert(out2(1).getAs[String]("cleaned") == "other words here")
+  }
+
+  test("keepRepresentatives drops everything but each family's smallest doc") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (1L, base), (2L, base.replace("today", "tonight")), (3L, base + " extra"),
+      (10L, "completely different content about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.minhashCandidates(df, "doc_id", "text",
+      k = 12, nBands = 4)
+    val kept = DedupFunctions.keepRepresentatives(df, pairs, "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // 1,2,3 are one family (1 survives); 10 never paired, survives untouched
+    assert(kept == Set(1L, 10L))
+  }
+
   test("redact scrubs urls/emails/ips with typed placeholders; counts match") {
     import spark.implicits._
     val df = Seq(
