@@ -51,13 +51,15 @@ class DocExampleSpec extends SparkSpec {
       DocPipeline.Config(lang = "en", minQualityBp = 2500))
 
     val pairs    = DedupFunctions.minhashCandidates(cleaned, "doc_id", "text")
-    val clusters = DedupFunctions.connectedComponents(pairs, "id_a", "id_b")
+    val clusters = DedupFunctions.connectedComponentsAuto(pairs, "id_a", "id_b")
     assert(clusters.columns.toSeq == Seq("v", "label"))
+    val deduped  = DedupFunctions.keepRepresentatives(cleaned, pairs, "doc_id")
+    assert(deduped.count() <= cleaned.count())
 
     val evalSet = docs.filter(col("doc_id") < 5)
-    val dirty   = DedupFunctions.ngramContamination(cleaned, evalSet, "doc_id", "text")
+    val dirty   = DedupFunctions.ngramContamination(deduped, evalSet, "doc_id", "text")
     val corpus  = Sampling.deterministicSample(
-        cleaned.join(dirty, Seq("doc_id"), "left_anti"), "doc_id", 5000, "run1")
+        deduped.join(dirty, Seq("doc_id"), "left_anti"), "doc_id", 5000, "run1")
       .select(col("doc_id"),
         posexplode(TextFunctions.chunks(col("text"), 512, 64))
           .as(Seq("chunk_idx", "chunk")))
