@@ -85,4 +85,32 @@ class PlanHygieneSpec extends SparkSpec {
     assert(kept.contains("Window"), kept)
     assert(!kept.contains("CartesianProduct"), kept)
   }
+
+  test("span removal: hash-keyed joins only, no product fallback") {
+    val p = plan("dedup_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span removal fell back to a product join:\n$p")
+  }
+
+  test("keep-representatives: the drop set joins broadcast (map-only corpus pass)") {
+    val p = plan("dedup_keep_representatives")
+    assert(p.contains("BroadcastHashJoin"),
+      s"non-representative drop set no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+  }
+
+  test("token-budget sample: the exact window runs on ONE bucket, not the corpus") {
+    val p = plan("sample_token_budget")
+    assert(!p.contains("CartesianProduct"), p)
+    // the global-sort formulation would put a Window directly over the
+    // full scan; the bucketed plan only windows the boundary-bucket FILTER
+    // (an equality filter on the shiftright bucket expression must sit
+    // below the Window — the _bkt alias itself gets inlined by Catalyst)
+    val w = p.indexOf("Window")
+    assert(w >= 0, s"no window at all — cutoff semantics changed?\n$p")
+    val belowWindow = p.substring(w)
+    assert(belowWindow.contains("shiftright") &&
+      """ = \d+\)""".r.findFirstIn(belowWindow).isDefined,
+      s"window no longer bounded by the bucket-equality filter:\n$p")
+  }
 }
