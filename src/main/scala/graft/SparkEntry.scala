@@ -946,6 +946,18 @@ object SparkEntry {
         recallFloorBp = 5000)
     }),
 
+    // Embedding-space outlier signal: cosine of every vector against its
+    // label's centroid (micro-unit-quantized mean — the quantization makes
+    // a distributed float mean hash-comparable; cosine is scale-invariant).
+    "emb_centroid_outliers" -> ((s, dir) => {
+      import s.implicits._
+      SimilarityFunctions.centroidCosines(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select($"vec_id", $"label",
+          TextFunctions.basisPoints($"centroid_cos").as("centroid_cos_bp"))
+        .orderBy($"vec_id")
+    }),
+
     // ---- LLM-pipeline operators: multimodal plumbing ----------------
 
     // Media features composed into brute-force ANN (the point of the fixed
@@ -1852,6 +1864,20 @@ object SparkEntry {
          |SELECT id_a, id_b, ${bpSql("cos")} AS cosine_bp
          |FROM p WHERE cos >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-(label, dim) mean quantized to micro-unit integers on BOTH
+    // sides, so the fold-order ulps of a distributed mean can't flip the
+    // compare; cosine over the integer centroid is then exact
+    "emb_centroid_outliers" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |cd AS (SELECT label, d, floor(avg(e[d]) * 1000000 + 0.5)::BIGINT AS c
+         |       FROM v, unnest(generate_series(1, len(e))) AS g(d)
+         |       GROUP BY 1, 2),
+         |cent AS (SELECT label, list(c ORDER BY d)::DOUBLE[] AS ce
+         |         FROM cd GROUP BY 1)
+         |SELECT vec_id, label, ${bpSql(cosineSql("e", "ce"))} AS centroid_cos_bp
+         |FROM v JOIN cent USING (label)
+         |ORDER BY vec_id""".stripMargin,
 
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

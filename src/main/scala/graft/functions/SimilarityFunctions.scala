@@ -521,4 +521,37 @@ object SimilarityFunctions {
       .join(pq.encode(corpus, idCol, vecCol), Seq("neighbor_id"))
     ivfPqSearch(inv, queries, ivf, pq, idCol, vecCol, k, nProbe, shortlist)
   }
+
+  // ------------------------------------------------ vector aggregation
+
+  /** Per-group embedding centroids, QUANTIZED to integer micro-units
+    * (`floor(mean·10⁶ + 0.5)`). The quantization is the determinism
+    * contract: a distributed float mean depends on partition fold order
+    * at the last few ulps, so raw means can never be hash-compared across
+    * engines or even across runs — micro-unit integers absorb the ulp
+    * noise, and cosine is scale-invariant so downstream similarity is
+    * unaffected. One map-side-combinable (group, dim) aggregate; dims are
+    * bounded, groups are few — the centroid table broadcasts.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("_grp"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_dim", "_x")))
+      .groupBy(col("_grp"), col("_dim"))
+      .agg(floor(avg(col("_x")) * 1000000 + 0.5).cast("long").as("_c"))
+      .groupBy(col("_grp"))
+      .agg(transform(array_sort(collect_list(struct(col("_dim"), col("_c")))),
+        s => s.getField("_c")).as("_centroid"))
+      .select(col("_grp").as(groupCol), col("_centroid").as("centroid"))
+
+  /** Cosine of every vector against its group's centroid — the
+    * embedding-space outlier signal (a vector far from its label/source
+    * centroid is mislabeled or noise; gate on the score like any other
+    * quality signal). Centroids broadcast; the corpus pass is map-only.
+    */
+  def centroidCosines(df: DataFrame, idCol: String, vecCol: String,
+                      groupCol: String): DataFrame =
+    df.join(broadcast(groupCentroids(df, groupCol, vecCol)), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        cosine(col(vecCol).cast("array<double>"),
+          col("centroid").cast("array<double>")).as("centroid_cos"))
 }

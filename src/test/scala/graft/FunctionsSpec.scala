@@ -556,6 +556,27 @@ class SimilaritySpec extends SparkSpec {
     assert(oneShot == split)
   }
 
+  test("group centroids quantize deterministically; centroid cosine flags outliers") {
+    import spark.implicits._
+    import graft.functions.SimilarityFunctions
+    val df = Seq(
+      (1L, "a", Seq(1.0, 0.0)), (2L, "a", Seq(0.0, 1.0)),
+      (3L, "b", Seq(2.0, 0.0)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = SimilarityFunctions.groupCentroids(df, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(cents("a") == Seq(500000L, 500000L)) // micro-unit mean
+    assert(cents("b") == Seq(2000000L, 0L))
+    val cos = SimilarityFunctions.centroidCosines(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(cos(1L) - math.sqrt(0.5)) < 1e-9) // 45° off the mean
+    assert(math.abs(cos(3L) - 1.0) < 1e-12)           // singleton = its centroid
+    // partition-independent: quantized centroids absorb fold-order ulps
+    val repart = SimilarityFunctions.groupCentroids(df.repartition(7), "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(repart == cents)
+  }
+
   test("lshTopK recall against brute force is reasonable") {
     val emb = sf("embeddings")
     val queries = emb.filter(col("vec_id") < 20)
