@@ -769,7 +769,7 @@ object SparkEntry {
     // hands off to the star variant when the diameter budget runs out.
     // Must agree exactly with the plain star plan (and the recursive-CTE
     // oracle).
-    "dedup_clusters_star" -> ((s, dir) => {
+    "dedup_clusters_auto" -> ((s, dir) => {
       import s.implicits._
       val pairs = DedupFunctions.minhashCandidates(docs(s, dir), "doc_id",
         "text", k = 12, nBands = 4, shingleSize = 3)
@@ -1733,7 +1733,7 @@ object SparkEntry {
 
     // identical transitive closure — the engine side differs only in the
     // distributed algorithm (alternating star vs label propagation)
-    "dedup_clusters_star" ->
+    "dedup_clusters_auto" ->
       s"""WITH RECURSIVE $minhashBandsCte,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
