@@ -62,4 +62,35 @@ object DocPipeline {
       count(when(col("lang_pred") === cfg.lang, 1)).as("n_lang"),
       count(when(passes(cfg), 1)).as("n_quality"),
       count_distinct(when(passes(cfg), col("fingerprint"))).as("n_kept"))
+
+  /** Streaming flavor of [[clean]]: the annotations and filters are pure
+    * per-row projections (stream-safe as-is), but the batch dedup's
+    * row_number window is not allowed in a streaming query — streaming
+    * dedup is `dropDuplicates` keyed on the fingerprint (first SEEN
+    * representative instead of smallest id — the only semantic the
+    * incremental model can offer). With `watermarkCol`/`ttl` set, state
+    * is bounded by `dropDuplicatesWithinWatermark` (RocksDB-backed on a
+    * cluster, same shape as the event-ingest F2 dedup); without them the
+    * fingerprint state grows with the distinct corpus — fine for bounded
+    * backfills, wrong for unbounded streams, so prefer the TTL form.
+    */
+  def cleanStream(docs: DataFrame, idCol: String, textCol: String,
+                  cfg: Config = Config(),
+                  watermarkCol: Option[String] = None,
+                  ttl: String = "30 days"): DataFrame = {
+    // withColumn (not annotate's select) so every input column — including
+    // the watermark timestamp — survives into the streaming plan
+    val filtered = docs
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("quality_bp",
+        TextFunctions.basisPoints(TextFunctions.qualityScore(col(textCol))))
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .where(passes(cfg))
+    if (!cfg.dedup) filtered
+    else watermarkCol match {
+      case Some(wm) => filtered.withWatermark(wm, ttl)
+        .dropDuplicatesWithinWatermark("fingerprint")
+      case None => filtered.dropDuplicates("fingerprint")
+    }
+  }
 }

@@ -85,6 +85,42 @@ class IngestStreamSpec extends SparkSpec {
     assert(reg.fieldNames.take(2).toSeq == Seq("_time", "_user"))
   }
 
+  test("streaming doc-pipeline clean: stream-safe dedup agrees with the batch funnel") {
+    import spark.implicits._
+    import graft.operators.DocPipeline
+    // the batch clean() uses a row_number window — illegal in a streaming
+    // query; cleanStream swaps it for stateful dropDuplicates and must
+    // keep the same fingerprint set
+    val docsDir = Files.createTempDirectory("docs_stream")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch.write.mode("overwrite").parquet(docsDir.toString + "/in")
+
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(docsDir.toString + "/in")
+    val cleanedStream = DocPipeline.cleanStream(stream, "doc_id", "text")
+    assert(cleanedStream.isStreaming)
+    val q = cleanedStream.writeStream
+      .format("memory").queryName("cleaned_docs").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("cleaned_docs")
+    val batchClean = DocPipeline.clean(batch, "doc_id", "text")
+    // representative CHOICE differs (first-seen vs smallest id) but the
+    // kept fingerprint set — what dedup is about — must be identical
+    assert(streamed.select("fingerprint").distinct().count() == streamed.count())
+    assert(
+      streamed.select("fingerprint").collect().map(_.getString(0)).toSet ==
+      batchClean.select("fingerprint").collect().map(_.getString(0)).toSet)
+    // TTL'd form builds a watermarked streaming plan (state-bounded)
+    val withTs = stream.withColumn("seen_at",
+      org.apache.spark.sql.functions.current_timestamp())
+    val ttlPlan = DocPipeline.cleanStream(withTs, "doc_id", "text",
+      watermarkCol = Some("seen_at"))
+    assert(ttlPlan.isStreaming)
+  }
+
   test("watermarked event-time window aggregation over the parsed stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
