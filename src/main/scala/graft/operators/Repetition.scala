@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Repetition-based quality signals for pre-training corpora — the
@@ -22,11 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the line/token signals are per-row array arithmetic
   * (`array_distinct` is linear in the doc — no shuffle); the top-n-gram
-  * signals explode to (doc, gram) and hash-aggregate, then rank inside one
-  * doc-partitioned window — two map-side-combinable shuffles total, no
-  * driver state, no all-pairs anything. At 100 TB the explode width is
-  * bounded by document length, and every aggregation is keyed by doc id
-  * (uniform, skew-free).
+  * signals explode to (doc, gram), hash-aggregate the counts, and pick
+  * the winner with a second `min_by` hash aggregate — two map-side-
+  * combinable shuffles total, no sorts, no driver state, no all-pairs
+  * anything. At 100 TB the explode width is bounded by document length,
+  * and every aggregation is keyed by doc id (uniform, skew-free).
   */
 object Repetition {
 
@@ -42,25 +41,25 @@ object Repetition {
       .otherwise(TextFunctions.basisPoints(part.cast("double") / whole))
 
   /** Character share of the most frequent word `n`-gram per document:
-    * explode grams, count per (doc, gram), then a single doc-partitioned
-    * window ranks grams (count desc, gram asc) and totals gram characters.
+    * explode grams, count per (doc, gram), then ONE more hash aggregate
+    * per doc — `min_by` over `struct(-cnt, gram)` picks the top gram with
+    * the (count desc, gram asc) tie-break, and the ordering struct is
+    * unique within a doc, so the result is deterministic. Two map-side-
+    * combinable aggregations, no sort: the doc-partitioned rank window
+    * this replaces paid a per-partition SORT of every (doc, gram) row.
     */
   private def topGramShare(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int, outName: String): DataFrame = {
-    val counted = docs
+                           n: Int, outName: String): DataFrame =
+    docs
       .select(col(idCol),
         explode(TextFunctions.shingles(coalesce(col(textCol), lit("")), n)).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
-    val byDoc = Window.partitionBy(col(idCol))
-    val ranked = byDoc.orderBy(col("cnt").desc, col("gram").asc)
-    counted
-      .select(col(idCol),
-        (col("cnt") * length(col("gram"))).as("gram_chars"),
-        sum(col("cnt") * length(col("gram"))).over(byDoc).as("total_chars"),
-        row_number().over(ranked).as("_rk"))
-      .where(col("_rk") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("cnt") * length(col("gram")),
+          struct((-col("cnt")).as("nc"), col("gram"))).as("gram_chars"),
+        sum(col("cnt") * length(col("gram"))).as("total_chars"))
       .select(col(idCol), bpShare(col("gram_chars"), col("total_chars")).as(outName))
-  }
 
   /** Per-document repetition profile:
     * `(id, n_lines, dup_line_bp, dup_token_bp, top_bigram_bp, top_trigram_bp)`.
