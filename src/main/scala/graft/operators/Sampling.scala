@@ -48,45 +48,72 @@ object Sampling {
     * a single-reducer sort that dies at 100 TB. Instead the priority
     * space is range-bucketed (top 12 bits → 4096 buckets): one map-side
     * aggregate sums tokens per bucket, the tiny (≤4096-row) histogram
-    * finds the boundary bucket on the driver, every bucket strictly below
-    * it is kept with NO sort at all, and only the boundary bucket (~1/4096
-    * of the corpus) pays the exact cumulative window. Same greedy result,
-    * no global sort.
+    * finds the boundary bucket on the driver, and every bucket strictly
+    * below it is kept with NO sort at all. The split then RECURSES into
+    * the boundary bucket on the next 12 priority bits while it still
+    * holds more than `windowMaxRows` rows (each level divides it by
+    * 4096, for one extra ≤4096-row histogram pass over an exponentially
+    * shrinking subset), so the exact cumulative window only ever sorts a
+    * bounded residue — never ~1/4096 of a 100 TB corpus through a single
+    * reducer. Same greedy result, no global sort.
+    *
+    * Null token counts read as 0 (a doc with an unknown count is free to
+    * keep) — the alternative is an opaque NPE out of the histogram
+    * collect at the driver.
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, tokenCountCol: String,
-                        budgetTokens: Long, salt: String = "budget"): DataFrame = {
+                        budgetTokens: Long, salt: String = "budget",
+                        windowMaxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prio = DedupFunctions.hash60(
       concat_ws("|", lit(salt), col(idCol).cast("string")))
-    val bucketed = df.withColumn("_prio", prio)
-      .withColumn("_bkt", shiftright(col("_prio"), 48).cast("int"))
-    // tiny bounded histogram: ≤4096 rows to the driver
-    val hist = bucketed.groupBy(col("_bkt"))
-      .agg(sum(col(tokenCountCol)).as("_toks"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    var acc = 0L
-    var boundary = -1            // first bucket whose full inclusion overflows
-    var below = 0L               // tokens in buckets strictly before it
-    hist.foreach { case (b, t) =>
+    val toks = coalesce(col(tokenCountCol).cast("long"), lit(0L))
+    var edge = df.withColumn("_prio", prio) // rows whose fate is undecided
+    var kept: Option[DataFrame] = None      // whole buckets already kept
+    var below = 0L                          // token total of everything kept whole
+    var shift = 48                          // 60-bit prio → 12-bit levels 48,36,24,12,0
+    var result: DataFrame = null
+    while (result == null) {
+      val bucketed = edge.withColumn("_bkt",
+        shiftright(col("_prio"), shift).bitwiseAND(lit(4095L)).cast("int"))
+      // tiny bounded histogram: ≤4096 rows to the driver per level
+      val hist = bucketed.groupBy(col("_bkt"))
+        .agg(sum(toks).as("_toks"), count(lit(1)).as("_rows"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var acc = 0L
+      var boundary = -1    // first bucket whose full inclusion overflows
+      var boundaryRows = 0L
+      hist.foreach { case (b, t, n) =>
+        if (boundary < 0) {
+          if (below + acc + t > budgetTokens) { boundary = b; boundaryRows = n }
+          else acc += t
+        }
+      }
+      below += acc
       if (boundary < 0) {
-        if (acc + t > budgetTokens) { boundary = b; below = acc }
-        else acc += t
+        // every remaining bucket fits: the whole edge subset is kept
+        result = kept.map(_.unionByName(bucketed)).getOrElse(bucketed)
+      } else {
+        val whole = bucketed.where(col("_bkt") < boundary)
+        kept = Some(kept.map(_.unionByName(whole)).getOrElse(whole))
+        val sub = bucketed.where(col("_bkt") === boundary)
+        if (boundaryRows > windowMaxRows && shift > 0) {
+          shift -= 12
+          edge = sub.drop("_bkt")
+        } else {
+          // exact greedy inside the bounded residue: window keyed by
+          // priority (hash ties broken by id)
+          val cumW = Window.orderBy(col("_prio"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val fin = sub
+            .withColumn("_cum", sum(toks).over(cumW))
+            .where(col("_cum") + lit(below) <= budgetTokens)
+            .drop("_cum")
+          result = kept.map(_.unionByName(fin)).getOrElse(fin)
+        }
       }
     }
-    if (boundary < 0)
-      bucketed.drop("_prio", "_bkt") // whole corpus fits the budget
-    else {
-      val whole = bucketed.where(col("_bkt") < boundary)
-      // exact greedy inside the single boundary bucket: window over ~1/4096
-      // of the corpus, keyed by priority (hash ties broken by id)
-      val cumW = Window.orderBy(col("_prio"), col(idCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val edge = bucketed.where(col("_bkt") === boundary)
-        .withColumn("_cum", sum(col(tokenCountCol)).over(cumW))
-        .where(col("_cum") + lit(below) <= budgetTokens)
-        .drop("_cum")
-      whole.unionByName(edge).drop("_prio", "_bkt")
-    }
+    result.drop("_prio", "_bkt")
   }
 }

@@ -67,13 +67,17 @@ class TextFunctionsSpec extends SparkSpec {
         .where($"_cum" <= budget)
         .collect().map(_.getAs[Long]("doc_id")).toSet
     }
-    def bucketed(budget: Long): Set[Long] =
-      Sampling.tokenBudgetSample(docs, "doc_id", "tok_cnt", budget, "t")
+    def bucketed(budget: Long, maxRows: Long = 1000000L): Set[Long] =
+      Sampling.tokenBudgetSample(docs, "doc_id", "tok_cnt", budget, "t", maxRows)
         .collect().map(_.getAs[Long]("doc_id")).toSet
     val total = docs.agg(sum($"tok_cnt")).head().getLong(0)
     for (budget <- Seq(0L, 37L, total / 10, total / 2, total, total * 2)) {
       val n = naive(budget)
       assert(bucketed(budget) == n, s"mismatch at budget=$budget")
+      // windowMaxRows = 0 forces the boundary-bucket split to recurse all
+      // the way to shift 0 (five 12-bit levels) — the deep path must pick
+      // the identical greedy prefix
+      assert(bucketed(budget, 0L) == n, s"recursive mismatch at budget=$budget")
       if (budget >= total) assert(n.size == docs.count())
     }
     // kept set only grows with the budget (greedy prefix property)
@@ -370,7 +374,7 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(denseLabels ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
 
-    // a 64-link chain blows the 4-round propagation budget: auto must
+    // a 64-link chain blows the 2-round propagation budget: auto must
     // escalate to the alternating-star variant instead of throwing (the
     // plain propagation entry point throws on this input — pinned below)
     val chain = (1L until 65L).map(i => (i, i + 1)).toDF("id_a", "id_b")

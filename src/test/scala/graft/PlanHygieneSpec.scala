@@ -113,4 +113,23 @@ class PlanHygieneSpec extends SparkSpec {
       """ = \d+\)""".r.findFirstIn(belowWindow).isDefined,
       s"window no longer bounded by the bucket-equality filter:\n$p")
   }
+
+  test("token-budget recursion: the deep split stacks bucket filters under the window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("tok_cnt", length(coalesce(col("text"), lit(""))).cast("long"))
+    // windowMaxRows = 0 forces recursion past level 1: the residue the
+    // exact window sorts must be fenced by MULTIPLE bucket-equality
+    // filters (one per 12-bit level), not the single 1/4096 filter
+    val res = graft.operators.Sampling.tokenBudgetSample(
+      docs, "doc_id", "tok_cnt", budgetTokens = 1000L, salt = "t",
+      windowMaxRows = 0L)
+    val p = res.queryExecution.explainString(SimpleMode)
+    val w = p.indexOf("Window")
+    assert(w >= 0, s"no window — cutoff semantics changed?\n$p")
+    val belowWindow = p.substring(w)
+    val nLevels = "shiftright".r.findAllIn(belowWindow).size
+    assert(nLevels >= 2,
+      s"window residue fenced by only $nLevels bucket filter(s):\n$p")
+  }
 }

@@ -362,4 +362,32 @@ class StressSpec extends SparkSpec {
     assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
       s"blocks left: ${spark.sparkContext.getRDDStorageInfo.map(_.name).mkString(", ")}")
   }
+
+  // Web-scale crawls run 30-50% near-dup: the keep-one-representative drop
+  // set is NOT tiny there, and an unconditional broadcast of hundreds of
+  // millions of ids OOMs the driver. The size gate must route an
+  // over-threshold drop set through a shuffle anti-join instead.
+  test("keep-representatives size gate: over-threshold drop set anti-joins without broadcast") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    import org.apache.spark.sql.execution.SimpleMode
+    val docs = spark.range(0, 1000)
+      .select($"id".as("doc_id"), concat(lit("t"), $"id").as("text"))
+    // 100 clusters × 10 docs → 900 non-representatives (90% duplication)
+    val pairs = spark.range(0, 1000).where($"id" % 10 =!= 0)
+      .select(($"id" - ($"id" % 10)).as("id_a"), $"id".as("id_b"))
+    val kept = DedupFunctions.keepRepresentatives(docs, pairs, "doc_id",
+      broadcastMaxIds = 10L)
+    val p = kept.queryExecution.explainString(SimpleMode)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"over-threshold drop set still planned as a broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no shuffle anti-join in the fallback plan:\n$p")
+    assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet ==
+      (0L until 1000L by 10).toSet)
+    // the same corpus under the DEFAULT gate is genuinely small → broadcast
+    val keptSmall = DedupFunctions.keepRepresentatives(docs, pairs, "doc_id")
+    assert(keptSmall.queryExecution.explainString(SimpleMode)
+      .contains("BroadcastHashJoin"))
+  }
 }
