@@ -121,16 +121,25 @@ object DedupFunctions {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
-                        threshold: Double = 0.0): DataFrame = {
-    // eager local checkpoint: both self-join sides read this (without the
-    // boundary the shingle+hash projection would execute twice over the
-    // corpus), and checkpointed blocks are released by the ContextCleaner
-    // once the result is unreachable — a persist would stay pinned for the
-    // session lifetime
-    val prepped = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+                        threshold: Double = 0.0,
+                        stagingPath: Option[String] = None): DataFrame = {
+    // both self-join sides read the prepped table (without a boundary the
+    // shingle+hash projection would execute twice over the corpus).
+    // Default: eager local checkpoint — executor memory/disk, released by
+    // the ContextCleaner once the result is unreachable (a persist would
+    // stay pinned for the session lifetime). At 100 TB pass `stagingPath`:
+    // the prepped table goes to parquet and both sides read the FILE, so
+    // nothing sits in the block manager at all (same escape hatch as
+    // [[minhashCandidates]]).
+    val projected = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
       sort_array(array_distinct(transform(TextFunctions.shingles(col(textCol), n),
         s => hash60(s)))).as("_sh"))
-      .localCheckpoint(true)
+    val prepped = stagingPath match {
+      case Some(path) =>
+        projected.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => projected.localCheckpoint(true)
+    }
     val a = prepped.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = prepped.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_blk"))
@@ -164,18 +173,28 @@ object DedupFunctions {
     * (default radius 3 → 4 bands × 15 bits).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      stagingPath: Option[String] = None): DataFrame = {
     val nBands = maxHamming + 1
     require(60 % nBands == 0, s"maxHamming + 1 = $nBands must divide 60")
     val bandBits = 60 / nBands
     val mask = (1L << bandBits) - 1
-    // localCheckpoint (not persist): both join sides read the signatures,
-    // and checkpointed RDDs are released by the ContextCleaner once the
-    // result is no longer referenced — a persist here would pin one cached
-    // copy per call for the session lifetime
-    val sigs = df.select(col(idCol).as("_id"),
-        simhash64(col(textCol)).as("_sig"))
-      .localCheckpoint(true)
+    // both join sides read the signatures. Default: eager local checkpoint
+    // (not persist) — released by the ContextCleaner once the result is no
+    // longer referenced, where a persist would pin one cached copy per
+    // call for the session lifetime. At 100 TB pass `stagingPath`: the
+    // signature table goes to parquet and both sides read the FILE — no
+    // big intermediate in the block manager (same escape hatch as
+    // [[minhashCandidates]]); the banding itself is two integer ops per
+    // row and recomputes for free on each read.
+    val projected = df.select(col(idCol).as("_id"),
+      simhash64(col(textCol)).as("_sig"))
+    val sigs = stagingPath match {
+      case Some(path) =>
+        projected.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => projected.localCheckpoint(true)
+    }
     val banded = sigs.select(col("_id"), col("_sig"),
       explode(array((0 until nBands).map(b => struct(
         lit(b).as("b"),
@@ -191,8 +210,6 @@ object DedupFunctions {
         hammingDistance(col("_sig_a"), col("_sig_b")).cast("long").as("hamming"))
       .distinct() // pairs sharing several bands appear once
       .where(col("hamming") <= maxHamming)
-    // sigs stays cached until the result is consumed (caller's session
-    // lifetime); at scale stage signatures to storage instead
   }
 
   // ------------------------------------------------- embedding near-dup

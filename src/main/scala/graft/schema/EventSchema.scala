@@ -86,6 +86,12 @@ object EventSchema {
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     private val savedVersions =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    // projects explicitly dropped since the last sharded save: their shard
+    // files are deleted at the next saveShardedIfChanged (without this a
+    // deleted project's file sits on disk forever and loadSharded
+    // resurrects it)
+    private val removedProjects =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
     private def bump(project: String): Unit = {
       version.incrementAndGet()
@@ -128,6 +134,20 @@ object EventSchema {
     def all: Map[CollectionId, StructType] = {
       import scala.jdk.CollectionConverters._
       schemas.asScala.toMap
+    }
+
+    /** Drop every collection of `project` from the registry. The project's
+      * shard file (sharded layout) is garbage-collected by the next
+      * [[saveShardedIfChanged]] so a later [[loadSharded]] cannot
+      * resurrect the deleted schemas.
+      */
+    def removeProject(project: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      schemas.keySet.asScala.filter(_.project == project)
+        .foreach(schemas.remove)
+      projectVersions.remove(project)
+      removedProjects.add(project)
+      version.incrementAndGet()
     }
 
     /** K4 at-rest persistence: serialize the registry as JSON so a restarted
@@ -200,17 +220,46 @@ object EventSchema {
       */
     def saveShardedIfChanged(dir: String,
                              conf: org.apache.hadoop.conf.Configuration): Boolean = {
-      val byProject = all.toSeq.groupBy(_._1.project)
+      import scala.jdk.CollectionConverters._
+      val projects = schemas.keySet.asScala.map(_.project).toSet
       var any = false
-      byProject.foreach { case (project, entries) =>
+      projects.foreach { project =>
+        // version FIRST, entries second (mirroring saveIfChanged): a
+        // concurrent addColumns between the two can only make the
+        // recorded version STALE — a redundant rewrite next batch — never
+        // newer than the serialized entries, which would silently skip
+        // persisting the evolved schema until the project's next change
         val v = projectVersions.getOrDefault(project, 0L)
         val key = s"$dir|$project"
         val saved = savedVersions.get(key)
         if (saved == null || saved.longValue() != v.longValue()) {
+          val entries = all.toSeq.filter(_._1.project == project)
           writeAtomic(shardPath(dir, project), entriesJson(entries), conf)
           savedVersions.put(key, v)
           any = true
         }
+      }
+      // shard GC — only off the steady path (a write just happened, or a
+      // project was explicitly removed), so the scan never taxes the
+      // no-change trigger: any .json under `dir` whose project is no
+      // longer registered is deleted, closing the resurrect-on-load hole
+      if (any || !removedProjects.isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+          fs.listStatus(p)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+            .foreach { st =>
+              val project = java.net.URLDecoder.decode(
+                st.getPath.getName.stripSuffix(".json"), "UTF-8")
+              if (!projects.contains(project)) {
+                fs.delete(st.getPath, false)
+                savedVersions.remove(s"$dir|$project")
+                any = true
+              }
+            }
+        }
+        removedProjects.clear()
       }
       any
     }

@@ -115,6 +115,44 @@ class ExtensionsSpec extends SparkSpec {
       "pre-registered schema must survive to the next save")
   }
 
+  test("sharded registry GC: a removed project's shard is deleted, not resurrected") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val registry = new EventSchema.Registry()
+    for (p <- 0 until 3; c <- 0 until 5)
+      registry.addColumns(CollectionId(s"gcp$p", s"coll$c"),
+        StructType(Seq(StructField(s"f$c", DoubleType))))
+    val dir = java.nio.file.Files.createTempDirectory("reggc").toString + "/reg"
+    assert(registry.saveShardedIfChanged(dir, conf))
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".json")) == 3)
+
+    // remove with NO other evolution: the save must still fire (to delete
+    // the orphan shard) even though no surviving project changed
+    registry.removeProject("gcp1")
+    assert(registry.saveShardedIfChanged(dir, conf))
+    val names = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.getName).toSet
+    assert(names == Set("gcp0.json", "gcp2.json"),
+      s"deleted project's shard not GC'd: $names")
+    // steady state after the GC: nothing to write or delete
+    assert(!registry.saveShardedIfChanged(dir, conf))
+
+    // the deleted project must NOT come back on a fresh load
+    val loaded = new EventSchema.Registry()
+    assert(loaded.loadSharded(dir, conf))
+    assert(loaded.all.keys.map(_.project).toSet == Set("gcp0", "gcp2"))
+
+    // a stale shard from an old run (project absent from the registry)
+    // is swept by the next changed save, even without removeProject
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "stale.json"),
+      """[{"project":"stale","collection":"c","schema":{"type":"struct","fields":[]}}]""")
+    registry.addColumns(CollectionId("gcp0", "newc"),
+      StructType(Seq(StructField("x", DoubleType))))
+    assert(registry.saveShardedIfChanged(dir, conf))
+    assert(!new java.io.File(dir).listFiles().map(_.getName).contains("stale.json"),
+      "stale shard survived a changed save")
+  }
+
   test("registry evolution is thread-safe under concurrent addColumns") {
     import scala.jdk.CollectionConverters._
     val registry = new EventSchema.Registry()

@@ -234,6 +234,41 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(bands.columns.toSet == Set("_id", "_toks", "_band"))
   }
 
+  test("simhash and ngram-jaccard staging paths: staged tables yield identical pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stage")
+    def simPairs(staging: Option[String]) =
+      DedupFunctions.simhashNearDups(docs, "doc_id", "text",
+          maxHamming = 3, stagingPath = staging)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("hamming")))
+        .toSet
+    val simMem = simPairs(None)
+    assert(simPairs(Some(stage.toString + "/simhash")) == simMem)
+    assert(simMem.nonEmpty)
+    def njPairs(staging: Option[String]) =
+      DedupFunctions.ngramJaccardPairs(
+          // first-char block: planted near-dups share a prefix, so they
+          // land in one block regardless of corpus metadata
+          docs.withColumn("blk1c", substring($"text", 1, 1)),
+          "doc_id", "text", "blk1c", n = 3, threshold = 0.2,
+          stagingPath = staging)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.round(r.getAs[Double]("jaccard") * 10000)))
+        .toSet
+    val njMem = njPairs(None)
+    assert(njPairs(Some(stage.toString + "/ngram")) == njMem)
+    assert(njMem.nonEmpty)
+    // both staged tables are reusable input for later passes
+    assert(spark.read.parquet(stage.toString + "/simhash").columns.toSet ==
+      Set("_id", "_sig"))
+    assert(spark.read.parquet(stage.toString + "/ngram").columns.toSet ==
+      Set("_blk", "_id", "_sh"))
+  }
+
   test("simhash: near-dups close in hamming, distinct docs far") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
