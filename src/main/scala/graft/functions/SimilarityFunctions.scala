@@ -147,7 +147,20 @@ object SimilarityFunctions {
       model.transform(c.withColumn("features", array_to_vector(col("_cv"))))
         .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
     }
+
+    /** Persist the coarse quantizer (Spark ML persistence — works on any
+      * Hadoop scheme). With the inverted file written to parquet by the
+      * caller, the whole index survives a driver restart: [[ivfLoad]] +
+      * `spark.read.parquet` resume serving without retraining — the
+      * operational shape at billion scale, where the quantizer is a
+      * long-lived artifact and retraining per session is days of waste.
+      */
+    def save(path: String): Unit = model.write.overwrite().save(path)
   }
+
+  /** Load an IVF coarse quantizer persisted by [[IvfIndex.save]]. */
+  def ivfLoad(path: String): IvfIndex =
+    new IvfIndex(org.apache.spark.ml.clustering.KMeansModel.load(path))
 
   /** Train the IVF coarse quantizer on a bounded sample: k-means is
     * iterative (multiple full passes), so fitting on the whole corpus is
@@ -312,6 +325,61 @@ object SimilarityFunctions {
       */
     private[functions] def adcTable(qv: Column): Column =
       expressions.PqExpressions.pq_adc_table(qv, codebooks)
+
+    /** JSON form of the trained quantizer. `Double.toString` round-trips
+      * every finite double exactly, so save → load is bit-identical.
+      */
+    def toJson: String = {
+      val books = codebooks.map(cb => cb.map(cent =>
+        cent.mkString("[", ",", "]")).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""{"subDim":$subDim,"codebooks":$books}"""
+    }
+
+    /** Persist the quantizer to any Hadoop scheme (file:/hdfs:/s3a:) —
+      * the codebooks are tiny (m·k·subDim doubles). With the encoded code
+      * table written to parquet by the caller, [[pqLoad]] +
+      * `spark.read.parquet` resume serving after a driver restart with no
+      * retrain and byte-identical codes.
+      */
+    def save(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Load a product quantizer persisted by [[PqIndex.save]]. */
+  def pqLoad(path: String, conf: org.apache.hadoop.conf.Configuration): PqIndex = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val body =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    import graft.ingest.JVal._
+    def doubles(v: JVal): Array[Double] = v match {
+      case JArr(xs) => xs.map {
+        case n: JNum => n.text.toDouble
+        case other   => sys.error(s"pqLoad: expected number, got $other")
+      }.toArray
+      case other => sys.error(s"pqLoad: expected array, got $other")
+    }
+    graft.ingest.JsonEventParser.mapperRead(body) match {
+      case o: JObj =>
+        (o.toMap.get("subDim"), o.toMap.get("codebooks")) match {
+          case (Some(sd: JNum), Some(JArr(books))) =>
+            val cbs = books.map {
+              case JArr(cents) => cents.map(doubles).toArray
+              case other => sys.error(s"pqLoad: expected codebook array, got $other")
+            }.toArray
+            new PqIndex(sd.text.toDouble.toInt, cbs)
+          case _ => sys.error(s"pqLoad: malformed index JSON at $path")
+        }
+      case _ => sys.error(s"pqLoad: malformed index JSON at $path")
+    }
   }
 
   /** Driver-local Lloyd's iterations — the PQ codebook fit. The sample is

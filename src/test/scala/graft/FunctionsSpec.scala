@@ -560,6 +560,53 @@ class SimilaritySpec extends SparkSpec {
     assert(oneShot == rer)
   }
 
+  test("IVF and PQ indexes round-trip through storage: fresh load serves identical results") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+
+    // IVF: train → save quantizer + parquet inverted file → LOAD BOTH in
+    // a "fresh driver" → identical search results, no retrain
+    val ivf = SimilarityFunctions.ivfTrain(emb, "embedding", cells = 8)
+    ivf.save(s"$dir/ivf_model")
+    ivf.assign(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/ivf_inverted")
+    val liveIvf = SimilarityFunctions.ivfSearch(
+      spark.read.parquet(s"$dir/ivf_inverted"), queries, ivf,
+      "vec_id", "embedding", 3, nProbe = 4)
+    val loadedIvf = SimilarityFunctions.ivfLoad(s"$dir/ivf_model")
+    val reloadedIvf = SimilarityFunctions.ivfSearch(
+      spark.read.parquet(s"$dir/ivf_inverted"), queries, loadedIvf,
+      "vec_id", "embedding", 3, nProbe = 4)
+    assert(ids(reloadedIvf) == ids(liveIvf) && ids(liveIvf).nonEmpty)
+
+    // PQ: save → load must be bit-identical (codes AND search output)
+    val pq = SimilarityFunctions.pqTrain(emb, "embedding", m = 8, codes = 16)
+    pq.save(s"$dir/pq_index.json", conf)
+    pq.encode(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/pq_codes")
+    val loadedPq = SimilarityFunctions.pqLoad(s"$dir/pq_index.json", conf)
+    assert(loadedPq.subDim == pq.subDim)
+    assert(loadedPq.codebooks.flatten.flatten.toSeq == pq.codebooks.flatten.flatten.toSeq,
+      "codebooks not bit-identical after the JSON round-trip")
+    val liveCodes = pq.encode(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val reloadCodes = loadedPq.encode(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(reloadCodes == liveCodes)
+    val livePq = SimilarityFunctions.pqSearchRerank(
+      spark.read.parquet(s"$dir/pq_codes"), emb, queries, pq,
+      "vec_id", "embedding", 3, shortlist = 32)
+    val reloadPq = SimilarityFunctions.pqSearchRerank(
+      spark.read.parquet(s"$dir/pq_codes"), emb, queries, loadedPq,
+      "vec_id", "embedding", 3, shortlist = 32)
+    assert(ids(reloadPq) == ids(livePq) && ids(livePq).nonEmpty)
+  }
+
   test("native PQ encode is bit-identical to the composed builtin form") {
     val emb = sf("embeddings")
     val index = SimilarityFunctions.pqTrain(emb, "embedding", m = 8, codes = 16)
