@@ -53,7 +53,6 @@ class SinkSpec extends SparkSpec {
 
   test("ndjson locale-exact mode matches the reference's serialization byte-for-byte") {
     import spark.implicits._
-    import java.io.{BufferedReader, InputStreamReader}
     import java.util.zip.GZIPInputStream
     import scala.jdk.CollectionConverters._
     val base = Files.createTempDirectory("ndjson_exact").toString
@@ -61,27 +60,28 @@ class SinkSpec extends SparkSpec {
     val id = CollectionId("p", "c")
     val t = java.time.Instant.parse("2018-03-09T17:45:30.123Z")
     val d = java.time.LocalDate.of(2018, 3, 9)
-    sink.insert(id, Seq((java.sql.Timestamp.from(t), java.sql.Date.valueOf(d), "x"))
-      .toDF("_time", "day", "s"))
+    sink.insert(id, Seq(
+      (java.sql.Timestamp.from(t), java.sql.Date.valueOf(d), "x", 42L, 2.5, true))
+      .toDF("_time", "day", "s", "n", "f", "b"))
 
-    val lines = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+    val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
       .iterator().asScala.filter(_.toString.endsWith(".json.gz")).flatMap { p =>
-        val r = new BufferedReader(new InputStreamReader(
-          new GZIPInputStream(java.nio.file.Files.newInputStream(p))))
-        try Iterator.continually(r.readLine()).takeWhile(_ != null).toList
-        finally r.close()
+        val in = new GZIPInputStream(java.nio.file.Files.newInputStream(p))
+        try Iterator.single(in.readAllBytes()) finally in.close()
       }.toList
 
-    // golden line built with the REFERENCE's exact formatter calls
-    // (S3DatabaseHandler.java:72,241-243): localized SHORT datetime
-    // (English, UTC) and BASIC_ISO_DATE
-    val refTs = java.time.format.DateTimeFormatter
-      .ofLocalizedDateTime(java.time.format.FormatStyle.SHORT)
-      .withLocale(java.util.Locale.ENGLISH)
-      .withZone(java.time.ZoneOffset.UTC)
-      .format(t)
-    val refDay = d.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-    assert(lines == List(s"""{"_time":"$refTs","day":"$refDay","s":"x"}"""))
+    // Hard literal golden — NOT derived by calling the formatter the sink
+    // itself uses (a shared bug would cancel out). These are the reference's
+    // exact output bytes for this event (S3DatabaseHandler.java:72,241-243:
+    // `ofLocalizedDateTime(SHORT)` English@UTC = pattern `M/d/yy, h:mm a`
+    // under JDK 17 CLDR, all-ASCII, ordinary U+0020 before AM/PM; BASIC_ISO
+    // date). If a future JDK's CLDR drifts (e.g. U+202F before AM/PM), this
+    // must FAIL so the drift is a conscious decision, not silent.
+    val golden =
+      "{\"_time\":\"3/9/18, 5:45 PM\",\"day\":\"20180309\",\"s\":\"x\",\"n\":42,\"f\":2.5,\"b\":true}\n"
+    assert(bytes.map(new String(_, java.nio.charset.StandardCharsets.UTF_8)) ==
+      List(golden))
+    assert(bytes.head.sameElements(golden.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
   }
 
   test("ORC format roundtrips with schema evolution (the reference's Raptor format)") {
