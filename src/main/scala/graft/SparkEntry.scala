@@ -601,6 +601,35 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Mixture sampling: resample toward target source weights under a doc
+    // budget (the data-mixing step of a training run). Rates are exact
+    // integer floor arithmetic — bit-reproducible in the oracle.
+    "sample_mixture" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.mixtureSample(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 8L, "src1" -> 4L, "src2" -> 2L, "src3" -> 1L,
+            "src4" -> 1L),
+          budgetDocs = 300L, salt = "mix2")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    }),
+
+    // Mixture resampling with upsampling: a small high-weight source runs
+    // multiple epochs (full copies + hash-gated fractional copy), the big
+    // ones run a fraction of one — the LLaMA-style data recipe applied as
+    // one deterministic plan.
+    "sample_mixture_epochs" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.mixtureResample(docs(s, dir), "doc_id",
+          "source", Map("src0" -> 1L, "src1" -> 1L, "src5" -> 30L),
+          budgetDocs = 600L, salt = "mix3")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_rows"), count_distinct($"doc_id").as("n_docs"),
+          sum($"doc_id").as("id_sum"), sum($"epoch").as("epoch_sum"))
+        .orderBy($"source")
+    }),
+
     // Deterministic token-budget sample ("~20k tokens of this corpus"):
     // greedy prefix in seeded-hash priority order, selected through the
     // bucketed-histogram cutoff (no global sort — see
@@ -816,6 +845,35 @@ object SparkEntry {
         .select($"id_a", $"id_b",
           TextFunctions.basisPoints($"cosine").as("cosine_bp"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means-partitioned semantic dedup.
+    // The cluster assignment is not SQL-expressible, but the CLAIM is —
+    // within-cell drops are a SUBSET of the brute-force drop set (every
+    // emitted drop is backed by an exact cosine), so the certificate pins
+    // n_extra = 0 (precision 1) plus a measured-recall floor; the oracle
+    // recomputes the deterministic facts and asserts both flags.
+    "semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val index = SimilarityFunctions.ivfTrain(emb, "embedding", cells = 8)
+      val semDrops = DedupFunctions.semanticDedupDrops(
+        index.assignProbes(emb, "vec_id", "embedding", probes = 2), 0.3)
+      val bruteDrops = DedupFunctions.embeddingNearDups(
+          emb.withColumn("_one", lit(1)), "vec_id", "embedding", "_one", 0.3)
+        .select($"id_b".as("drop_id")).distinct()
+      val floorBp = 8000L
+      val totals = emb.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(bruteDrops.agg(count(lit(1)).as("n_brute_drops")))
+      val hits = semDrops.join(bruteDrops, Seq("drop_id"))
+        .agg(count(lit(1)).as("_n_hits"))
+      val extra = semDrops.join(bruteDrops, Seq("drop_id"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      totals.crossJoin(hits).crossJoin(extra) // all 1 row × 1 row
+        .select($"n_vecs", $"n_brute_drops", $"n_extra",
+          lit(floorBp).as("recall_floor_bp"),
+          ($"_n_hits" * 10000 >= $"n_brute_drops" * floorBp)
+            .cast("long").as("recall_ok"))
     }),
 
     // Cross-document repeated passages (5-token windows): the windowed
@@ -1574,6 +1632,52 @@ object SparkEntry {
         |               ELSE 2000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // mixture rates replayed with the same exact integer floor arithmetic
+    // (// is DuckDB integer division); renormalization over present
+    // sources matches the operator's contract
+    "sample_mixture" ->
+      """WITH n AS (SELECT source, count(*)::BIGINT AS n FROM documents
+        |           WHERE source IN ('src0','src1','src2','src3','src4')
+        |           GROUP BY 1),
+        |r AS (SELECT source, n,
+        |             CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+        |                  WHEN 'src2' THEN 2 ELSE 1 END::BIGINT AS w
+        |      FROM n),
+        |t AS (SELECT sum(w) AS tw FROM r),
+        |rb AS (SELECT source, least(10000, (10000 * 300 * w) // (tw * n))
+        |         AS rate_bp
+        |       FROM r CROSS JOIN t)
+        |SELECT source, count(*) AS n_kept, sum(d.doc_id)::BIGINT AS id_sum
+        |FROM documents d JOIN rb USING (source)
+        |WHERE ('0x' || substr(md5('mix2|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 10000 < rate_bp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // epoch replication replayed: same integer rate arithmetic, full
+    // copies = rate div 1, fractional copy hash-gated on the remainder
+    "sample_mixture_epochs" ->
+      """WITH n AS (SELECT source, count(*)::BIGINT AS n FROM documents
+        |           WHERE source IN ('src0','src1','src5') GROUP BY 1),
+        |r AS (SELECT source, n,
+        |             CASE source WHEN 'src5' THEN 30 ELSE 1 END::BIGINT AS w
+        |      FROM n),
+        |t AS (SELECT sum(w) AS tw FROM r),
+        |rb AS (SELECT source, (10000 * 600 * w) // (tw * n) AS rate_bp
+        |       FROM r CROSS JOIN t),
+        |k AS (SELECT d.source, d.doc_id,
+        |        rate_bp // 10000
+        |        + CASE WHEN ('0x' || substr(md5('mix3|' || d.doc_id::VARCHAR),
+        |                     1, 15))::BIGINT % 10000 < rate_bp % 10000
+        |               THEN 1 ELSE 0 END AS copies
+        |      FROM documents d JOIN rb USING (source)),
+        |e AS (SELECT source, doc_id,
+        |             unnest(generate_series(0::BIGINT, copies::BIGINT - 1))
+        |               AS epoch
+        |      FROM k WHERE copies >= 1)
+        |SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |       sum(doc_id)::BIGINT AS id_sum, sum(epoch)::BIGINT AS epoch_sum
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // naive replay of the token-budget greedy prefix: ONE global cumulative
     // window — fine for an oracle, the engine side uses the bucketed cutoff
     "sample_token_budget" ->
@@ -1864,6 +1968,20 @@ object SparkEntry {
          |SELECT id_a, id_b, ${bpSql("cos")} AS cosine_bp
          |FROM p WHERE cos >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup certificate: the oracle recomputes the brute-force facts
+    // (n_vecs, global drop set at the same threshold) and asserts the two
+    // contract flags — subset (n_extra = 0) and the measured-recall floor.
+    "semantic_dedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |             ${cosineSql("a.e", "b.e")} AS cos
+         |      FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         |d AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.3)
+         |SELECT (SELECT count(*) FROM v)::BIGINT AS n_vecs,
+         |       (SELECT count(*) FROM d)::BIGINT AS n_brute_drops,
+         |       0::BIGINT AS n_extra, 8000::BIGINT AS recall_floor_bp,
+         |       1::BIGINT AS recall_ok""".stripMargin,
 
     // per-(label, dim) mean quantized to micro-unit integers on BOTH
     // sides, so the fold-order ulps of a distributed mean can't flip the

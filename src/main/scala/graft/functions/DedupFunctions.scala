@@ -232,6 +232,50 @@ object DedupFunctions {
       .where(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------- semantic dedup
+
+  /** SemDeDup drop set (Abbas et al. 2023, arXiv:2303.09540) over a
+    * pre-assigned k-means partition of embedding space: within each cell,
+    * any vector with a cosine-`threshold` neighbor of smaller id is
+    * dropped, keeping exactly the id-minimal member of every within-cell
+    * duplicate chain. `assigned` is [[SimilarityFunctions.IvfIndex.assign]]
+    * output (`neighbor_id`, `_cv`, `_cell`) — typically read back from the
+    * persisted inverted file, so dedup reuses the ANN index instead of
+    * re-clustering.
+    *
+    * Scale shape: ONE equi-join on the cell id — the cluster partition
+    * bounds the quadratic comparison to cell-size², which is the whole
+    * point of the method (cells ≈ √n keeps every cell's pair count ≈ n).
+    * Cross-cell near-dups are the measured approximation; every emitted
+    * drop is backed by an exactly-computed cosine, so the drop set is
+    * always a SUBSET of the brute-force one (precision 1, recall < 1).
+    */
+  def semanticDedupDrops(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("_cell"), col("neighbor_id").as("id_a"),
+      col("_cv").as("_v_a"))
+    val b = assigned.select(col("_cell"), col("neighbor_id").as("id_b"),
+      col("_cv").as("_v_b"))
+    a.join(b, Seq("_cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(SimilarityFunctions.cosine(col("_v_a"), col("_v_b")) >= threshold)
+      .select(col("id_b").as("drop_id")).distinct()
+  }
+
+  /** One-shot SemDeDup: train the coarse quantizer on a bounded sample,
+    * assign every vector in one map-only pass, drop within-cell cosine
+    * near-dups, anti-join the survivors. Long-lived corpora should run
+    * the [[SimilarityFunctions.ivfTrain]] → `assign` → persist lifecycle
+    * and call [[semanticDedupDrops]] on the stored inverted file.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, cells: Int = 16, probes: Int = 2,
+                    seed: Long = 42L, maxTrainRows: Long = 100000L): DataFrame = {
+    val index = SimilarityFunctions.ivfTrain(df, vecCol, cells, seed, maxTrainRows)
+    val drops = semanticDedupDrops(
+      index.assignProbes(df, idCol, vecCol, probes), threshold)
+    df.join(drops, df(idCol) === drops("drop_id"), "left_anti")
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Benchmark decontamination: corpus documents sharing ANY exact word

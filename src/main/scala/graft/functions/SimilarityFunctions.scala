@@ -148,6 +148,34 @@ object SimilarityFunctions {
         .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
     }
 
+    /** Assign every vector to its `probes` nearest cells (by the same
+      * squared-euclidean metric k-means partitions on, so probe 1 IS the
+      * model's cell and probe p strictly widens it) in ONE map-only
+      * pass — the dedup-side analogue of query-side nProbe: a near-dup
+      * pair is caught if ANY probed cell is shared, which is the recall
+      * lever for cluster-partitioned dedup without changing the
+      * equi-join shape (input grows ×probes, still no shuffle here).
+      * The centroid ranking is an in-row `array_sort` over literal
+      * centroids, so the expression scales with `cells` — right for the
+      * moderate cell counts dedup uses; at extreme cell counts (100k+)
+      * rank via the broadcast-join + window form instead.
+      */
+    def assignProbes(corpus: DataFrame, idCol: String, vecCol: String,
+                     probes: Int): DataFrame = {
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      val ranked = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
+        val cent = typedlit(v.toArray.toSeq)
+        struct(
+          aggregate(zip_with(col("_cv"), cent, (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, x) => acc + x).as("_d2"),
+          lit(i).as("_cell"))
+      }: _*)
+      c.withColumn("_probe",
+          explode(slice(array_sort(ranked), 1, probes)))
+        .select(col("neighbor_id"), col("_cv"), col("_probe._cell").as("_cell"))
+    }
+
     /** Persist the coarse quantizer (Spark ML persistence — works on any
       * Hadoop scheme). With the inverted file written to parquet by the
       * caller, the whole index survives a driver restart: [[ivfLoad]] +

@@ -36,6 +36,92 @@ object Sampling {
       concat_ws("|", lit(salt), col(idCol).cast("string"))).%(10000) < rate)
   }
 
+  /** Mixture sampling: resample the corpus toward TARGET source weights
+    * under a total document budget — the data-mixing step of a training
+    * run (the weights are the mixture config a method like DoReMi or a
+    * hand-tuned Pile recipe produces; this operator applies them). Each
+    * source's keep rate is `min(1, budget·w_s / (W·n_s))` in basis points
+    * with exact BigInt floor arithmetic — no floating point anywhere, so
+    * the kept set is bit-reproducible across engines and replayable in
+    * oracle SQL. Sources absent from `weights` are dropped; weighted
+    * sources absent from the corpus are renormalized away (their quota is
+    * redistributed), matching how mixture configs are applied in practice.
+    *
+    * Scale shape: one map-side-combinable count over a source-only scan
+    * (driver state = one row per WEIGHTED source — a mixture config is
+    * dozens of buckets, not per-domain cardinality; for per-domain
+    * weighting use [[stratifiedSample]] with a rates table), then a
+    * broadcast join of the tiny rate table and a per-row hash filter that
+    * fuses into the scan. An undershoot from rate flooring is at most one
+    * doc per 10000 per source.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Long], budgetDocs: Long,
+                    salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val spark = df.sparkSession
+    val counts: Map[String, Long] = df
+      .where(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wSum = BigInt(counts.keysIterator.map(weights).sum) // present sources only
+    val rates = counts.toSeq.map { case (src, n) =>
+      val bp = BigInt(10000) * budgetDocs * weights(src) / (wSum * n)
+      (src, bp.min(10000).toLong)
+    }
+    import spark.implicits._
+    val rateDf = rates.toDF(sourceCol, "_rate_bp")
+    df.join(broadcast(rateDf), Seq(sourceCol))
+      .where(DedupFunctions.hash60(
+        concat_ws("|", lit(salt), col(idCol).cast("string"))).%(10000)
+        < col("_rate_bp"))
+      .select(df.columns.map(col).toSeq: _*) // original column order
+  }
+
+  /** Mixture resampling with UPSAMPLING: like [[mixtureSample]] but a
+    * source whose quota exceeds its size is repeated for multiple epochs
+    * (the way real training recipes weight small high-value sources —
+    * wiki/books run several epochs while the web crawl runs a fraction of
+    * one). Every doc gets `rate div 1` full copies plus one more iff its
+    * hash falls under the fractional remainder — so the output is exactly
+    * the deterministic-sample generalization to rates above 100%, bit-
+    * reproducible and replayable in oracle SQL. Output rows carry an
+    * `epoch` column (0-based copy index) so downstream shuffling can
+    * spread copies across the training order.
+    *
+    * Scale shape: identical to [[mixtureSample]] (tiny broadcast rate
+    * table, per-row hash) plus a row-local `explode` whose width is the
+    * per-source epoch count — no shuffle, no skew (copies distribute
+    * wherever their parent rows already are).
+    */
+  def mixtureResample(df: DataFrame, idCol: String, sourceCol: String,
+                      weights: Map[String, Long], budgetDocs: Long,
+                      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val spark = df.sparkSession
+    val counts: Map[String, Long] = df
+      .where(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wSum = BigInt(counts.keysIterator.map(weights).sum)
+    val rates = counts.toSeq.map { case (src, n) =>
+      (src, (BigInt(10000) * budgetDocs * weights(src) / (wSum * n)).toLong)
+    }
+    import spark.implicits._
+    val rateDf = rates.toDF(sourceCol, "_rate_bp")
+    val h = DedupFunctions.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast("string"))).%(10000)
+    val copies = floor(col("_rate_bp") / 10000).cast("long") +
+      when(h < col("_rate_bp") % 10000, 1L).otherwise(0L)
+    df.join(broadcast(rateDf), Seq(sourceCol))
+      .withColumn("epoch",
+        explode(when(copies >= 1, sequence(lit(0L), copies - 1))
+          .otherwise(array())))
+      .select((df.columns.map(col) :+ col("epoch")).toSeq: _*)
+  }
+
   /** Deterministic TOKEN-BUDGET sample — "give me ~N tokens of this
     * corpus", the knob a training-data mix actually turns (doc-rate
     * sampling over-represents long documents). Docs are ranked by the

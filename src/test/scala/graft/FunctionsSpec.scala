@@ -84,6 +84,100 @@ class TextFunctionsSpec extends SparkSpec {
     assert(naive(total / 10).subsetOf(naive(total / 2)))
   }
 
+  test("mixture sample: weighted rates, renormalization, determinism") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (
+      (0L until 1000L).map(i => (i, "web")) ++          // dominant source
+      (1000L until 1500L).map(i => (i, "code")) ++
+      (1500L until 1600L).map(i => (i, "wiki")) ++
+      (1600L until 1700L).map(i => (i, "junk"))          // unweighted
+    ).toDF("id", "source")
+    // "books" is weighted but absent from the corpus: its quota must be
+    // renormalized away, not silently burn budget
+    val w = Map("web" -> 1L, "code" -> 2L, "wiki" -> 1L, "books" -> 100L)
+    val kept = Sampling.mixtureSample(df, "id", "source", w, budgetDocs = 400L)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("junk") && !kept.contains("books"))
+    // W = 4 (present sources only); quotas: web 100/1000, code 200/500,
+    // wiki 100/100 → rate capped at 100%
+    assert(kept("wiki") == 100)
+    assert(math.abs(kept("web") - 100) < 30, s"web: ${kept("web")}")
+    assert(math.abs(kept("code") - 200) < 40, s"code: ${kept("code")}")
+    // deterministic and partitioning-independent
+    val again = Sampling.mixtureSample(df.repartition(13), "id", "source", w,
+        budgetDocs = 400L).collect().map(_.getLong(0)).toSet
+    val first = Sampling.mixtureSample(df, "id", "source", w,
+        budgetDocs = 400L).collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
+  test("mixture resample: upsampled sources repeat for deterministic epochs") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (
+      (0L until 800L).map(i => (i, "web")) ++
+      (800L until 900L).map(i => (i, "wiki"))    // small, heavily weighted
+    ).toDF("id", "source")
+    // W = 5; wiki quota = 400·4/5 = 320 of 100 docs → rate 3.2 epochs;
+    // web quota = 400·1/5 = 80 of 800 → rate 0.1
+    val w = Map("web" -> 1L, "wiki" -> 4L)
+    val out = Sampling.mixtureResample(df, "id", "source", w, budgetDocs = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = out.groupBy(_._1)
+    // every wiki doc runs 3 or 4 epochs (3 full + hash-gated fraction),
+    // with contiguous 0-based epoch indices
+    val wikiCopies = byId.view.filterKeys(_ >= 800L).values
+    assert(wikiCopies.nonEmpty)
+    assert(wikiCopies.forall { c =>
+      (c.length == 3 || c.length == 4) &&
+        c.map(_._3).sorted.toSeq == (0L until c.length.toLong)
+    })
+    val nWiki = out.count(_._2 == "wiki")
+    assert(math.abs(nWiki - 320) < 40, s"wiki rows: $nWiki")
+    // web is fractionally downsampled, never repeated
+    val webCopies = byId.view.filterKeys(_ < 800L).values
+    assert(webCopies.forall(c => c.length == 1 && c.head._3 == 0L))
+    val nWeb = out.count(_._2 == "web")
+    assert(math.abs(nWeb - 80) < 30, s"web rows: $nWeb")
+    // deterministic and partitioning-independent
+    val again = Sampling.mixtureResample(df.repartition(7), "id", "source", w,
+        budgetDocs = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == out.toSet)
+  }
+
+  test("semantic dedup: drops are a subset of brute force with high recall") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val index = SimilarityFunctions.ivfTrain(emb, "embedding", cells = 8)
+    val assigned = index.assignProbes(emb, "vec_id", "embedding", probes = 2)
+    val semDrops = DedupFunctions.semanticDedupDrops(assigned, 0.3)
+      .collect().map(_.getLong(0)).toSet
+    // single-probe recall for comparison — multi-probe must dominate it
+    val singleDrops = DedupFunctions.semanticDedupDrops(
+      index.assign(emb, "vec_id", "embedding"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val bruteDrops = DedupFunctions.embeddingNearDups(
+        emb.withColumn("_one", lit(1)), "vec_id", "embedding", "_one", 0.3)
+      .select($"id_b").distinct().collect().map(_.getLong(0)).toSet
+    // precision 1: every within-cell drop is backed by an exact cosine
+    assert(semDrops.subsetOf(bruteDrops))
+    assert(singleDrops.subsetOf(semDrops)) // probe-2 dominates probe-1
+    val recall = semDrops.size.toDouble / bruteDrops.size
+    info(f"semantic dedup recall: $recall%.3f (${semDrops.size}/${bruteDrops.size}, " +
+      f"single-probe ${singleDrops.size})")
+    assert(recall >= 0.8, f"recall $recall%.3f below certificate floor")
+    // the id-minimal vector of the whole corpus can never be dropped
+    assert(!semDrops.contains(emb.agg(min($"vec_id")).head().getLong(0)))
+    // one-shot semanticDedup = corpus minus the drop set
+    val survivors = DedupFunctions.semanticDedup(emb, "vec_id", "embedding",
+        0.3, cells = 8).select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == emb.select($"vec_id").collect()
+      .map(_.getLong(0)).toSet -- semDrops)
+  }
+
   test("span removal: non-owner copies rewritten, owner and short docs untouched") {
     import spark.implicits._
     val df = Seq(
