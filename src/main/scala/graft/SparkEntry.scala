@@ -689,6 +689,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Statistical LM quality score (the CCNet perplexity-filter stage):
+    // per-doc average negative log bigram probability under an add-one
+    // bigram model of the corpus itself — fluent text low, gibberish high.
+    "text_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      graft.operators.LmScore.perplexityScore(d, d, "doc_id", "text")
+        .select($"doc_id", $"n_bigrams",
+          TextFunctions.basisPoints($"avg_neg_logp").as("nlp_bp"))
+        .orderBy($"doc_id")
+    }),
+
     // Token-budget estimate (portable BPE-ish arithmetic).
     "text_token_estimate" -> ((s, dir) => {
       import s.implicits._
@@ -1743,6 +1755,32 @@ object SparkEntry {
          |d AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t)
          |SELECT tok, count(*) AS df FROM d GROUP BY 1
          |ORDER BY df DESC, tok ASC LIMIT 20""".stripMargin,
+
+    // add-one bigram model replayed end-to-end: same context counts
+    // (bigram LEFT token), same vocab, same smoothing; ln is IEEE-stable
+    // enough for the bp quantization on both engines
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |bgs AS (SELECT doc_id,
+         |          unnest(list_transform(generate_series(1, len(toks) - 1),
+         |            i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |        FROM t WHERE len(toks) >= 2),
+         |ab_c AS (SELECT bg, count(*)::BIGINT AS cab FROM bgs GROUP BY 1),
+         |a_c AS (SELECT string_split(bg, ' ')[1] AS ctx, count(*)::BIGINT AS ca
+         |        FROM bgs GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT tok)::BIGINT AS v
+         |       FROM (SELECT unnest(toks) AS tok FROM t)),
+         |sc AS (SELECT b.doc_id,
+         |              -ln((coalesce(ab_c.cab, 0) + 1)::DOUBLE
+         |                  / (coalesce(a_c.ca, 0) + vv.v)::DOUBLE) AS nlp
+         |       FROM bgs b LEFT JOIN ab_c USING (bg)
+         |            LEFT JOIN a_c ON string_split(b.bg, ' ')[1] = a_c.ctx
+         |            CROSS JOIN vv),
+         |g AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(nlp) AS m
+         |      FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |       coalesce(floor(g.m * 10000 + 0.5), 0)::BIGINT AS nlp_bp
+         |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY 1""".stripMargin,
 
     "text_token_estimate" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model quality scoring — the CCNet-style "perplexity
+  * filter" stage of a training-data pipeline (Wenzek et al. 2020 score
+  * documents with a KenLM 5-gram model; the same signal at corpus scale is
+  * a bigram model with add-one smoothing, trained on a reference corpus in
+  * two hash aggregations). A document's score is the average negative log
+  * probability of its token bigrams under the reference model: fluent text
+  * scores low, gibberish / boilerplate / wrong-language text scores high,
+  * and the score feeds the same kind of threshold gate as
+  * [[graft.functions.TextFunctions]]'s heuristic quality signals.
+  *
+  * Scale shape: training is two map-side-combinable `groupBy().count()`
+  * passes over exploded reference bigrams (table size = distinct bigrams,
+  * shuffle-friendly); scoring is two hash equi-joins of document bigrams
+  * against those tables plus one per-document aggregation. No windows, no
+  * products; the vocab size is a 1-row broadcast. Zipf-skewed hot bigrams
+  * land on the LM side as ONE row each, so the scoring join skew stays
+  * bounded (AQE splits any residual straggler).
+  *
+  * Reference semantics (rakam-api-collector has no LM stage — this extends
+  * the engine for LLM-corpus curation): context counts c(a) are derived
+  * from the bigram table (occurrences of `a` as a bigram LEFT context), so
+  * P(b|a) = (c(a,b)+1) / (c(a)+V) sums to 1 over the vocabulary; V counts
+  * distinct reference tokens. Documents with fewer than two tokens have no
+  * bigrams and score (n_bigrams = 0, score 0).
+  */
+object LmScore {
+
+  /** Token bigrams as "a b" strings; fewer than two tokens → empty. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document average negative log bigram probability under an
+    * add-one-smoothed bigram model of `reference`. Returns every row of
+    * `docs` with `n_bigrams` and `avg_neg_logp` appended.
+    */
+  def perplexityScore(docs: DataFrame, reference: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val refBg = reference
+      .select(explode(bigrams(TextFunctions.tokens(col(textCol)))).as("_bg"))
+    val lmAb = refBg.groupBy(col("_bg")).agg(count(lit(1)).as("_cab"))
+    val lmA = refBg.groupBy(split(col("_bg"), " ").getItem(0).as("_a"))
+      .agg(count(lit(1)).as("_ca"))
+    val vocab = reference
+      .select(explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .agg(count_distinct(col("_tok")).as("_v")) // 1 row → broadcasts
+
+    val docBg = docs.select(col(idCol).as("_id"),
+        explode(bigrams(TextFunctions.tokens(col(textCol)))).as("_bg"))
+      .withColumn("_a", split(col("_bg"), " ").getItem(0))
+    val scored = docBg
+      .join(lmAb, Seq("_bg"), "left")
+      .join(lmA, Seq("_a"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("_id"),
+        (-log((coalesce(col("_cab"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("_ca"), lit(0L)) + col("_v")).cast("double")))
+          .as("_nlp"))
+      .groupBy(col("_id")).agg(
+        count(lit(1)).as("n_bigrams"), avg(col("_nlp")).as("avg_neg_logp"))
+    docs.join(scored, docs(idCol) === scored("_id"), "left")
+      .drop("_id")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("avg_neg_logp", coalesce(col("avg_neg_logp"), lit(0.0d)))
+  }
+}

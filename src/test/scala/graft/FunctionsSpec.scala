@@ -178,6 +178,34 @@ class TextFunctionsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet -- semDrops)
   }
 
+  test("lm score: hand-checked smoothing math; gibberish scores above fluent text") {
+    import spark.implicits._
+    import graft.operators.LmScore
+    val ref = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "zq"))                       // < 2 tokens: no bigrams, vocab only
+      .toDF("doc_id", "text")
+    val out = LmScore.perplexityScore(ref, ref, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"avg_neg_logp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // reference bigrams: "the cat"×2, "cat sat", "cat ran"; contexts:
+    // the→2, cat→2; V = 6 (the cat sat ran zq — wait: the,cat,sat,ran,zq = 5)
+    val V = 5.0
+    // doc 1: -[ln((2+1)/(2+5)) + ln((1+1)/(2+5))]/2
+    val exp1 = -(math.log(3 / (2 + V)) + math.log(2 / (2 + V))) / 2
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - exp1) < 1e-12, s"${out(1L)._2} vs $exp1")
+    assert(out(3L) == (0L, 0.0))        // no bigrams → zero score
+    // unseen-bigram doc scores strictly higher than an in-distribution doc
+    val probe = Seq((10L, "the cat sat"), (11L, "xx yy zz ww")).toDF("doc_id", "text")
+    val scored = LmScore.perplexityScore(probe, ref, "doc_id", "text")
+      .select($"doc_id", $"avg_neg_logp")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(11L) > scored(10L) + 0.5,
+      s"gibberish ${scored(11L)} not above fluent ${scored(10L)}")
+  }
+
   test("span removal: non-owner copies rewritten, owner and short docs untouched") {
     import spark.implicits._
     val df = Seq(

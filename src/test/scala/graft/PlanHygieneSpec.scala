@@ -99,6 +99,24 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"product join:\n$p")
   }
 
+  test("semantic dedup: within-cell equi-join, no product fallback") {
+    val p = plan("semantic_dedup")
+    // the pairs side must equi-join on the cell id; the only nested-loop /
+    // cartesian shapes allowed are the 1-row×1-row certificate assembly
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"cell join lost:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pairs fell back to a product:\n$p")
+  }
+
+  test("mixture sampling: tiny rate table broadcasts, filter is per-row") {
+    for (name <- Seq("sample_mixture", "sample_mixture_epochs")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name rate table not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name grew a shuffle join:\n$p")
+    }
+  }
+
   test("token-budget sample: the exact window runs on ONE bucket, not the corpus") {
     val p = plan("sample_token_budget")
     assert(!p.contains("CartesianProduct"), p)
