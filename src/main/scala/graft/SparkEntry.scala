@@ -630,6 +630,21 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Deterministic shard plan for training export: hash-uniform shard
+    // assignment + within-shard order — the no-global-sort shuffled-read
+    // layout, pinned per shard (count, id_sum, order-key checksum).
+    "corpus_shard_plan" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.assignShards(docs(s, dir), "doc_id",
+          numShards = 16, salt = "exp")
+        .groupBy($"shard").agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("id_sum"),
+          // modular checksum: raw 60-bit order keys would overflow a
+          // BIGINT sum on both engines
+          sum($"shard_order" % 1000000007L).as("order_sum"))
+        .orderBy($"shard")
+    }),
+
     // Deterministic token-budget sample ("~20k tokens of this corpus"):
     // greedy prefix in seeded-hash priority order, selected through the
     // bucketed-histogram cutoff (no global sort — see
@@ -1689,6 +1704,17 @@ object SparkEntry {
         |SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
         |       sum(doc_id)::BIGINT AS id_sum, sum(epoch)::BIGINT AS epoch_sum
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_shard_plan" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('exp|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           AS ho
+        |  FROM documents)
+        |SELECT (ho % 16)::INT AS shard, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       sum(ho % 1000000007)::BIGINT AS order_sum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // naive replay of the token-budget greedy prefix: ONE global cumulative
     // window — fine for an oracle, the engine side uses the bucketed cutoff

@@ -122,6 +122,36 @@ object Sampling {
       .select((df.columns.map(col) :+ col("epoch")).toSeq: _*)
   }
 
+  /** Deterministic training-order shuffle: assign every doc a shard
+    * (`hash mod numShards`) and a within-shard order key (the full 60-bit
+    * hash) — reading shards in order yields a reproducible pseudo-random
+    * global order with NO global sort, the export shape a training run
+    * reads. Pure per-row arithmetic; balance is hash-uniform regardless
+    * of input skew.
+    */
+  def assignShards(df: DataFrame, idCol: String, numShards: Int,
+                   salt: String = "shard"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = DedupFunctions.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast("string")))
+    df.withColumn("shard", (h % numShards).cast("int"))
+      .withColumn("shard_order", h)
+  }
+
+  /** Write the corpus as `numShards` shuffled shards: ONE shuffle to
+    * co-locate each shard, a local (within-partition) sort on the order
+    * key, one parquet dir per shard. A downstream trainer streaming
+    * shard=0,1,2,… reads the whole corpus in deterministic shuffled
+    * order without anyone ever paying a global sort.
+    */
+  def exportShuffled(df: DataFrame, idCol: String, path: String,
+                     numShards: Int, salt: String = "shard"): Unit =
+    assignShards(df, idCol, numShards, salt)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_order"), col(idCol))
+      .write.partitionBy("shard")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
   /** Deterministic TOKEN-BUDGET sample — "give me ~N tokens of this
     * corpus", the knob a training-data mix actually turns (doc-rate
     * sampling over-represents long documents). Docs are ranked by the

@@ -178,6 +178,39 @@ class TextFunctionsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet -- semDrops)
   }
 
+  test("shard export: disjoint cover, hash balance, within-shard order") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = spark.range(4000).toDF("id").withColumn("payload", $"id" * 3)
+    val n = 8
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.exportShuffled(df, "id", base, n, salt = "t")
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until n).map(i => s"shard=$i").sorted)
+    val back = spark.read.parquet(base)
+    // disjoint cover: every row exactly once, payload intact
+    assert(back.count() == 4000)
+    assert(back.select($"id").distinct().count() == 4000)
+    assert(back.where($"payload" =!= $"id" * 3).count() == 0)
+    // hash balance: no shard more than 2x the uniform share
+    val sizes = back.groupBy($"shard").count().collect().map(_.getLong(1))
+    assert(sizes.max < 2 * 4000 / n, s"skewed shards: ${sizes.mkString(",")}")
+    // within-shard files are sorted by the order key (the trainer's
+    // sequential read IS the shuffle) — check each shard's parquet order
+    for (d <- 0 until n) {
+      val rows = spark.read.parquet(s"$base/shard=$d")
+        .select($"shard_order").collect().map(_.getLong(0))
+      assert(rows.sameElements(rows.sorted), s"shard $d not in order")
+    }
+    // deterministic: same salt → same assignment
+    val a1 = Sampling.assignShards(df, "id", n, "t")
+      .select($"id", $"shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Sampling.assignShards(df.repartition(11), "id", n, "t")
+      .select($"id", $"shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
+
   test("lm score: hand-checked smoothing math; gibberish scores above fluent text") {
     import spark.implicits._
     import graft.operators.LmScore
