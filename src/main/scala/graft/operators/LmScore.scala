@@ -38,28 +38,52 @@ object LmScore {
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** Per-document average negative log bigram probability under an
-    * add-one-smoothed bigram model of `reference`. Returns every row of
-    * `docs` with `n_bigrams` and `avg_neg_logp` appended.
+  /** A trained bigram model: `(bg, cab)` bigram counts, `(a, ca)` context
+    * counts, and a 1-row `(v)` vocab size. The frames are lazy plans over
+    * the reference until [[save]]d; a long-lived pipeline trains once,
+    * persists, and scores many corpora against the files — the same
+    * operational shape as the IVF/PQ index lifecycle.
     */
-  def perplexityScore(docs: DataFrame, reference: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+  final case class BigramModel(bigramCounts: DataFrame,
+                               contextCounts: DataFrame, vocab: DataFrame) {
+    /** Persist all three tables (any Hadoop scheme). */
+    def save(path: String): Unit = {
+      bigramCounts.write.mode("overwrite").parquet(s"$path/bigrams")
+      contextCounts.write.mode("overwrite").parquet(s"$path/contexts")
+      vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    }
+  }
+
+  /** Load a model persisted by [[BigramModel.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BigramModel =
+    BigramModel(spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"), spark.read.parquet(s"$path/vocab"))
+
+  /** Train the add-one bigram model: two map-side-combinable counts over
+    * exploded reference bigrams plus a distinct-token count.
+    */
+  def train(reference: DataFrame, textCol: String): BigramModel = {
     val refBg = reference
       .select(explode(bigrams(TextFunctions.tokens(col(textCol)))).as("_bg"))
-    val lmAb = refBg.groupBy(col("_bg")).agg(count(lit(1)).as("_cab"))
-    val lmA = refBg.groupBy(split(col("_bg"), " ").getItem(0).as("_a"))
-      .agg(count(lit(1)).as("_ca"))
-    val vocab = reference
-      .select(explode(TextFunctions.tokens(col(textCol))).as("_tok"))
-      .agg(count_distinct(col("_tok")).as("_v")) // 1 row → broadcasts
+    BigramModel(
+      refBg.groupBy(col("_bg")).agg(count(lit(1)).as("_cab")),
+      refBg.groupBy(split(col("_bg"), " ").getItem(0).as("_a"))
+        .agg(count(lit(1)).as("_ca")),
+      reference
+        .select(explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+        .agg(count_distinct(col("_tok")).as("_v"))) // 1 row → broadcasts
+  }
 
+  /** Score `docs` against a trained (possibly storage-loaded) model. */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                model: BigramModel): DataFrame = {
     val docBg = docs.select(col(idCol).as("_id"),
         explode(bigrams(TextFunctions.tokens(col(textCol)))).as("_bg"))
       .withColumn("_a", split(col("_bg"), " ").getItem(0))
     val scored = docBg
-      .join(lmAb, Seq("_bg"), "left")
-      .join(lmA, Seq("_a"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(model.bigramCounts, Seq("_bg"), "left")
+      .join(model.contextCounts, Seq("_a"), "left")
+      .crossJoin(broadcast(model.vocab))
       .select(col("_id"),
         (-log((coalesce(col("_cab"), lit(0L)) + 1).cast("double") /
           (coalesce(col("_ca"), lit(0L)) + col("_v")).cast("double")))
@@ -71,4 +95,12 @@ object LmScore {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
       .withColumn("avg_neg_logp", coalesce(col("avg_neg_logp"), lit(0.0d)))
   }
+
+  /** One-shot convenience: train on `reference`, score `docs`. Long-lived
+    * corpora should [[train]] once, [[BigramModel.save]], and [[scoreWith]]
+    * against the loaded files instead of re-counting the reference per run.
+    */
+  def perplexityScore(docs: DataFrame, reference: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    scoreWith(docs, idCol, textCol, train(reference, textCol))
 }

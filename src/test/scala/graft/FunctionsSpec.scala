@@ -239,6 +239,25 @@ class TextFunctionsSpec extends SparkSpec {
       s"gibberish ${scored(11L)} not above fluent ${scored(10L)}")
   }
 
+  test("lm model round-trips through storage: loaded scores equal one-shot") {
+    import spark.implicits._
+    import graft.operators.LmScore
+    val ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("lm").toString
+    LmScore.train(ref, "text").save(path)
+    val loaded = LmScore.load(spark, path)
+    val fresh = LmScore.perplexityScore(ref, ref, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"avg_neg_logp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaDisk = LmScore.scoreWith(ref, "doc_id", "text", loaded)
+      .select($"doc_id", $"n_bigrams", $"avg_neg_logp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaDisk.keySet == fresh.keySet)
+    assert(fresh.forall { case (id, (n, s)) =>
+      viaDisk(id)._1 == n && math.abs(viaDisk(id)._2 - s) < 1e-12 })
+    assert(fresh.values.exists(_._1 > 0)) // corpus actually has bigrams
+  }
+
   test("span removal: non-owner copies rewritten, owner and short docs untouched") {
     import spark.implicits._
     val df = Seq(
