@@ -645,6 +645,22 @@ object SparkEntry {
         .orderBy($"shard")
     }),
 
+    // Sequence packing plan: documents → fixed 512-token training blocks
+    // per shard (shard-parallel running sum — no global sort), summarized
+    // as per-shard block counts and boundary-spanning docs.
+    "pack_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).withColumn("tok_cnt",
+        size(TextFunctions.tokens(coalesce($"text", lit("")))).cast("long"))
+      graft.operators.Sampling.packBlocks(d, "doc_id", "tok_cnt",
+          blockTokens = 512L, numShards = 8, salt = "pack")
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok_cnt").as("token_sum"),
+          (max($"block_end") + 1).as("n_blocks"),
+          sum($"spans_boundary".cast("long")).as("n_split_docs"))
+        .orderBy($"shard")
+    }),
+
     // Deterministic token-budget sample ("~20k tokens of this corpus"):
     // greedy prefix in seeded-hash priority order, selected through the
     // bucketed-histogram cutoff (no global sort — see
@@ -766,6 +782,44 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // C4-style structural cleaning battery (Raffel et al. 2020 §2.2):
+    // line-level terminal-punct/min-words/javascript rules + page-level
+    // lorem-ipsum/brace gates, annotated per doc with the scrubbed text's
+    // md5 so the oracle replays the full line surgery. The synthetic
+    // corpus is single-line punctuation-free word soup, so the query first
+    // manufactures document structure DETERMINISTICALLY (both engines run
+    // the identical rewrite): ' row '/' value ' become sentence breaks,
+    // ' spark ' becomes the 'javascript' banner word, and docs containing
+    // 'vector vector' get a trailing '{'. At sf0.01 that leaves every rule
+    // with real work (~88 pages kept, ~36 brace-dropped, ~380 with a
+    // javascript line).
+    "text_c4_filters" -> ((s, dir) => {
+      import s.implicits._
+      val synth = concat(
+        replace(replace(replace($"text", lit(" spark "), lit(" javascript ")),
+          lit(" row "), lit(".\n")), lit(" value "), lit(".\n")),
+        when(contains($"text", lit("vector vector")), lit(" {"))
+          .otherwise(lit("")))
+      graft.operators.HeuristicFilters.annotate(
+          docs(s, dir).withColumn("text", synth), "doc_id", "text")
+        .select($"doc_id", $"n_lines", $"n_kept_lines",
+          $"kept".cast("long").as("kept"),
+          md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR importance scores (Xie et al. 2023): hashed-unigram
+    // log-likelihood ratio of a target-domain sample (source=src5) vs the
+    // raw corpus, in exact integer micro-nats — the "score the crawl
+    // against wiki/books" selection pass.
+    "dsir_scores" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      graft.operators.Dsir.importanceScores(
+          d, d.where($"source" === "src5"), "doc_id", "text", buckets = 1024)
+        .orderBy($"doc_id")
+    }),
+
     // ---- LLM-pipeline operators: dedup family -----------------------
 
     // Exact dedup via normalized-content fingerprint.
@@ -774,6 +828,20 @@ object SparkEntry {
       DedupFunctions.exactDedup(docs(s, dir), "doc_id", "text")
         .select($"_fp".as("fp"), $"doc_id", $"n_copies")
         .orderBy($"doc_id")
+    }),
+
+    // Incremental dedup: the src0 partition plays the existing corpus, the
+    // rest the incoming batch — batch content already in the corpus is
+    // anti-joined away, then the batch dedups within itself (min-id wins).
+    "dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      DedupFunctions.incrementalDedup(
+          d.where($"source" =!= "src0"), d.where($"source" === "src0"),
+          "doc_id", "text")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
     }),
 
     // MinHash signatures (k=12 over 3-shingles), collapsed to per-doc
@@ -1716,6 +1784,34 @@ object SparkEntry {
         |       sum(ho % 1000000007)::BIGINT AS order_sum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // per-shard running sum replayed with the same window; `//` floor-vs-
+    // trunc never diverges from Spark's floor(double) here: cum-1 is only
+    // negative when cum=0, where greatest() masks the -1/0 disagreement
+    "pack_blocks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+        |        '\s+'), x -> len(x) > 0))::BIGINT AS toks,
+        |    ('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, h, (h % 8)::INT AS shard FROM d),
+        |c AS (
+        |  SELECT shard, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM s),
+        |b AS (
+        |  SELECT shard, toks,
+        |    ((cum - toks) // 512)::BIGINT AS bs,
+        |    greatest(((cum - toks) // 512)::BIGINT,
+        |             ((cum - 1) // 512)::BIGINT) AS be
+        |  FROM c)
+        |SELECT shard, count(*) AS n_docs, sum(toks)::BIGINT AS token_sum,
+        |       (max(be) + 1)::BIGINT AS n_blocks,
+        |       sum(CASE WHEN be > bs THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // naive replay of the token-budget greedy prefix: ONE global cumulative
     // window — fine for an oracle, the engine side uses the bucketed cutoff
     "sample_token_budget" ->
@@ -1808,6 +1904,36 @@ object SparkEntry {
          |       coalesce(floor(g.m * 10000 + 0.5), 0)::BIGINT AS nlp_bp
          |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY 1""".stripMargin,
 
+    // DSIR replay: hashed-unigram bucket counts for target (src5) and raw
+    // (all), one ln per bucket of the exact integer ratio, micro-nat
+    // quantization, INTEGER per-doc sums (order-independent — the same
+    // no-float-accumulation discipline as the centroid oracle). Target is
+    // a subset of raw, so every scored bucket exists in rc and the
+    // raw-left-join covers the full outer join the operator builds.
+    "dsir_scores" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS s FROM documents),
+         |bk AS (SELECT doc_id,
+         |         ('0x' || substr(md5(s), 1, 15))::BIGINT % 1024 AS bucket
+         |       FROM tok),
+         |tc AS (SELECT bucket, count(*)::BIGINT AS tn
+         |       FROM bk JOIN documents USING (doc_id)
+         |       WHERE source = 'src5' GROUP BY 1),
+         |rc AS (SELECT bucket, count(*)::BIGINT AS rn FROM bk GROUP BY 1),
+         |tt AS (SELECT coalesce(sum(tn), 0)::BIGINT AS t_tot FROM tc),
+         |rt AS (SELECT coalesce(sum(rn), 0)::BIGINT AS r_tot FROM rc),
+         |w AS (SELECT r.bucket,
+         |        floor(ln(((coalesce(tc.tn, 0) + 1) * (rt.r_tot + 1024))::DOUBLE
+         |              / ((r.rn + 1) * (tt.t_tot + 1024))::DOUBLE) * 1e6 + 0.5)
+         |          ::BIGINT AS w_unats
+         |      FROM rc r LEFT JOIN tc USING (bucket)
+         |           CROSS JOIN tt CROSS JOIN rt),
+         |sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_toks,
+         |              sum(w.w_unats)::BIGINT AS score_unats
+         |       FROM bk b JOIN w USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.n_toks, 0)::BIGINT AS n_toks,
+         |       coalesce(sc.score_unats, 0)::BIGINT AS score_unats
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin,
+
     "text_token_estimate" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
          |SELECT doc_id,
@@ -1839,6 +1965,37 @@ object SparkEntry {
         |    '\s+', ' ', 'g'))) AS stripped_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // C4 line surgery replayed in full: the same deterministic structure
+    // synthesis, the same line split/trim, the same three line rules, the
+    // same two page rules, and the md5 of the newline-rejoined survivors
+    // (array_to_string of an empty list is NULL in DuckDB — coalesce to ''
+    // to match Spark's array_join)
+    "text_c4_filters" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(text, ' spark ', ' javascript '),
+        |            ' row ', '.' || chr(10)), ' value ', '.' || chr(10))
+        |      || CASE WHEN contains(text, 'vector vector') THEN ' {'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split_regex(text, '\r?\n'),
+        |                x -> trim(x)), x -> len(x) > 0) AS ls
+        |  FROM base),
+        |k AS (
+        |  SELECT doc_id, text, len(ls)::BIGINT AS n_lines,
+        |    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(x, '\s+'),
+        |              w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kl
+        |  FROM l)
+        |SELECT doc_id, n_lines, len(kl)::BIGINT AS n_kept_lines,
+        |  (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{'))::BIGINT AS kept,
+        |  md5(coalesce(array_to_string(kl, chr(10)), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       s"""WITH $repetitionCte,
          |${topGramCte(2, "top_bigram_bp")},
@@ -1864,6 +2021,21 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // batch (source<>src0) anti-joined against the corpus fingerprint set
+    // (src0), then min-id-per-fingerprint within the surviving batch
+    "dedup_incremental" ->
+      """WITH fps AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT * FROM fps WHERE source <> 'src0'
+        |    AND fp NOT IN (SELECT fp FROM fps WHERE source = 'src0')),
+        |win AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+        |SELECT f.source, count(*) AS n_kept, sum(f.doc_id)::BIGINT AS id_sum
+        |FROM fresh f JOIN win w ON f.doc_id = w.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

@@ -35,6 +35,39 @@ object DedupFunctions {
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Incremental (cross-corpus) exact dedup — the shape every PRODUCTION
+    * dedup actually runs: a new crawl batch arrives and must be deduped
+    * BOTH against the existing corpus and within itself, without ever
+    * re-processing the corpus. Two steps, each one shuffle on md5 keys:
+    *
+    *   1. anti-join the batch against the corpus's distinct fingerprint
+    *      set (content already in the corpus is dropped);
+    *   2. within the surviving batch, keep the smallest id per fingerprint
+    *      (the same deterministic winner rule as [[exactDedup]]).
+    *
+    * Returns the surviving batch rows with their original columns. The
+    * corpus side reduces to a fingerprint-only projection before the join
+    * — at 100 TB that column prunes to one md5 per doc at the scan, and
+    * the anti-join is a plain hash-partitioned equi-join (AQE broadcasts
+    * it when the corpus is genuinely small; no forced broadcast — the
+    * corpus side is the BIG side here, the exact hazard
+    * [[keepRepresentatives]]'s size-gate exists for). In steady state the
+    * corpus fingerprint projection would be a maintained sketch table;
+    * both layouts read identically through this join.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val corpusFps = corpus
+      .select(TextFunctions.fingerprint(col(textCol)).as("_fp")).distinct()
+    val fresh = batch
+      .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("_fp"), "left_anti")
+    val winners = fresh.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    fresh.join(winners, Seq(idCol))
+      .select(batch.columns.map(col).toSeq: _*)
+  }
+
   // --------------------------------------------------------------- minhash
 
   /** MinHash signature over word `shingleSize`-shingles: `k` seeded hash

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.{DedupFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data Selection with Importance Resampling (DSIR — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every raw document by how target-domain-like it is, using hashed
+  * unigram features and a log-likelihood ratio between a target-domain
+  * unigram model and the raw-corpus unigram model. The classic use: hold
+  * a small high-quality target set (wiki/books), score the whole crawl,
+  * keep the best-scoring documents for the training mix.
+  *
+  * Mechanics, kept cross-engine exact so the DuckDB oracle can replay it:
+  *
+  *   - tokens hash into `buckets` feature buckets via the shared 60-bit
+  *     md5 hash ([[DedupFunctions.hash60]]);
+  *   - each side's bucket distribution is add-one smoothed; each bucket's
+  *     log-likelihood ratio `ln(p_target(b) / p_raw(b))` is computed as
+  *     ONE `ln` of an exact integer ratio and quantized to integer
+  *     MICRO-NATS (`floor(x*1e6 + 0.5)`);
+  *   - a document's score is the INTEGER sum of its tokens' micro-nat
+  *     weights — no floating-point accumulation anywhere, so the score is
+  *     independent of partitioning and summation order (the float-sum
+  *     trap that [[graft.functions.SimilarityFunctions]]' centroid
+  *     quantization dodges the same way).
+  *
+  * Scale shape: both bucket-count aggregations are map-side-combinable
+  * and bounded by `buckets` rows (a fixed model size, NOT corpus
+  * cardinality — DSIR's own design point); the weight table broadcasts;
+  * scoring is explode → broadcast-join → integer sum, partial-aggregated
+  * map-side. Nothing driver-side exceeds `buckets` rows.
+  */
+object Dsir {
+
+  /** Hashed-unigram bucket counts of one corpus side: ≤ `buckets` rows. */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .select(DedupFunctions.hash60(col("_tok")).%(buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** The importance-weight table: `(bucket, w_unats)` where `w_unats` is
+    * the micro-nat quantized log-likelihood ratio
+    * `ln(((t_b+1) * (R+B)) / ((r_b+1) * (T+B)))` — add-one smoothing on
+    * both sides, one `ln` per bucket. Buckets unseen on BOTH sides get the
+    * same formula with zero counts via the full outer join + coalesce, so
+    * the table always has every bucket that occurs in either side; a
+    * bucket in neither side cannot occur in a scored document drawn from
+    * `raw`, so left-join + the caller never sees a null weight for raw
+    * docs (scoring still coalesces defensively).
+    */
+  def weightTable(raw: DataFrame, target: DataFrame, textCol: String,
+                  buckets: Int): DataFrame = {
+    val tc = bucketCounts(target, textCol, buckets)
+      .withColumnRenamed("n", "_tn")
+    val rc = bucketCounts(raw, textCol, buckets)
+      .withColumnRenamed("n", "_rn")
+    // two scalar totals — bounded driver reads (one row each)
+    val tTot = tc.agg(coalesce(sum(col("_tn")), lit(0L))).head.getLong(0)
+    val rTot = rc.agg(coalesce(sum(col("_rn")), lit(0L))).head.getLong(0)
+    val t = coalesce(col("_tn"), lit(0L))
+    val r = coalesce(col("_rn"), lit(0L))
+    tc.join(rc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        floor(log((t + 1) * lit(rTot + buckets)
+          / ((r + 1) * lit(tTot + buckets))) * 1e6 + 0.5)
+          .cast("long").as("w_unats"))
+  }
+
+  /** Score `raw` documents against a `target` sample: per doc, the token
+    * count and the integer micro-nat importance score (sum of bucket
+    * weights). Docs with no tokens score 0. Higher = more target-like;
+    * downstream selection is a deterministic top-k or a
+    * [[Sampling.tokenBudgetSample]]-style prefix over the score order.
+    */
+  def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val weights = weightTable(raw, target, textCol, buckets)
+    val toks = raw.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .select(col(idCol),
+        DedupFunctions.hash60(col("_tok")).%(buckets).as("bucket"))
+    val scored = toks.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("w_unats"), lit(0L))).as("score_unats"))
+    // empty docs drop out of the explode — restore them with score 0
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score_unats"), lit(0L)).as("score_unats"))
+  }
+}

@@ -152,6 +152,46 @@ object Sampling {
       .write.partitionBy("shard")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
+  /** Sequence packing plan: assign every document to fixed-size training
+    * blocks of `blockTokens` tokens, the way a trainer consumes a corpus —
+    * documents are concatenated in deterministic shuffled order and the
+    * token stream is cut every `blockTokens` tokens, so a document can
+    * span a block boundary. Produces per-doc `shard`, `block_start`,
+    * `block_end` (first/last block the doc's tokens land in) and
+    * `spans_boundary`.
+    *
+    * Scale shape: packing is a running sum, which naively is THE global
+    * sort+cumsum anti-pattern. Instead the corpus is hash-sharded first
+    * ([[assignShards]]) and each shard packs independently: the window is
+    * `partitionBy(shard)`, so the sort is per-shard and all shards pack in
+    * parallel. That is exactly how training exports work operationally —
+    * each shard file is an independent block stream — and `numShards`
+    * scales with the corpus, so per-shard state stays bounded at 100 TB.
+    *
+    * Block arithmetic note: the div is done in doubles (Spark `/` on
+    * longs); exact up to 2^53 tokens per shard — far beyond any real
+    * shard (a 100 TB corpus is ~2.5e13 tokens TOTAL).
+    */
+  def packBlocks(df: DataFrame, idCol: String, tokenCountCol: String,
+                 blockTokens: Long, numShards: Int,
+                 salt: String = "pack"): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = coalesce(col(tokenCountCol).cast("long"), lit(0L))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shard_order"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assignShards(df, idCol, numShards, salt)
+      .withColumn("_cum", sum(toks).over(w))
+      .withColumn("block_start",
+        floor((col("_cum") - toks) / blockTokens).cast("long"))
+      .withColumn("block_end",
+        greatest(col("block_start"),
+          floor((col("_cum") - 1) / blockTokens).cast("long")))
+      .withColumn("spans_boundary", col("block_end") > col("block_start"))
+      .drop("_cum")
+  }
+
   /** Deterministic TOKEN-BUDGET sample — "give me ~N tokens of this
     * corpus", the knob a training-data mix actually turns (doc-rate
     * sampling over-represents long documents). Docs are ranked by the

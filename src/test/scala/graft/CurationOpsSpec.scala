@@ -1,0 +1,175 @@
+package graft
+
+import graft.functions.DedupFunctions
+import graft.operators.{Dsir, HeuristicFilters, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation operators: C4 structural filters, incremental
+  * cross-corpus dedup, sequence packing, DSIR importance scoring.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ C4 filters
+
+  private val c4Docs = Seq(
+    // 4 good sentences (>=5 words, terminal punct) -> kept
+    (1L, "This is a perfectly fine sentence.\nHere is another good long sentence!\nA third sentence keeps the page alive?\nAnd \"a quoted closer works too.\""),
+    // good lines but page contains lorem ipsum -> dropped
+    (2L, "This is a perfectly fine sentence.\nHere is another good long sentence!\nA third sentence keeps the page alive today.\nlorem ipsum dolor sit amet."),
+    // good lines but a curly brace leaks code -> dropped
+    (3L, "This is a perfectly fine sentence.\nHere is another good long sentence!\nfunction f() { return 1; }\nA third sentence keeps the page alive."),
+    // only 2 surviving lines -> dropped (min 3)
+    (4L, "This is a perfectly fine sentence.\nHere is another good long sentence!\nno punct\nshort."),
+    // javascript banner line must not survive
+    (5L, "Please enable JavaScript to view this site.\nThis is a perfectly fine sentence.\nHere is another good long sentence!\nA third sentence keeps the page alive.")
+  ).toDF("doc_id", "text")
+
+  test("c4: line rules — terminal punct, min words, javascript ban") {
+    val a = HeuristicFilters.annotate(c4Docs, "doc_id", "text")
+      .select($"doc_id", $"n_lines", $"n_kept_lines", $"kept", $"clean_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(a(1L) === ((4L, 4L, true,
+      "This is a perfectly fine sentence.\nHere is another good long sentence!\nA third sentence keeps the page alive?\nAnd \"a quoted closer works too.\"")))
+    // doc 4: "no punct" fails the punct rule, "short." fails min words
+    assert(a(4L)._2 === 2L && !a(4L)._3)
+    // doc 5: the javascript banner line is scrubbed, 3 good lines remain
+    assert(a(5L)._2 === 3L && a(5L)._3)
+    assert(!a(5L)._4.toLowerCase.contains("javascript"))
+  }
+
+  test("c4: page rules — lorem ipsum and brace kill kept pages") {
+    val a = HeuristicFilters.annotate(c4Docs, "doc_id", "text")
+    val kept = a.where($"kept").select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L))
+    val flags = a.select($"doc_id", $"has_lorem", $"has_brace")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(flags(2L) === ((true, false)) && flags(3L) === ((false, true)))
+  }
+
+  test("c4: clean replaces text with the scrubbed lines, survivors only") {
+    val cleaned = HeuristicFilters.clean(c4Docs, "doc_id", "text")
+    assert(cleaned.columns.toSeq === Seq("doc_id", "text"))
+    assert(cleaned.count() === 2)
+    val t5 = cleaned.where($"doc_id" === 5L).select($"text").as[String].head()
+    assert(t5.linesIterator.size === 3)
+  }
+
+  // ------------------------------------------------- incremental dedup
+
+  test("incremental dedup: corpus hits drop, batch dedups within itself") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   beta gamma"), // dup of corpus 1 (normalized) -> dropped
+      (11L, "zeta eta"),           // fresh, duplicated in-batch -> min id kept
+      (12L, "zeta   ETA"),
+      (13L, "unique content here") // fresh singleton
+    ).toDF("doc_id", "text")
+    val kept = DedupFunctions.incrementalDedup(batch, corpus, "doc_id", "text")
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+  }
+
+  test("incremental dedup: empty corpus degrades to plain exact dedup") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a b"), (2L, "A  b"), (3L, "c")).toDF("doc_id", "text")
+    val kept = DedupFunctions.incrementalDedup(batch, corpus, "doc_id", "text")
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  // ------------------------------------------------- sequence packing
+
+  test("packBlocks: per-shard block arithmetic matches a local replay") {
+    val docs = sf("documents").withColumn("tok_cnt",
+      size(graft.functions.TextFunctions.tokens(coalesce($"text", lit(""))))
+        .cast("long"))
+    val packed = Sampling.packBlocks(docs, "doc_id", "tok_cnt",
+      blockTokens = 128L, numShards = 4, salt = "spec")
+    val rows = packed.select($"shard", $"shard_order", $"doc_id", $"tok_cnt",
+        $"block_start", $"block_end", $"spans_boundary")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    // local replay: concatenate each shard in (order, id) order and cut
+    // every 128 tokens
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._2, r._3)).foreach {
+        case (_, _, _, toks, bs, be, spans) =>
+          val expectedStart = cum / 128
+          cum += toks
+          val expectedEnd =
+            if (toks == 0) expectedStart else math.max(expectedStart, (cum - 1) / 128)
+          assert(bs === expectedStart && be === expectedEnd)
+          assert(spans === (expectedEnd > expectedStart))
+      }
+    }
+    // block counts: every shard's max block is ceil(token_sum / 128) - 1
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val total = rs.map(_._4).sum
+      val expectedBlocks = if (total == 0) 0L else (total - 1) / 128 + 1
+      assert(rs.map(_._6).max + 1 === expectedBlocks)
+    }
+  }
+
+  test("packBlocks: null/zero-token docs never span a boundary") {
+    val docs = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(300L)))
+      .toDF("doc_id", "tok_cnt")
+    val packed = Sampling.packBlocks(docs, "doc_id", "tok_cnt",
+      blockTokens = 100L, numShards = 1, salt = "z")
+    val zeroish = packed.where($"doc_id".isin(2L, 3L))
+      .select($"spans_boundary", $"block_start" === $"block_end")
+      .collect()
+    assert(zeroish.forall(r => !r.getBoolean(0) && r.getBoolean(1)))
+    // the 300-token doc must span blocks wherever it starts
+    assert(packed.where($"doc_id" === 4L).select($"spans_boundary")
+      .head().getBoolean(0))
+  }
+
+  // --------------------------------------------------------------- DSIR
+
+  test("dsir: target-like documents outscore off-target ones") {
+    val target = Seq.tabulate(20)(i => (1000L + i,
+      "quantum physics entanglement superposition qubit decoherence"))
+      .toDF("doc_id", "text")
+    val noise = Seq.tabulate(20)(i => (2000L + i,
+      s"cheap viagra casino jackpot winner prize$i click now"))
+      .toDF("doc_id", "text")
+    val raw = target.unionByName(noise)
+    val scores = Dsir.importanceScores(raw, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val tAvg = (0 until 20).map(i => scores(1000L + i)).sum / 20.0
+    val nAvg = (0 until 20).map(i => scores(2000L + i)).sum / 20.0
+    assert(tAvg > 0 && nAvg < 0 && tAvg > nAvg,
+      s"target avg $tAvg should exceed noise avg $nAvg")
+  }
+
+  test("dsir: empty docs score zero; weight table bounded by bucket count") {
+    val target = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val raw = target.unionByName(Seq((2L, ""), (3L, "alpha gamma"))
+      .toDF("doc_id", "text"))
+    val out = Dsir.importanceScores(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val empty = out.find(_._1 == 2L).get
+    assert(empty._2 === 0L && empty._3 === 0L)
+    assert(out.length === 3)
+    assert(Dsir.weightTable(raw, target, "text", 64).count() <= 64)
+  }
+
+  test("dsir: integer micro-nat scores are partition-independent") {
+    val target = Seq.tabulate(10)(i => (i.toLong, s"term$i common word"))
+      .toDF("doc_id", "text")
+    val raw = target.unionByName(
+      Seq.tabulate(30)(i => (100L + i, s"other$i filler text noise"))
+        .toDF("doc_id", "text"))
+    val once = Dsir.importanceScores(raw, target, "doc_id", "text", buckets = 128)
+      .orderBy($"doc_id").collect().toSeq
+    val repart = Dsir.importanceScores(raw.repartition(7), target.repartition(3),
+        "doc_id", "text", buckets = 128)
+      .orderBy($"doc_id").collect().toSeq
+    assert(once === repart)
+  }
+}

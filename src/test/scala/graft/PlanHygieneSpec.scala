@@ -132,6 +132,41 @@ class PlanHygieneSpec extends SparkSpec {
       s"window no longer bounded by the bucket-equality filter:\n$p")
   }
 
+  test("pack blocks: the running sum windows per shard, never one partition") {
+    val p = plan("pack_blocks")
+    // a lost partitionBy would be the single-reducer global-sort shape;
+    // the shard-partitioned window prints its partition spec
+    assert(p.contains("Window"), s"no window — packing semantics changed?\n$p")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"pack window lost its shard partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir: weight table broadcasts; scoring never products") {
+    val p = plan("dsir_scores")
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir product join:\n$p")
+  }
+
+  test("incremental dedup: anti-join is NOT a forced broadcast of the corpus") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = graft.functions.DedupFunctions.incrementalDedup(
+      d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+      "doc_id", "text")
+    val p = kept.queryExecution.explainString(SimpleMode)
+    assert(p.contains("LeftAnti"), s"anti-join shape lost:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"incremental dedup fell back to a product join:\n$p")
+  }
+
+  test("c4 filters: pure map-side plan — no exchange at all before the sort") {
+    val p = plan("text_c4_filters")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window") &&
+      !p.contains("HashAggregate"),
+      s"c4 battery grew a non-map-side shape:\n$p")
+  }
+
   test("token-budget recursion: the deep split stacks bucket filters under the window") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
