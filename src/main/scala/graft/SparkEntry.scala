@@ -844,6 +844,25 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // FUZZY incremental dedup: near-duplicates of the corpus (src0) found
+    // in the incoming batch through the cross-corpus MinHash band join —
+    // no corpus self-join. Batch docs with any corpus candidate at
+    // Jaccard >= 0.5 are the drop set, summarized per source.
+    "dedup_incremental_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val cands = DedupFunctions.minhashCandidatesAcross(
+        d.where($"source" =!= "src0"), d.where($"source" === "src0"),
+        "doc_id", "text", k = 12, nBands = 4, shingleSize = 3)
+      val dropped = cands.where($"jaccard" >= 0.5)
+        .select($"batch_id".as("doc_id")).distinct()
+      d.where($"source" =!= "src0")
+        .join(dropped, Seq("doc_id"), "left_semi")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_dropped"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    }),
+
     // MinHash signatures (k=12 over 3-shingles), collapsed to per-doc
     // sum/min/max so the oracle compares scalars, not arrays.
     "dedup_minhash_sig" -> ((s, dir) => {
@@ -2036,6 +2055,27 @@ object SparkEntry {
         |SELECT f.source, count(*) AS n_kept, sum(f.doc_id)::BIGINT AS id_sum
         |FROM fresh f JOIN win w ON f.doc_id = w.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same band construction as dedup_minhash_pairs, with source
+    // carried through so the join crosses corpus (src0) x batch sides only
+    "dedup_incremental_fuzzy" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, source, toks, $shinglesSql AS shingles FROM t),
+         |hs AS (SELECT doc_id, source, toks,
+         |       list_transform(shingles, s -> $hash60Sql) AS hs FROM sh),
+         |sig AS (SELECT doc_id, source, toks, $seededSigSql AS sig FROM hs),
+         |bands AS (
+         |  SELECT doc_id, source, toks, unnest(list_transform(generate_series(0, 3),
+         |    b -> b::VARCHAR || ':' ||
+         |         md5(array_to_string(sig[(b*3+1):(b*3+3)], ',')))) AS band
+         |  FROM sig),
+         |dropped AS (
+         |  SELECT DISTINCT b.doc_id, b.source
+         |  FROM bands b JOIN bands a ON b.band = a.band
+         |  WHERE a.source = 'src0' AND b.source <> 'src0'
+         |    AND $jaccardSql >= 0.5)
+         |SELECT source, count(*) AS n_dropped, sum(doc_id)::BIGINT AS id_sum
+         |FROM dropped GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

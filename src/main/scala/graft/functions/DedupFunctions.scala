@@ -115,20 +115,8 @@ object DedupFunctions {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, nBands: Int = 4, shingleSize: Int = 3,
                         stagingPath: Option[String] = None): DataFrame = {
-    val rowsPerBand = k / nBands
-    val banded = df.select(
-        col(idCol).as("_id"),
-        TextFunctions.tokens(col(textCol)).as("_toks"),
-        minhashSignature(col(textCol), k, shingleSize).as("_sig"))
-      .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
-      .select(col("_id"), col("_toks"), col("_band"))
-    val sigs = stagingPath match {
-      case Some(path) =>
-        banded.write.mode("overwrite").parquet(path)
-        df.sparkSession.read.parquet(path)
-      case None =>
-        banded.localCheckpoint(true)
-    }
+    val sigs = bandedSignatures(df, idCol, textCol, k, nBands, shingleSize,
+      stagingPath)
     val a = sigs.select(col("_band"), col("_id").as("id_a"), col("_toks").as("_toks_a"))
     val b = sigs.select(col("_band"), col("_id").as("id_b"), col("_toks").as("_toks_b"))
     a.join(b, Seq("_band"))
@@ -136,6 +124,63 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"),
         jaccard(col("_toks_a"), col("_toks_b")).as("jaccard"))
       .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  /** The materialized banded-signature table both MinHash joins read:
+    * `(_id, _toks, _band)`, one row per (doc, band).
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, nBands: Int, shingleSize: Int,
+                               stagingPath: Option[String]): DataFrame = {
+    val rowsPerBand = k / nBands
+    val banded = df.select(
+        col(idCol).as("_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"),
+        minhashSignature(col(textCol), k, shingleSize).as("_sig"))
+      .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
+      .select(col("_id"), col("_toks"), col("_band"))
+    stagingPath match {
+      case Some(path) =>
+        banded.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None =>
+        banded.localCheckpoint(true)
+    }
+  }
+
+  /** Cross-corpus MinHash-LSH candidates — the FUZZY half of
+    * [[incrementalDedup]]: band keys of the new batch join band keys of
+    * the existing corpus, so a near-duplicate of corpus content is found
+    * WITHOUT ever self-joining the corpus (its banded signatures are
+    * computed once here, and in steady state would be the maintained
+    * signature table `stagingPaths` point at). Returns distinct
+    * `(batch_id, corpus_id, jaccard)` candidates; dropping every batch id
+    * with a candidate above threshold is the near-dup analogue of the
+    * exact anti-join.
+    *
+    * Scale shape: identical to [[minhashCandidates]] — one equi-join on
+    * the band key, bucket sizes bounded by collision probability, no n².
+    * Both banded tables stage independently (the corpus one is the big
+    * side and is exactly what a production pipeline keeps on storage
+    * between crawls).
+    */
+  def minhashCandidatesAcross(batch: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 12, nBands: Int = 4,
+                              shingleSize: Int = 3,
+                              batchStagingPath: Option[String] = None,
+                              corpusStagingPath: Option[String] = None): DataFrame = {
+    val b = bandedSignatures(batch, idCol, textCol, k, nBands, shingleSize,
+        batchStagingPath)
+      .select(col("_band"), col("_id").as("batch_id"), col("_toks").as("_toks_b"))
+    val c = bandedSignatures(corpus, idCol, textCol, k, nBands, shingleSize,
+        corpusStagingPath)
+      .select(col("_band"), col("_id").as("corpus_id"), col("_toks").as("_toks_c"))
+    b.join(c, Seq("_band"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(col("_toks_b"), col("_toks_c")).as("jaccard"))
+      .groupBy(col("batch_id"), col("corpus_id"))
       .agg(first(col("jaccard")).as("jaccard"))
   }
 

@@ -31,18 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  /** Token bigrams as "a b" strings; fewer than two tokens → empty. */
-  def bigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+  /** Token bigrams as "a b" strings; fewer than two tokens → empty.
+    *
+    * Built on the native single-pass [[TextFunctions.shingles]] expression
+    * (codegen'd) rather than a transform/element_at lambda chain — the
+    * composed form runs under interpreted lambda eval and re-reads the
+    * token array per element, and this explode dominates both training
+    * and scoring. WordShingles' short-input fallback (a whole-text single
+    * gram for <2 tokens) is exactly the gram with NO space in it, so one
+    * cheap per-element `instr` filter restores the empty-below-two-tokens
+    * bigram contract.
+    */
+  def bigrams(text: Column): Column =
+    filter(TextFunctions.shingles(text, 2), g => instr(g, " ") > 0)
 
   /** A trained bigram model: `(bg, cab)` bigram counts, `(a, ca)` context
-    * counts, and a 1-row `(v)` vocab size. The frames are lazy plans over
-    * the reference until [[save]]d; a long-lived pipeline trains once,
-    * persists, and scores many corpora against the files — the same
-    * operational shape as the IVF/PQ index lifecycle.
+    * counts, and a 1-row `(v)` vocab size. The count frames read the
+    * materialized bigram explode (see [[train]]); a long-lived pipeline
+    * trains once, [[BigramModel.save]]s, and scores many corpora against
+    * the files — the same operational shape as the IVF/PQ index lifecycle.
     */
   final case class BigramModel(bigramCounts: DataFrame,
                                contextCounts: DataFrame, vocab: DataFrame) {
@@ -61,10 +68,26 @@ object LmScore {
 
   /** Train the add-one bigram model: two map-side-combinable counts over
     * exploded reference bigrams plus a distinct-token count.
+    *
+    * The exploded bigram table feeds BOTH count aggregations, so it is
+    * materialized once instead of re-running the tokenize+shingle pass per
+    * consumer — an eager local checkpoint by default (executor memory/disk,
+    * freed when the model goes out of scope); at 100 TB pass `stagingPath`
+    * and the exploded table goes to parquet with both aggregations reading
+    * the FILE (the [[graft.functions.DedupFunctions.minhashCandidates]]
+    * escape hatch — nothing pinned in the block manager).
     */
-  def train(reference: DataFrame, textCol: String): BigramModel = {
-    val refBg = reference
-      .select(explode(bigrams(TextFunctions.tokens(col(textCol)))).as("_bg"))
+  def train(reference: DataFrame, textCol: String,
+            stagingPath: Option[String] = None): BigramModel = {
+    val refBgPlan = reference
+      .select(explode(bigrams(col(textCol))).as("_bg"))
+    val refBg = stagingPath match {
+      case Some(path) =>
+        refBgPlan.write.mode("overwrite").parquet(path)
+        reference.sparkSession.read.parquet(path)
+      case None =>
+        refBgPlan.localCheckpoint(true)
+    }
     BigramModel(
       refBg.groupBy(col("_bg")).agg(count(lit(1)).as("_cab")),
       refBg.groupBy(split(col("_bg"), " ").getItem(0).as("_a"))
@@ -78,7 +101,7 @@ object LmScore {
   def scoreWith(docs: DataFrame, idCol: String, textCol: String,
                 model: BigramModel): DataFrame = {
     val docBg = docs.select(col(idCol).as("_id"),
-        explode(bigrams(TextFunctions.tokens(col(textCol)))).as("_bg"))
+        explode(bigrams(col(textCol))).as("_bg"))
       .withColumn("_a", split(col("_bg"), " ").getItem(0))
     val scored = docBg
       .join(model.bigramCounts, Seq("_bg"), "left")

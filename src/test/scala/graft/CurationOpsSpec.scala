@@ -79,6 +79,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("cross-corpus minhash: exactly the self-join candidates that cross sides") {
+    import org.apache.spark.sql.functions.col
+    val d = sf("documents")
+    val corpus = d.where(col("source") === "src0")
+    val batch = d.where(col("source") =!= "src0")
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    val across = DedupFunctions
+      .minhashCandidatesAcross(batch, corpus, "doc_id", "text")
+      .select(col("batch_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every candidate genuinely crosses sides
+    assert(across.forall { case (b, c) => !corpusIds(b) && corpusIds(c) })
+    // and the set equals the whole-corpus self-join restricted to cross pairs
+    val crossFromFull = DedupFunctions.minhashCandidates(d, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (x, y) =>
+        if (corpusIds(x) && !corpusIds(y)) Some((y, x))
+        else if (corpusIds(y) && !corpusIds(x)) Some((x, y))
+        else None
+      }.toSet
+    assert(across === crossFromFull && across.nonEmpty)
+  }
+
   // ------------------------------------------------- sequence packing
 
   test("packBlocks: per-shard block arithmetic matches a local replay") {
