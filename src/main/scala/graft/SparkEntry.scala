@@ -844,6 +844,23 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Paragraph-level exact dedup (RefinedWeb/MassiveText line dedup):
+    // each distinct normalized line survives once corpus-wide (smallest
+    // doc, first position), docs reassembled from survivors. Line
+    // structure is synthesized deterministically like text_c4_filters
+    // (' row '/' value ' become line breaks); the short repeated segments
+    // of the word-soup corpus then behave exactly like web boilerplate.
+    "dedup_paragraphs" -> ((s, dir) => {
+      import s.implicits._
+      val synth = replace(replace($"text", lit(" row "), lit("\n")),
+        lit(" value "), lit("\n"))
+      DedupFunctions.dedupParagraphs(
+          docs(s, dir).withColumn("text", synth), "doc_id", "text")
+        .select($"doc_id", $"n_lines", $"n_kept_lines",
+          md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // FUZZY incremental dedup: near-duplicates of the corpus (src0) found
     // in the incoming batch through the cross-corpus MinHash band join —
     // no corpus self-join. Batch docs with any corpus candidate at
@@ -2055,6 +2072,47 @@ object SparkEntry {
         |SELECT f.source, count(*) AS n_kept, sum(f.doc_id)::BIGINT AS id_sum
         |FROM fresh f JOIN win w ON f.doc_id = w.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full replay of the paragraph surgery: same synthesized line breaks,
+    // same per-line fingerprint, lexicographic (doc, idx) owner per
+    // distinct line, survivors rejoined in position order (1-based idx vs
+    // Spark's 0-based is order-equivalent — only min/order matter)
+    "dedup_paragraphs" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' row ', chr(10)), ' value ', chr(10)) AS t
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
+        |                x -> trim(x)), x -> len(x) > 0) AS ls
+        |  FROM base),
+        |ln AS (
+        |  SELECT doc_id, e.idx AS idx, e.ln AS ln,
+        |         md5(regexp_replace(lower(trim(e.ln)), '\s+', ' ', 'g')) AS fp
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, len(ls)),
+        |            i -> {'idx': i, 'ln': ls[i]})) AS e
+        |        FROM ls)),
+        |own AS (SELECT fp, min(doc_id) AS oid FROM ln GROUP BY 1),
+        |own2 AS (
+        |  SELECT l.fp, l.doc_id AS oid, min(l.idx) AS oidx
+        |  FROM ln l JOIN own o ON l.fp = o.fp AND l.doc_id = o.oid
+        |  GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT l.doc_id, l.idx, l.ln
+        |  FROM ln l JOIN own2 o
+        |    ON l.fp = o.fp AND l.doc_id = o.oid AND l.idx = o.oidx),
+        |reb AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept_lines,
+        |         string_agg(ln, chr(10) ORDER BY idx) AS clean
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, len(s.ls)::BIGINT AS n_lines,
+        |       coalesce(r.n_kept_lines, 0)::BIGINT AS n_kept_lines,
+        |       md5(coalesce(r.clean, '')) AS clean_md5
+        |FROM documents d JOIN ls s USING (doc_id)
+        |     LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the same band construction as dedup_minhash_pairs, with source
     // carried through so the join crosses corpus (src0) x batch sides only

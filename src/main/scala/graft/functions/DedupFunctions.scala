@@ -373,6 +373,51 @@ object DedupFunctions {
       .groupBy(col("_id").as(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Paragraph-level exact dedup across the corpus — the line-granular
+    * dedup stage of RefinedWeb (Penedo et al. 2023) / MassiveText (Rae et
+    * al. 2021): boilerplate paragraphs (headers, footers, license blocks)
+    * repeat across millions of pages and should be removed without
+    * dropping the documents that carry them. Every distinct normalized
+    * line keeps exactly ONE occurrence corpus-wide — in its smallest doc
+    * id, at its first position there — and is removed everywhere else;
+    * documents are reassembled from their surviving lines (possibly
+    * empty). The token-window analogue is [[removeRepeatedSpans]]; this
+    * is the cheaper, line-boundary-respecting form every web pipeline
+    * runs first.
+    *
+    * Scale shape: one line explode (∝ corpus lines), one map-side-
+    * combinable min-aggregate on the line fingerprint (owner table, one
+    * row per DISTINCT line), one equi-join back on the md5 fingerprint
+    * (uniform keys, no skew), one per-doc reassembly aggregate bounded by
+    * document size. No windows, no self-join, nothing ∝ n².
+    *
+    * Returns the input columns plus `n_lines`, `n_kept_lines` and
+    * `clean_text`.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("_id"),
+        posexplode(TextFunctions.lines(col(textCol))).as(Seq("_idx", "_ln")))
+      .withColumn("_fp", TextFunctions.fingerprint(col("_ln")))
+    // lexicographic (doc, idx) min per fingerprint = the one surviving
+    // occurrence of each distinct line
+    val owners = lines.groupBy(col("_fp"))
+      .agg(min(struct(col("_id"), col("_idx"))).as("_o"))
+      .select(col("_fp"), col("_o").getField("_id").as("_oid"),
+        col("_o").getField("_idx").as("_oidx"))
+    val kept = lines.join(owners, Seq("_fp"))
+      .where(col("_id") === col("_oid") && col("_idx") === col("_oidx"))
+    val rebuilt = kept.groupBy(col("_id")).agg(
+      count(lit(1)).as("n_kept_lines"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("_idx"), col("_ln")))),
+          s => s.getField("_ln")), "\n").as("clean_text"))
+    df.withColumn("n_lines", size(TextFunctions.lines(col(textCol))).cast("long"))
+      .join(rebuilt, col(idCol) === rebuilt("_id"), "left")
+      .drop("_id")
+      .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
   // ------------------------------------------------ repeated passages
 
   /** Cross-document repeated passages — the windowed form of

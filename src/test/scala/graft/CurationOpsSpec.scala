@@ -79,6 +79,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("paragraph dedup: each distinct line survives once — smallest doc, first slot") {
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\nalpha two"),
+      (2L, "beta one\nshared footer\nbeta two"),        // loses the footer
+      (3L, "shared footer\nSHARED   footer\ngamma one"),// both copies lose
+      (4L, "shared footer")                             // whole doc was boilerplate
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions.dedupParagraphs(docs, "doc_id", "text")
+      .select($"doc_id", $"n_lines", $"n_kept_lines", $"clean_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 3L, "alpha one\nshared footer\nalpha two")))
+    assert(out(2L) === ((3L, 2L, "beta one\nbeta two")))
+    // doc 3: both copies (exact + case/space variant) are removed
+    assert(out(3L) === ((3L, 1L, "gamma one")))
+    assert(out(4L) === ((1L, 0L, "")))
+  }
+
+  test("paragraph dedup: duplicate line within ONE doc keeps only the first slot") {
+    val docs = Seq((7L, "x y z\nrepeat me\nmiddle line here\nrepeat me"))
+      .toDF("doc_id", "text")
+    val out = DedupFunctions.dedupParagraphs(docs, "doc_id", "text")
+      .select($"n_kept_lines", $"clean_text").head()
+    assert(out.getLong(0) === 3L)
+    assert(out.getString(1) === "x y z\nrepeat me\nmiddle line here")
+  }
+
   test("cross-corpus minhash: exactly the self-join candidates that cross sides") {
     import org.apache.spark.sql.functions.col
     val d = sf("documents")
