@@ -77,20 +77,61 @@ object DocPipeline {
   def cleanStream(docs: DataFrame, idCol: String, textCol: String,
                   cfg: Config = Config(),
                   watermarkCol: Option[String] = None,
-                  ttl: String = "30 days"): DataFrame = {
-    // withColumn (not annotate's select) so every input column — including
-    // the watermark timestamp — survives into the streaming plan
-    val filtered = docs
+                  ttl: String = "30 days"): DataFrame =
+    statefulDedup(annotatedAll(docs, textCol).where(passes(cfg)),
+      cfg, watermarkCol, ttl)
+
+  // withColumn (not annotate's select) so every input column — including
+  // the watermark timestamp — survives into the streaming plan
+  private def annotatedAll(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
       .withColumn("quality_bp",
         TextFunctions.basisPoints(TextFunctions.qualityScore(col(textCol))))
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
-      .where(passes(cfg))
+
+  private def statefulDedup(filtered: DataFrame, cfg: Config,
+                            watermarkCol: Option[String],
+                            ttl: String): DataFrame =
     if (!cfg.dedup) filtered
     else watermarkCol match {
       case Some(wm) => filtered.withWatermark(wm, ttl)
         .dropDuplicatesWithinWatermark("fingerprint")
       case None => filtered.dropDuplicates("fingerprint")
     }
+
+  /** The corpus fingerprint table [[cleanStreamIncremental]] anti-joins
+    * against — in production a maintained parquet table updated as batches
+    * commit; any frame with a `fingerprint` column works.
+    */
+  def corpusFingerprints(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+
+  /** Streaming INCREMENTAL clean — continuous crawl ingestion against an
+    * EXISTING corpus: [[cleanStream]]'s per-row filters, then a
+    * stream-static join against the corpus fingerprint table (content the
+    * corpus already holds is dropped before it ever reaches dedup state),
+    * then the stateful within-stream dedup. This is the streaming face of
+    * [[graft.functions.DedupFunctions.incrementalDedup]].
+    *
+    * The anti-join is expressed as stream-static LEFT OUTER + null filter:
+    * left-anti is not in Structured Streaming's stream-static support
+    * matrix, left outer with a static right side is, and the two are
+    * equivalent over a marker column. The static side re-resolves per
+    * micro-batch, so a corpus table updated between triggers is picked up
+    * without restarting the query.
+    */
+  def cleanStreamIncremental(docs: DataFrame, corpusFps: DataFrame,
+                             idCol: String, textCol: String,
+                             cfg: Config = Config(),
+                             watermarkCol: Option[String] = None,
+                             ttl: String = "30 days"): DataFrame = {
+    val filtered = annotatedAll(docs, textCol).where(passes(cfg))
+    val fresh = filtered
+      .join(corpusFps.select(col("fingerprint")).distinct()
+        .withColumn("_in_corpus", lit(1)), Seq("fingerprint"), "left")
+      .where(col("_in_corpus").isNull).drop("_in_corpus")
+    statefulDedup(fresh, cfg, watermarkCol, ttl)
   }
 }

@@ -121,6 +121,50 @@ class IngestStreamSpec extends SparkSpec {
     assert(ttlPlan.isStreaming)
   }
 
+  test("streaming incremental clean: corpus hits dropped before dedup state") {
+    import spark.implicits._
+    import graft.operators.{DocPipeline, DocPipeline => DP}
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newDocs = all.where($"source" =!= "src0")
+    // corpus = src0 plus ONE doc copied from the incoming batch (with a
+    // different id), so the corpus-hit path provably fires; pinned
+    // driver-side — a lazy limit(1) re-evaluates nondeterministically
+    // between the micro-batch join and the later expected-set collect
+    val plantRow = DocPipeline.clean(newDocs, "doc_id", "text")
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(1).collect().head
+    val plant = Seq((plantRow.getLong(0) + 1000000L, plantRow.getString(1)))
+      .toDF("doc_id", "text")
+    val corpus = all.where($"source" === "src0").select($"doc_id", $"text")
+      .unionByName(plant)
+    val docsDir = Files.createTempDirectory("docs_inc_stream")
+    newDocs.write.mode("overwrite").parquet(docsDir.toString + "/in")
+
+    val corpusFps = DP.corpusFingerprints(corpus, "text")
+    val stream = spark.readStream.schema(newDocs.schema)
+      .parquet(docsDir.toString + "/in")
+    val incStream = DocPipeline.cleanStreamIncremental(
+      stream, corpusFps, "doc_id", "text")
+    assert(incStream.isStreaming)
+    val q = incStream.writeStream
+      .format("memory").queryName("inc_cleaned").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("inc_cleaned")
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    // expected = batch clean of the new docs, minus corpus fingerprints
+    val corpusSet = corpusFps.collect().map(_.getString(0)).toSet
+    val expected = DocPipeline.clean(newDocs, "doc_id", "text")
+      .select("fingerprint").collect().map(_.getString(0)).toSet -- corpusSet
+    assert(streamed === expected && expected.nonEmpty)
+    assert(spark.table("inc_cleaned").count() === streamed.size) // deduped
+    // and at least one would-be-kept doc was dropped as a corpus hit
+    val withoutCorpus = DocPipeline.clean(newDocs, "doc_id", "text")
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    assert((withoutCorpus -- expected).nonEmpty,
+      "fixture has no cross-corpus duplicate — corpus-hit path untested")
+  }
+
   test("watermarked event-time window aggregation over the parsed stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
