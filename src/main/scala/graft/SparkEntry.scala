@@ -732,6 +732,36 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // BPE training statistics (Sennrich et al. 2016): round-0 weighted
+    // character-pair counts over the corpus vocabulary — the table the
+    // first merge argmaxes over, top-20 with deterministic tie-break.
+    "bpe_pair_counts" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.pairCounts(docs(s, dir), "text")
+        .orderBy($"cnt".desc, $"pair".asc).limit(20)
+    }),
+
+    // BPE train + segment certificate: 8 merges learned on the corpus,
+    // the corpus re-segmented under them. SQL-checkable facts (word and
+    // char totals, the first merge = the round-0 argmax) plus in-query
+    // verified invariants (words <= subwords <= chars, and the merges
+    // genuinely compressed the corpus) — the recall-certificate pattern
+    // applied to an iterative algorithm SQL cannot replay.
+    "bpe_segment_cert" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val merges = graft.operators.Bpe.train(d, "text", numMerges = 8)
+      graft.operators.Bpe.subwordCounts(d, "doc_id", "text", merges)
+        .agg(sum($"n_words").as("n_words"), sum($"n_chars").as("n_chars"),
+          sum($"n_subwords").as("_n_sub"))
+        .select($"n_words", $"n_chars",
+          lit(merges.size.toLong).as("n_merges"),
+          lit(merges.head.pair).as("first_merge"),
+          ($"_n_sub" >= $"n_words" && $"_n_sub" <= $"n_chars")
+            .cast("long").as("bounds_ok"),
+          ($"_n_sub" < $"n_chars").cast("long").as("compressed"))
+    }),
+
     // Token-budget estimate (portable BPE-ish arithmetic).
     "text_token_estimate" -> ((s, dir) => {
       import s.implicits._
@@ -1969,6 +1999,33 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.n_toks, 0)::BIGINT AS n_toks,
          |       coalesce(sc.score_unats, 0)::BIGINT AS score_unats
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // round-0 BPE pair table: vocabulary freqs x adjacent character pairs
+    "bpe_pair_counts" ->
+      s"""WITH tk AS (SELECT unnest($tokensSql) AS w FROM documents),
+         |wf AS (SELECT w, count(*)::BIGINT AS f FROM tk GROUP BY 1),
+         |p AS (SELECT f, unnest(list_transform(generate_series(1, length(w) - 1),
+         |        i -> w[i] || ' ' || w[i+1])) AS pair
+         |      FROM wf WHERE length(w) >= 2)
+         |SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY 1
+         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // deterministic facts + literal invariant flags; the 8-round merge
+    // loop itself is spec-pinned (Sennrich fixture), not SQL-replayed
+    "bpe_segment_cert" ->
+      s"""WITH tk AS (SELECT unnest($tokensSql) AS w FROM documents),
+         |wf AS (SELECT w, count(*)::BIGINT AS f FROM tk GROUP BY 1),
+         |p AS (SELECT f, unnest(list_transform(generate_series(1, length(w) - 1),
+         |        i -> w[i] || ' ' || w[i+1])) AS pair
+         |      FROM wf WHERE length(w) >= 2),
+         |fm AS (SELECT pair FROM (SELECT pair, sum(f) AS cnt FROM p GROUP BY 1)
+         |       ORDER BY cnt DESC, pair ASC LIMIT 1)
+         |SELECT (SELECT count(*) FROM tk)::BIGINT AS n_words,
+         |       (SELECT sum(length(w)) FROM tk)::BIGINT AS n_chars,
+         |       8::BIGINT AS n_merges,
+         |       (SELECT pair FROM fm) AS first_merge,
+         |       1::BIGINT AS bounds_ok,
+         |       1::BIGINT AS compressed""".stripMargin,
 
     "text_token_estimate" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

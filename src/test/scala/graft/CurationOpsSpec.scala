@@ -180,6 +180,54 @@ class CurationOpsSpec extends SparkSpec {
       .head().getBoolean(0))
   }
 
+  // ---------------------------------------------------------------- BPE
+
+  test("bpe: learns the classic Sennrich merges with deterministic tie-breaks") {
+    import graft.operators.Bpe
+    // word freqs low:5 lower:2 newest:6 widest:3 — the paper's example.
+    // Hand-derived: es:9 ties st:9 (pair-asc -> e s), then es t:9,
+    // then l o:7 ties o w:7 (-> l o), then lo w:7.
+    val corpus = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", numMerges = 4)
+    assert(merges.map(m => (m.a, m.b, m.count)) === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    // the famous result: an unseen word segments into learned subwords
+    val seg = Bpe.segmentVocab(Seq((9L, "lowest")).toDF("doc_id", "text"),
+        "text", merges)
+      .select($"subwords").head().getSeq[String](0)
+    assert(seg === Seq("low", "est"))
+  }
+
+  test("bpe: one merge pass folds runs pairwise like the reference (aa aa, not aa a a)") {
+    import graft.operators.Bpe
+    val merges = Bpe.train(Seq((1L, ("aaaa " * 3).trim)).toDF("doc_id", "text"),
+      "text", numMerges = 1)
+    assert(merges.head.a === "a" && merges.head.b === "a")
+    val seg = Bpe.segmentVocab(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+        "text", merges)
+      .select($"subwords").head().getSeq[String](0)
+    assert(seg === Seq("aa", "aa"))
+  }
+
+  test("bpe: subword counts bounded by words and chars; empty docs zero") {
+    import graft.operators.Bpe
+    val corpus = Seq((1L, "low lower newest"), (2L, ""), (3L, "widest low"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", numMerges = 3, minPairCount = 1L)
+    val out = Bpe.subwordCounts(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(2L) === ((0L, 0L, 0L)))
+    out.filterKeys(_ != 2L).values.foreach { case (w, c, s) =>
+      assert(w <= s && s <= c, s"violated words<=subwords<=chars: ($w,$c,$s)")
+    }
+    // merges actually fired somewhere
+    assert(out.values.map(_._3).sum < out.values.map(_._2).sum)
+  }
+
   // --------------------------------------------------------------- DSIR
 
   test("dsir: target-like documents outscore off-target ones") {
