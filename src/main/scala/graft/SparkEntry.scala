@@ -838,6 +838,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Corpus quality SCORECARD: all four quality-signal families (C4
+    // structural, Gopher repetition, lang+quality floor, LM perplexity)
+    // per source in ONE composed plan — the pre-training readiness
+    // report. Runs over the same deterministically synthesized structure
+    // as text_c4_filters so the structural rules have real work.
+    "quality_scorecard" -> ((s, dir) => {
+      import s.implicits._
+      val synth = concat(
+        replace(replace(replace($"text", lit(" spark "), lit(" javascript ")),
+          lit(" row "), lit(".\n")), lit(" value "), lit(".\n")),
+        when(contains($"text", lit("vector vector")), lit(" {"))
+          .otherwise(lit("")))
+      graft.operators.DocPipeline.scorecard(
+          docs(s, dir).withColumn("text", synth), "doc_id", "text")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"c4_ok".cast("long")).as("n_c4"),
+          sum($"gopher_ok".cast("long")).as("n_gopher"),
+          sum($"langq_ok".cast("long")).as("n_langq"),
+          sum($"lm_ok".cast("long")).as("n_lm"),
+          sum($"all_ok".cast("long")).as("n_all"))
+        .orderBy($"source")
+    }),
+
     // DSIR importance scores (Xie et al. 2023): hashed-unigram
     // log-likelihood ratio of a target-domain sample (source=src5) vs the
     // raw corpus, in exact integer micro-nats — the "score the crawl
@@ -1340,7 +1364,7 @@ object SparkEntry {
   /** Per-doc annotation CTE (lang-id, quality, fingerprint) shared by the
     * text_stats and doc-pipeline oracles — mirrors [[DocPipeline.annotate]].
     */
-  private val docAnnotateCte: String = {
+  private def docAnnotateCte(src: String = "documents"): String = {
     val langScores = TextFunctions.LangMarkers.map { case (lang, ms) =>
       s"len(list_intersect(toks, ${sqlList(ms)})) AS s_$lang"
     }.mkString(",\n    ")
@@ -1349,7 +1373,7 @@ object SparkEntry {
     }.mkString(" ")
     val allMarkers = sqlList(TextFunctions.LangMarkers.flatMap(_._2).distinct)
     s"""t AS (
-       |  SELECT doc_id, text, $tokensSql AS toks FROM documents),
+       |  SELECT doc_id, text, $tokensSql AS toks FROM $src),
        |s AS (
        |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
@@ -1376,13 +1400,13 @@ object SparkEntry {
   /** Repetition-signal base CTE (operators.Repetition): non-empty trimmed
     * lines + tokens per doc, then the per-row duplicate fractions.
     */
-  private val repetitionCte: String =
+  private def repetitionCte(src: String = "documents"): String =
     s"""pr AS (
        |  SELECT doc_id,
        |    list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
        |                x -> trim(x)), x -> len(x) > 0) AS ls,
        |    $tokensSql AS toks
-       |  FROM documents),
+       |  FROM $src),
        |row_sig AS (
        |  SELECT doc_id, len(ls)::INT AS n_lines,
        |    CASE WHEN len(ls) = 0 THEN 0 ELSE
@@ -1723,14 +1747,14 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_stats" ->
-      s"""WITH $docAnnotateCte
+      s"""WITH ${docAnnotateCte()}
          |SELECT doc_id, n_tokens, punct_bp, lang_pred, quality_bp, fingerprint
          |FROM ann ORDER BY doc_id""".stripMargin,
 
     // DocPipeline.clean: language filter → quality floor → smallest-id
     // representative per fingerprint.
     "doc_pipeline_kept" ->
-      s"""WITH $docAnnotateCte
+      s"""WITH ${docAnnotateCte()}
          |SELECT doc_id, lang_pred, quality_bp, fingerprint
          |FROM (SELECT *, row_number() OVER
          |        (PARTITION BY fingerprint ORDER BY doc_id) AS rk
@@ -1738,7 +1762,7 @@ object SparkEntry {
          |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "doc_pipeline_funnel" ->
-      s"""WITH $docAnnotateCte
+      s"""WITH ${docAnnotateCte()}
          |SELECT count(*) AS n_in,
          |  count(*) FILTER (WHERE lang_pred = 'en') AS n_lang,
          |  count(*) FILTER (WHERE lang_pred = 'en' AND quality_bp >= 2500)
@@ -1896,7 +1920,7 @@ object SparkEntry {
         |FROM c WHERE cum <= 20000""".stripMargin,
 
     "corpus_prep" ->
-      s"""WITH $docAnnotateCte,
+      s"""WITH ${docAnnotateCte()},
          |kept AS (
          |  SELECT doc_id, text FROM (
          |    SELECT a.doc_id, d.text,
@@ -2027,6 +2051,67 @@ object SparkEntry {
          |       1::BIGINT AS bounds_ok,
          |       1::BIGINT AS compressed""".stripMargin,
 
+    // the four family CTEs over the synthesized corpus, one flags row per
+    // doc, per-source rollup — every fragment shared with the standalone
+    // family oracles (docAnnotateCte/repetitionCte/topGramCte take the
+    // source-table name; c4 and the LM model are inlined over sdocs/t)
+    "quality_scorecard" ->
+      s"""WITH sdocs AS (
+         |  SELECT doc_id, source,
+         |    replace(replace(replace(text, ' spark ', ' javascript '),
+         |            ' row ', '.' || chr(10)), ' value ', '.' || chr(10))
+         |      || CASE WHEN contains(text, 'vector vector') THEN ' {'
+         |              ELSE '' END AS text
+         |  FROM documents),
+         |${docAnnotateCte("sdocs")},
+         |${repetitionCte("sdocs")},
+         |${topGramCte(2, "top_bigram_bp")},
+         |kc AS (
+         |  SELECT doc_id,
+         |    list_filter(
+         |      list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
+         |                  x -> trim(x)), x -> len(x) > 0),
+         |      x -> regexp_matches(x, '[.!?"]$$')
+         |        AND len(list_filter(string_split_regex(x, '\\s+'),
+         |                w -> len(w) > 0)) >= 5
+         |        AND NOT contains(lower(x), 'javascript')) AS kl
+         |  FROM sdocs),
+         |bgs AS (SELECT doc_id,
+         |          unnest(list_transform(generate_series(1, len(toks) - 1),
+         |            i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |        FROM t WHERE len(toks) >= 2),
+         |ab_c AS (SELECT bg, count(*)::BIGINT AS cab FROM bgs GROUP BY 1),
+         |a_c AS (SELECT string_split(bg, ' ')[1] AS ctx, count(*)::BIGINT AS ca
+         |        FROM bgs GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT tok)::BIGINT AS v
+         |       FROM (SELECT unnest(toks) AS tok FROM t)),
+         |sc AS (SELECT b.doc_id,
+         |              -ln((coalesce(ab_c.cab, 0) + 1)::DOUBLE
+         |                  / (coalesce(a_c.ca, 0) + vv.v)::DOUBLE) AS nlp
+         |       FROM bgs b LEFT JOIN ab_c USING (bg)
+         |            LEFT JOIN a_c ON string_split(b.bg, ' ')[1] = a_c.ctx
+         |            CROSS JOIN vv),
+         |lmg AS (SELECT doc_id, avg(nlp) AS m FROM sc GROUP BY 1),
+         |flags AS (
+         |  SELECT d.doc_id, d.source,
+         |    (len(kc.kl) >= 3 AND NOT contains(lower(d.text), 'lorem ipsum')
+         |     AND NOT contains(d.text, '{')) AS c4_ok,
+         |    (ann.n_tokens BETWEEN 25 AND 100000
+         |     AND row_sig.dup_token_bp <= 6000
+         |     AND tg2.top_bigram_bp <= 800) AS gopher_ok,
+         |    (ann.lang_pred = 'en' AND ann.quality_bp >= 2500) AS langq_ok,
+         |    (coalesce(floor(lmg.m * 10000 + 0.5), 0) <= 35600) AS lm_ok
+         |  FROM sdocs d JOIN kc USING (doc_id) JOIN ann USING (doc_id)
+         |       JOIN row_sig USING (doc_id) JOIN tg2 USING (doc_id)
+         |       LEFT JOIN lmg USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  sum(c4_ok::INT)::BIGINT AS n_c4,
+         |  sum(gopher_ok::INT)::BIGINT AS n_gopher,
+         |  sum(langq_ok::INT)::BIGINT AS n_langq,
+         |  sum(lm_ok::INT)::BIGINT AS n_lm,
+         |  sum((c4_ok AND gopher_ok AND langq_ok AND lm_ok)::INT)::BIGINT AS n_all
+         |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_token_estimate" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
          |SELECT doc_id,
@@ -2090,7 +2175,7 @@ object SparkEntry {
         |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
-      s"""WITH $repetitionCte,
+      s"""WITH ${repetitionCte()},
          |${topGramCte(2, "top_bigram_bp")},
          |${topGramCte(3, "top_trigram_bp")}
          |SELECT doc_id, n_lines, dup_line_bp, dup_token_bp,
@@ -2099,7 +2184,7 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "quality_gate" ->
-      s"""WITH $repetitionCte,
+      s"""WITH ${repetitionCte()},
          |${topGramCte(2, "top_bigram_bp")}
          |SELECT d.source, count(*) AS n_kept, sum(d.doc_id)::BIGINT AS id_sum,
          |       sum(len(pr.toks))::BIGINT AS kept_tokens

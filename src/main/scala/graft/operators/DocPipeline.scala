@@ -100,6 +100,46 @@ object DocPipeline {
       case None => filtered.dropDuplicates("fingerprint")
     }
 
+  /** Corpus quality SCORECARD: every quality-signal family the engine
+    * ships, evaluated per document in one composed plan — the readiness
+    * report a data team reads before committing a corpus to training:
+    *
+    *   - `c4_ok`      — C4 structural rules ([[HeuristicFilters]])
+    *   - `gopher_ok`  — Gopher repetition gate ([[Repetition.gate]])
+    *   - `langq_ok`   — language + heuristic quality floor ([[annotate]])
+    *   - `lm_ok`      — bigram-LM perplexity at most `lmMaxNlpBp`
+    *                    ([[LmScore]], corpus as its own reference;
+    *                    bigram-less docs score 0 and pass)
+    *   - `all_ok`     — the conjunction
+    *
+    * Each family is the already-tested operator joined back on the doc id
+    * (md5-uniform keys); nothing here re-derives a signal. Cost is the sum
+    * of the family passes — the point is ONE plan and one output table,
+    * not a cheaper computation.
+    */
+  def scorecard(docs: DataFrame, idCol: String, textCol: String,
+                cfg: Config = Config(),
+                rep: Repetition.Config = Repetition.Config(),
+                lmMaxNlpBp: Long = 35600L): DataFrame = {
+    val c4 = HeuristicFilters.annotate(docs, idCol, textCol)
+      .select(col(idCol), col("kept").as("c4_ok"))
+    val gopher = Repetition.gate(docs, idCol, textCol, rep)
+      .select(col(idCol)).withColumn("_g", lit(true))
+    val lq = annotate(docs, idCol, textCol)
+      .select(col(idCol), passes(cfg).as("langq_ok"))
+    val lm = LmScore.perplexityScore(docs, docs, idCol, textCol)
+      .select(col(idCol),
+        (TextFunctions.basisPoints(col("avg_neg_logp")) <= lmMaxNlpBp)
+          .as("lm_ok"))
+    docs.join(c4, Seq(idCol))
+      .join(gopher, Seq(idCol), "left")
+      .withColumn("gopher_ok", coalesce(col("_g"), lit(false))).drop("_g")
+      .join(lq, Seq(idCol))
+      .join(lm, Seq(idCol))
+      .withColumn("all_ok",
+        col("c4_ok") && col("gopher_ok") && col("langq_ok") && col("lm_ok"))
+  }
+
   /** The corpus fingerprint table [[cleanStreamIncremental]] anti-joins
     * against — in production a maintained parquet table updated as batches
     * commit; any frame with a `fingerprint` column works.

@@ -180,6 +180,23 @@ class CurationOpsSpec extends SparkSpec {
       .head().getBoolean(0))
   }
 
+  test("scorecard: one row per doc, family verdicts match the standalone ops") {
+    import graft.operators.{DocPipeline, Repetition}
+    val d = sf("documents")
+    val sc = DocPipeline.scorecard(d, "doc_id", "text")
+    assert(sc.count() === d.count())
+    // conjunction identity
+    assert(sc.where($"all_ok" =!=
+      ($"c4_ok" && $"gopher_ok" && $"langq_ok" && $"lm_ok")).count() === 0)
+    // gopher flag = gate membership
+    assert(sc.where($"gopher_ok").count() ===
+      Repetition.gate(d, "doc_id", "text").count())
+    // langq flag = batch clean filter (pre-dedup)
+    val lq = DocPipeline.annotate(d, "doc_id", "text")
+      .where($"lang_pred" === "en" && $"quality_bp" >= 2500).count()
+    assert(sc.where($"langq_ok").count() === lq)
+  }
+
   // ---------------------------------------------------------------- BPE
 
   test("bpe: learns the classic Sennrich merges with deterministic tie-breaks") {
