@@ -630,6 +630,18 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Deterministic train/val/test split assignment: hash ranges in basis
+    // points — stable under corpus growth, no RNG, leak-free over a
+    // deduped corpus.
+    "corpus_splits" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.assignSplits(docs(s, dir), "doc_id",
+          Seq("train" -> 9000, "val" -> 500, "test" -> 500), salt = "graft")
+        .groupBy($"split").agg(
+          count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+        .orderBy($"split")
+    }),
+
     // Deterministic shard plan for training export: hash-uniform shard
     // assignment + within-shard order — the no-global-sort shuffled-read
     // layout, pinned per shard (count, id_sum, order-key checksum).
@@ -1145,6 +1157,20 @@ object SparkEntry {
       recallCertificate(
         SimilarityFunctions.ivfTopK(emb, probes, "vec_id", "embedding", 5,
           cells = 16, nProbe = 4),
+        SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
+        recallFloorBp = 5000)
+    }),
+
+    // PCA-reduced ANN — the dimensionality-reduction tier: 24 of 64
+    // directions scanned for the shortlist, exact re-rank restores
+    // recall. Certificate vs in-query brute force (see ann_ivf_topk).
+    "ann_pca_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter($"vec_id" < 20)
+      recallCertificate(
+        SimilarityFunctions.pcaTopK(emb, probes, "vec_id", "embedding", 5,
+          pcaK = 24, shortlist = 64),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
         recallFloorBp = 5000)
     }),
@@ -1863,6 +1889,17 @@ object SparkEntry {
         |       sum(doc_id)::BIGINT AS id_sum, sum(epoch)::BIGINT AS epoch_sum
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "corpus_splits" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 10000 AS h
+        |  FROM documents)
+        |SELECT CASE WHEN h < 9000 THEN 'train'
+        |            WHEN h < 9500 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "corpus_shard_plan" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -2492,6 +2529,7 @@ object SparkEntry {
     // oracle recomputes the deterministic facts and asserts the contract
     // flag, so a recall regression breaks the hash compare.
     "ann_ivf_topk" -> annRecallOracleSql(5000),
+    "ann_pca_topk" -> annRecallOracleSql(5000),
     "ann_pq_topk" -> annRecallOracleSql(4000),
     "ann_ivfpq_topk" -> annRecallOracleSql(3000),
     "ann_lsh_topk" -> annRecallOracleSql(5000),

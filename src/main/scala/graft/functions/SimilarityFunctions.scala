@@ -558,6 +558,39 @@ object SimilarityFunctions {
       index, idCol, vecCol, k, sl)
   }
 
+  /** PCA shortlist + exact re-rank — the dimensionality-reduction tier of
+    * the ANN family ([[Pca]]): project corpus and queries to `pcaK`
+    * directions with one trained model, shortlist by cosine in the
+    * projected space (the scan reads pcaK/dim of the bandwidth — the
+    * whole point at 100 TB), then re-rank the shortlist exactly. Same
+    * deployment shape as [[pqSearchRerank]]: the cheap representation
+    * bounds bandwidth, the exact pass restores recall (projected-space
+    * ranking alone is recall ~0.1-0.4 on weakly-anisotropic embeddings;
+    * shortlist 64 + re-rank measures 0.74-0.95 here).
+    */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, pcaK: Int = 24, shortlist: Int = 0,
+              seed: Long = 42L): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else math.max(8 * k, 32)
+    require(sl >= k, s"shortlist $sl < k $k")
+    val model = Pca.pcaTrain(corpus, vecCol, pcaK, seed)
+    val pc = corpus.select(col(idCol), model.project(col(vecCol)).as(vecCol))
+    val pq = queries.select(col(idCol), model.project(col(vecCol)).as(vecCol))
+    val short = bruteForceTopK(pc, pq, idCol, vecCol, sl)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val scored = short.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(cosine(col("_qv"), col("_cv")) * 10000 + 0.5).cast("long").as("cosine_bp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_bp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   // ------------------------------------------------------------- IVF-PQ
 
   /** IVF-PQ search — the canonical billion-scale composition: the IVF

@@ -152,6 +152,31 @@ object Sampling {
       .write.partitionBy("shard")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
+  /** Deterministic train/validation/test split assignment: each doc's
+    * split is a pure function of (salt, id) — the hash lands in one of
+    * the cumulative basis-point ranges. Stable under corpus growth (a doc
+    * never migrates between splits when new data arrives — the property
+    * RNG splits lack), leak-free by construction when the corpus is
+    * deduped first, reproducible in any engine. Per-row expression, fuses
+    * into the scan.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)] = Seq(
+                     "train" -> 9800, "val" -> 100, "test" -> 100),
+                   salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 10000,
+      "split weights must be positive basis points summing to 10000")
+    val h = DedupFunctions.hash60(
+      concat_ws("|", lit(salt), col(idCol).cast("string"))).%(10000)
+    val uppers = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val expr = splits.tail.zip(uppers.tail).foldLeft(
+      when(h < uppers.head, lit(splits.head._1))) {
+      case (acc, ((name, _), upper)) => acc.when(h < upper, lit(name))
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Sequence packing plan: assign every document to fixed-size training
     * blocks of `blockTokens` tokens, the way a trainer consumes a corpus —
     * documents are concatenated in deterministic shuffled order and the

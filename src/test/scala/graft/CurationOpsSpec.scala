@@ -197,6 +197,73 @@ class CurationOpsSpec extends SparkSpec {
     assert(sc.where($"langq_ok").count() === lq)
   }
 
+  // ------------------------------------------------------------- splits
+
+  test("splits: exhaustive, exclusive, growth-stable, roughly proportional") {
+    import graft.operators.Sampling
+    val d = sf("documents", "/root/testdata/sf0.01")
+    val splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+    val assigned = Sampling.assignSplits(d, "doc_id", splits, salt = "t")
+    val counts = assigned.groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = d.count()
+    assert(counts.values.sum === n) // exhaustive + exclusive (one col)
+    assert(counts("train") > n * 8 / 10 && counts("val") > 0 && counts("test") > 0)
+    // growth stability: assignments on a subset are the subset of assignments
+    val subset = Sampling.assignSplits(d.where($"doc_id" % 2 === 0), "doc_id",
+        splits, salt = "t")
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = assigned.select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) === s) }
+  }
+
+  // ---------------------------------------------------------------- PCA
+
+  test("pca: projection matches a local replay; variance concentrates") {
+    import graft.functions.Pca
+    val emb = sf("embeddings", "/root/testdata/sf0.01")
+    val model = Pca.pcaTrain(emb, "embedding", k = 16)
+    assert(model.k === 16 && model.dim === 64)
+    assert(model.explainedBp > 2500 && model.explainedBp <= 10000)
+    // local replay of one projection
+    val row = emb.orderBy($"vec_id").select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val projected = Pca.pcaProject(emb, "embedding", 16)._2
+      .orderBy($"vec_id").select($"embedding").head().getSeq[Double](0)
+    val expected = model.components.map { c =>
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) { acc += (row(i) - model.mean(i)) * c(i); i += 1 }
+      acc
+    }
+    projected.zip(expected).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    // components are orthonormal (eigendecomposition of a symmetric matrix)
+    val c0 = model.components(0)
+    val c1 = model.components(1)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(c0, c0) - 1.0) < 1e-9)
+    assert(math.abs(dot(c0, c1)) < 1e-9)
+  }
+
+  test("pca: model is partition-independent and survives a disk round-trip") {
+    import graft.functions.Pca
+    val emb = sf("embeddings")
+    val m1 = Pca.pcaTrain(emb, "embedding", k = 8)
+    val m2 = Pca.pcaTrain(emb.repartition(7), "embedding", k = 8)
+    assert(m1.mean.toSeq === m2.mean.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq === m2.components.map(_.toSeq).toSeq)
+    val path = java.nio.file.Files.createTempDirectory("pca").toString + "/model.json"
+    m1.save(path, spark.sparkContext.hadoopConfiguration)
+    val loaded = Pca.pcaLoad(path, spark.sparkContext.hadoopConfiguration)
+    assert(loaded.mean.toSeq === m1.mean.toSeq &&
+      loaded.explainedBp === m1.explainedBp &&
+      loaded.components.map(_.toSeq).toSeq === m1.components.map(_.toSeq).toSeq)
+  }
+
   // ---------------------------------------------------------------- BPE
 
   test("bpe: learns the classic Sennrich merges with deterministic tie-breaks") {
