@@ -589,6 +589,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Decontamination REMOVAL (the acting half of decontam_hits): docs
+    // sharing any probe 3-gram are anti-joined away; survivors summarized
+    // per source — the pass that actually ships a clean corpus.
+    "decontam_clean" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val corpus = d.filter($"doc_id" >= 5)
+      val dirty = DedupFunctions.ngramContamination(
+        corpus, d.filter($"doc_id" < 5), "doc_id", "text", n = 3)
+      corpus.join(dirty.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_clean"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    }),
+
     // Deterministic stratified sampling: hash-gated keep decision —
     // reproducible across engines/partitionings, unlike RNG sampling.
     "sample_stratified" -> ((s, dir) => {
@@ -1829,6 +1844,20 @@ object SparkEntry {
          |p AS (SELECT DISTINCT gh FROM g WHERE doc_id < 5)
          |SELECT g.doc_id, count(*) AS n_shared
          |FROM g JOIN p USING (gh) WHERE g.doc_id >= 5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "decontam_clean" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_distinct(list_transform($shinglesSql,
+         |                    s -> $hash60Sql))) AS gh
+         |      FROM t),
+         |p AS (SELECT DISTINCT gh FROM g WHERE doc_id < 5),
+         |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN p USING (gh)
+         |          WHERE g.doc_id >= 5)
+         |SELECT d.source, count(*) AS n_clean, sum(d.doc_id)::BIGINT AS id_sum
+         |FROM documents d
+         |WHERE d.doc_id >= 5 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_stratified" ->

@@ -395,8 +395,11 @@ object DedupFunctions {
     * `clean_text`.
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text = empty text (0 lines in, 0 lines kept) — posexplode of a
+    // null array would silently drop the doc from the rebuilt output
     val lines = df.select(col(idCol).as("_id"),
-        posexplode(TextFunctions.lines(col(textCol))).as(Seq("_idx", "_ln")))
+        posexplode(TextFunctions.lines(coalesce(col(textCol), lit(""))))
+          .as(Seq("_idx", "_ln")))
       .withColumn("_fp", TextFunctions.fingerprint(col("_ln")))
     // lexicographic (doc, idx) min per fingerprint = the one surviving
     // occurrence of each distinct line
@@ -411,7 +414,8 @@ object DedupFunctions {
       array_join(
         transform(array_sort(collect_list(struct(col("_idx"), col("_ln")))),
           s => s.getField("_ln")), "\n").as("clean_text"))
-    df.withColumn("n_lines", size(TextFunctions.lines(col(textCol))).cast("long"))
+    df.withColumn("n_lines",
+        size(TextFunctions.lines(coalesce(col(textCol), lit("")))).cast("long"))
       .join(rebuilt, col(idCol) === rebuilt("_id"), "left")
       .drop("_id")
       .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))

@@ -41,6 +41,37 @@ object Bpe {
     def joined: String = a + b
   }
 
+  /** Persist learned merges (train once, segment many — the IVF/PQ/PCA
+    * lifecycle): newline-separated `a<TAB>b<TAB>count` lines in learn
+    * order, the interchange format BPE merge files conventionally use.
+    */
+  def saveMerges(merges: Seq[Merge], path: String,
+                 conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    val body = merges.map(m => s"${m.a}\t${m.b}\t${m.count}").mkString("\n")
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load merges persisted by [[saveMerges]] (order preserved). */
+  def loadMerges(path: String,
+                 conf: org.apache.hadoop.conf.Configuration): Seq[Merge] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val body =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split("\t", 3) match {
+        case Array(a, b, c) => Merge(a, b, c.toLong)
+        case _ => sys.error(s"loadMerges: malformed line '$line' in $path")
+      }
+    }.toSeq
+  }
+
   /** The corpus reduced to its (word, freq) vocabulary table. */
   def wordFreqs(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextFunctions.tokens(col(textCol))).as("_w"))

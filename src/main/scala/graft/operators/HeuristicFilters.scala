@@ -49,13 +49,17 @@ object HeuristicFilters {
     */
   def annotate(df: DataFrame, idCol: String, textCol: String,
                minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
-    val ls = TextFunctions.lines(col(textCol))
+    // NULL text behaves as empty (0 lines, flags false, doc dropped) —
+    // without the coalesce every annotation is null and the doc silently
+    // vanishes from downstream `where(kept)` AND `where(!kept)` audits
+    val t = coalesce(col(textCol), lit(""))
+    val ls = TextFunctions.lines(t)
     val keptLines = filter(ls, l => lineKept(l, minLineWords))
     df.withColumn("n_lines", size(ls).cast("long"))
       .withColumn("_kept_lines", keptLines)
       .withColumn("n_kept_lines", size(col("_kept_lines")).cast("long"))
-      .withColumn("has_lorem", contains(lower(col(textCol)), lit("lorem ipsum")))
-      .withColumn("has_brace", contains(col(textCol), lit("{")))
+      .withColumn("has_lorem", contains(lower(t), lit("lorem ipsum")))
+      .withColumn("has_brace", contains(t, lit("{")))
       .withColumn("clean_text", array_join(col("_kept_lines"), "\n"))
       .withColumn("kept",
         col("n_kept_lines") >= minKeptLines && !col("has_lorem") && !col("has_brace"))

@@ -56,6 +56,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(t5.linesIterator.size === 3)
   }
 
+  test("c4 + paragraph dedup: null text reads as empty, docs never vanish") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real line here okay."))
+      .toDF("doc_id", "text")
+    val c4 = HeuristicFilters.annotate(docs, "doc_id", "text")
+    assert(c4.count() === 2)
+    val r1 = c4.where($"doc_id" === 1L)
+      .select($"n_lines", $"n_kept_lines", $"kept", $"clean_text").head()
+    assert(r1.getLong(0) === 0L && r1.getLong(1) === 0L &&
+      !r1.getBoolean(2) && r1.getString(3) === "")
+    val para = DedupFunctions.dedupParagraphs(docs, "doc_id", "text")
+    assert(para.count() === 2)
+    val p1 = para.where($"doc_id" === 1L)
+      .select($"n_lines", $"n_kept_lines", $"clean_text").head()
+    assert(p1.getLong(0) === 0L && p1.getLong(1) === 0L && p1.getString(2) === "")
+  }
+
   // ------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus hits drop, batch dedups within itself") {
@@ -294,6 +310,20 @@ class CurationOpsSpec extends SparkSpec {
         "text", merges)
       .select($"subwords").head().getSeq[String](0)
     assert(seg === Seq("aa", "aa"))
+  }
+
+  test("bpe: merges survive a disk round-trip and segment identically") {
+    import graft.operators.Bpe
+    val corpus = Seq((1L, ("low " * 5).trim), (2L, ("newest " * 6).trim))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", numMerges = 3)
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges.tsv"
+    Bpe.saveMerges(merges, path, spark.sparkContext.hadoopConfiguration)
+    val loaded = Bpe.loadMerges(path, spark.sparkContext.hadoopConfiguration)
+    assert(loaded === merges)
+    val a = Bpe.segmentVocab(corpus, "text", merges).orderBy($"_w").collect()
+    val b = Bpe.segmentVocab(corpus, "text", loaded).orderBy($"_w").collect()
+    assert(a === b)
   }
 
   test("bpe: subword counts bounded by words and chars; empty docs zero") {

@@ -65,5 +65,19 @@ class DocExampleSpec extends SparkSpec {
           .as(Seq("chunk_idx", "chunk")))
     val rows = corpus.count()
     assert(rows > 0 && corpus.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk"))
+
+    // readiness report → splits → block plan → shard export
+    val report = DocPipeline.scorecard(deduped, "doc_id", "text")
+    assert(report.count() == deduped.count() &&
+      report.columns.contains("all_ok"))
+    val splits = Sampling.assignSplits(deduped, "doc_id")
+    val packed = Sampling.packBlocks(
+      splits.where(col("split") === "train")
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long")),
+      "doc_id", "n_tok", blockTokens = 2048, numShards = 4)
+    assert(packed.columns.contains("block_start") && packed.count() > 0)
+    val shardDir = Files.createTempDirectory("shards").toString + "/out"
+    Sampling.exportShuffled(deduped, "doc_id", shardDir, numShards = 4)
+    assert(spark.read.parquet(shardDir).count() == deduped.count())
   }
 }
