@@ -644,16 +644,35 @@ object DedupFunctions {
     *
     * Budget default is 2: convergence is tested on even rounds, so 2 is
     * the SMALLEST budget that can confirm a fixpoint (round 1 propagates,
-    * round 2 verifies no change) — it keeps the whole dense fast path
-    * while cutting the wasted pre-escalation rounds in half on chain
-    * graphs (a measured chain corpus spent 4 futile rounds under the old
-    * default before escalating).
+    * round 2 verifies no change).
+    *
+    * Before spending that budget, a STRUCTURAL PROBE routes the one graph
+    * family where propagation can only lose: max vertex degree <= 2 means
+    * the graph is pure paths/cycles, whose diameter grows with component
+    * size — exactly the shape that blew the budget and escalated anyway
+    * (the measured chain corpus paid ~75% overhead for the futile
+    * attempt). The probe is one map-side-combinable degree aggregate over
+    * the candidate PAIRS (bounded input, not the corpus) plus a 1-row
+    * collect — strictly cheaper than one propagation round. Duplicate
+    * FAMILIES (all-pairs LSH candidates within a group of >= 4 docs) have
+    * degree >= 3 and keep the dense propagation fast path.
     */
   def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
                               propagationRounds: Int = 2,
-                              maxIter: Int = 50): DataFrame =
-    propagateLabels(pairs, aCol, bCol, propagationRounds)
-      .getOrElse(connectedComponentsAlternating(pairs, aCol, bCol, maxIter))
+                              maxIter: Int = 50): DataFrame = {
+    val maxDegree = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d"))).head().get(0) match {
+        case null    => 0L // no edges at all
+        case d: Long => d
+      }
+    if (maxDegree <= 2L)
+      connectedComponentsAlternating(pairs, aCol, bCol, maxIter)
+    else
+      propagateLabels(pairs, aCol, bCol, propagationRounds)
+        .getOrElse(connectedComponentsAlternating(pairs, aCol, bCol, maxIter))
+  }
 
   /** Connected components via alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -575,13 +575,25 @@ class DedupFunctionsSpec extends SparkSpec {
 
   test("auto CC: propagation on low-diameter graphs, star escalation on chains") {
     import spark.implicits._
-    // diameter 2: converges inside the propagation budget, no escalation
-    val dense = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // 4-clique: degree 3 passes the structural probe, converges inside
+    // the propagation budget, no escalation
+    val dense = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
     val denseLabels = DedupFunctions
       .connectedComponentsAuto(dense, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(denseLabels ==
-      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // max degree 2 = paths/cycles: the probe must route straight to the
+    // star variant (a long cycle would otherwise waste the propagation
+    // budget exactly like the chain below) and stay correct
+    val cycle = ((1L until 100L).map(i => (i, i + 1)) :+ (100L, 1L))
+      .toDF("id_a", "id_b")
+    val cycleLabels = DedupFunctions
+      .connectedComponentsAuto(cycle, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cycleLabels.size == 100 && cycleLabels.values.forall(_ == 1L))
 
     // a 64-link chain blows the 2-round propagation budget: auto must
     // escalate to the alternating-star variant instead of throwing (the
