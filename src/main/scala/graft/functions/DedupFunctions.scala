@@ -647,15 +647,21 @@ object DedupFunctions {
     * round 2 verifies no change).
     *
     * Before spending that budget, a STRUCTURAL PROBE routes the one graph
-    * family where propagation can only lose: max vertex degree <= 2 means
-    * the graph is pure paths/cycles, whose diameter grows with component
-    * size — exactly the shape that blew the budget and escalated anyway
-    * (the measured chain corpus paid ~75% overhead for the futile
-    * attempt). The probe is one map-side-combinable degree aggregate over
-    * the candidate PAIRS (bounded input, not the corpus) plus a 1-row
-    * collect — strictly cheaper than one propagation round. Duplicate
-    * FAMILIES (all-pairs LSH candidates within a group of >= 4 docs) have
-    * degree >= 3 and keep the dense propagation fast path.
+    * family where propagation PROVABLY loses: max vertex degree <= 2
+    * means the graph is pure paths/cycles, whose diameter grows with
+    * component size — a chain-of-pairs corpus escalates without paying
+    * the futile attempt. The probe is one map-side-combinable degree
+    * aggregate over the candidate PAIRS (bounded input, not the corpus)
+    * plus a 1-row collect — strictly cheaper than one propagation round.
+    *
+    * Honest limit: degree statistics cannot predict convergence in
+    * general — a measured corpus had dense families (max degree 31, mean
+    * 6.4) BRIDGED into high-diameter chains, where any degree-based
+    * router would pick propagation and still escalate. For such graphs
+    * the 2-round attempt IS the cheapest reliable probe (~1.7x plain
+    * star on that corpus, disclosed); pipelines that know their graph
+    * call [[connectedComponentsAlternating]] directly, as the default
+    * clusters query does.
     */
   def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
                               propagationRounds: Int = 2,

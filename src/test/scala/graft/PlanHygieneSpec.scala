@@ -167,6 +167,18 @@ class PlanHygieneSpec extends SparkSpec {
       s"c4 battery grew a non-map-side shape:\n$p")
   }
 
+  test("paragraph dedup, scorecard, decontam removal: no product joins, no global windows") {
+    for (q <- Seq("dedup_paragraphs", "quality_scorecard", "decontam_clean",
+                  "dedup_incremental_fuzzy", "dedup_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a Cartesian:\n$p")
+      // windowspecdefinition() with an empty partition spec starts with
+      // the order column only — cheap proxy: no Window at all is expected
+      // for these aggregation-shaped plans
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+    }
+  }
+
   test("token-budget recursion: the deep split stacks bucket filters under the window") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
