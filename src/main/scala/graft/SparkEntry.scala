@@ -630,6 +630,18 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Square-root temperature mixture (α=0.5, the multilingual balancing
+    // recipe): rates ∝ isqrt(source size) under a doc budget — exact
+    // integer arithmetic end to end.
+    "sample_mixture_sqrt" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.sqrtMixtureSample(docs(s, dir), "doc_id",
+          "source", budgetDocs = 400L, salt = "mixs")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    }),
+
     // Mixture resampling with upsampling: a small high-weight source runs
     // multiple epochs (full copies + hash-gated fractional copy), the big
     // ones run a fraction of one — the LLaMA-style data recipe applied as
@@ -899,6 +911,16 @@ object SparkEntry {
       graft.operators.Dsir.importanceScores(
           d, d.where($"source" === "src5"), "doc_id", "text", buckets = 1024)
         .orderBy($"doc_id")
+    }),
+
+    // Corpus drift: KL(target ‖ raw) over hashed unigram buckets in
+    // integer count×micro-nat units — the between-snapshot distribution
+    // monitor, built on the DSIR weight table.
+    "corpus_drift" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      graft.operators.Dsir.driftUnats(
+        d, d.where($"source" === "src5"), "text", buckets = 1024)
     }),
 
     // ---- LLM-pipeline operators: dedup family -----------------------
@@ -1872,6 +1894,24 @@ object SparkEntry {
         |               ELSE 2000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // sqrt-temperature rates replayed with floor(sqrt(n)) — IEEE sqrt is
+    // correctly rounded, so the integer floor agrees with BigInt isqrt
+    "sample_mixture_sqrt" ->
+      """WITH n AS (SELECT source, count(*)::BIGINT AS n FROM documents
+        |           GROUP BY 1),
+        |w AS (SELECT sum(floor(sqrt(n))::BIGINT) AS wsum FROM n),
+        |r AS (SELECT source, n,
+        |        CASE WHEN (10000 * 400 * floor(sqrt(n))::BIGINT)
+        |                    // (w.wsum * n) > 10000 THEN 10000
+        |             ELSE ((10000 * 400 * floor(sqrt(n))::BIGINT)
+        |                    // (w.wsum * n))::BIGINT END AS bp
+        |      FROM n CROSS JOIN w)
+        |SELECT d.source, count(*) AS n_kept, sum(d.doc_id)::BIGINT AS id_sum
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5('mixs|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 10000 < r.bp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // mixture rates replayed with the same exact integer floor arithmetic
     // (// is DuckDB integer division); renormalization over present
     // sources matches the operator's contract
@@ -2059,6 +2099,30 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
          |       coalesce(floor(g.m * 10000 + 0.5), 0)::BIGINT AS nlp_bp
          |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // drift replay: the dsir weight CTEs, dotted with the target counts —
+    // a pure integer sum both engines compute identically
+    "corpus_drift" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS s FROM documents),
+         |bk AS (SELECT doc_id,
+         |         ('0x' || substr(md5(s), 1, 15))::BIGINT % 1024 AS bucket
+         |       FROM tok),
+         |tc AS (SELECT bucket, count(*)::BIGINT AS tn
+         |       FROM bk JOIN documents USING (doc_id)
+         |       WHERE source = 'src5' GROUP BY 1),
+         |rc AS (SELECT bucket, count(*)::BIGINT AS rn FROM bk GROUP BY 1),
+         |tt AS (SELECT coalesce(sum(tn), 0)::BIGINT AS t_tot FROM tc),
+         |rt AS (SELECT coalesce(sum(rn), 0)::BIGINT AS r_tot FROM rc),
+         |w AS (SELECT r.bucket,
+         |        floor(ln(((coalesce(tc.tn, 0) + 1) * (rt.r_tot + 1024))::DOUBLE
+         |              / ((r.rn + 1) * (tt.t_tot + 1024))::DOUBLE) * 1e6 + 0.5)
+         |          ::BIGINT AS w_unats
+         |      FROM rc r LEFT JOIN tc USING (bucket)
+         |           CROSS JOIN tt CROSS JOIN rt)
+         |SELECT count(*)::BIGINT AS n_buckets,
+         |       sum(tc.tn)::BIGINT AS t_tokens,
+         |       sum(tc.tn * w.w_unats)::BIGINT AS kl_unats_sum
+         |FROM tc JOIN w USING (bucket)""".stripMargin,
 
     // DSIR replay: hashed-unigram bucket counts for target (src5) and raw
     // (all), one ln per bucket of the exact integer ratio, micro-nat

@@ -68,6 +68,27 @@ object Dsir {
           .cast("long").as("w_unats"))
   }
 
+  /** Corpus DRIFT between two snapshots: KL(target ‖ raw) over the hashed
+    * unigram buckets, in integer (count × micro-nat) units — the
+    * distribution-shift monitor a pipeline runs between crawl snapshots
+    * (did this month's data move away from last month's?). Reuses the
+    * DSIR machinery exactly: KL = Σ_b p_b·ln(p_b/q_b) with add-one
+    * smoothing is `Σ_b tc_b · w_b / T` — target counts (integers) times
+    * the micro-nat weight table ([[weightTable]]) — so the bucket sum is
+    * a pure INTEGER dot product, order-independent and replayable in SQL.
+    * Returns one row: `(n_buckets, t_tokens, kl_unats_sum)` where
+    * `kl_unats_sum/t_tokens` is the per-token KL estimate in micro-nats.
+    */
+  def driftUnats(raw: DataFrame, target: DataFrame, textCol: String,
+                 buckets: Int = 1024): DataFrame = {
+    val weights = weightTable(raw, target, textCol, buckets)
+    val tc = bucketCounts(target, textCol, buckets)
+    tc.join(weights, Seq("bucket"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("t_tokens"),
+        sum(col("n") * col("w_unats")).as("kl_unats_sum"))
+  }
+
   /** Score `raw` documents against a `target` sample: per doc, the token
     * count and the integer micro-nat importance score (sum of bucket
     * weights). Docs with no tokens score 0. Higher = more target-like;

@@ -79,6 +79,47 @@ object Sampling {
       .select(df.columns.map(col).toSeq: _*) // original column order
   }
 
+  /** Square-root TEMPERATURE mixture (α = 0.5 sampling, the multilingual
+    * balancing recipe mT5/XLM-R popularized): per-source keep rates are
+    * proportional to `isqrt(n_s)` — small sources are boosted relative to
+    * their size, dominant ones damped — normalized to a total document
+    * budget. All arithmetic is exact integers (BigInt integer square
+    * root), so the kept set is bit-reproducible and the oracle replays it
+    * with `floor(sqrt(n))` (IEEE sqrt is correctly rounded, and no
+    * non-square integer sits within half an ulp of an integer root, so
+    * the floor agrees exactly for any realistic count).
+    *
+    * Scale shape: identical to [[mixtureSample]] — one map-side count per
+    * source, a broadcast rate table, a per-row hash filter fused into the
+    * scan.
+    */
+  def sqrtMixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        budgetDocs: Long, salt: String = "mix"): DataFrame = {
+    val spark = df.sparkSession
+    val counts: Seq[(String, Long)] = df
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def isqrt(n: BigInt): BigInt =
+      if (n < 2) n
+      else {
+        var x = BigInt(math.sqrt(n.toDouble).toLong + 1)
+        while (x * x > n) x = (x + n / x) / 2
+        x
+      }
+    val wSum = counts.map(c => isqrt(BigInt(c._2))).sum
+    val rates = counts.map { case (src, n) =>
+      val bp = BigInt(10000) * budgetDocs * isqrt(BigInt(n)) / (wSum * n)
+      (src, bp.min(10000).toLong)
+    }
+    import spark.implicits._
+    val rateDf = rates.toDF(sourceCol, "_rate_bp")
+    df.join(broadcast(rateDf), Seq(sourceCol))
+      .where(DedupFunctions.hash60(
+        concat_ws("|", lit(salt), col(idCol).cast("string"))).%(10000)
+        < col("_rate_bp"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Mixture resampling with UPSAMPLING: like [[mixtureSample]] but a
     * source whose quota exceeds its size is repeated for multiple epochs
     * (the way real training recipes weight small high-value sources —

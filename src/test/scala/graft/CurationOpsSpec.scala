@@ -372,6 +372,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(Dsir.weightTable(raw, target, "text", 64).count() <= 64)
   }
 
+  test("drift: identical snapshots measure exactly zero; disjoint vocab large") {
+    import graft.operators.Dsir
+    val a = Seq.tabulate(30)(i => (i.toLong, s"alpha beta gamma word$i"))
+      .toDF("doc_id", "text")
+    val zero = Dsir.driftUnats(a, a, "text", buckets = 128)
+      .head().getLong(2)
+    assert(zero === 0L) // tc=rc, T=R -> every weight is ln(1) = 0 exactly
+    val b = Seq.tabulate(30)(i => (100L + i, s"zeta eta theta other$i"))
+      .toDF("doc_id", "text")
+    val shifted = Dsir.driftUnats(a.unionByName(b), b, "text", buckets = 128)
+      .head().getLong(2)
+    assert(shifted > 0L, s"disjoint-vocab drift should be positive, got $shifted")
+  }
+
+  test("sqrt mixture: rates follow isqrt weighting; kept set is a hash filter") {
+    import graft.operators.Sampling
+    // sizes 100 and 400: sqrt weights 10 and 20 -> the small source keeps
+    // a 4x HIGHER rate (boosted), budget 250 of 500
+    val docs = (Seq.tabulate(100)(i => (i.toLong, "s")) ++
+      Seq.tabulate(400)(i => (1000L + i, "b"))).toDF("doc_id", "source")
+    val kept = Sampling.sqrtMixtureSample(docs, "doc_id", "source",
+        budgetDocs = 250L, salt = "t")
+      .groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact expected rates: wsum=30; s: 1e4*250*10/(30*100)=8333bp,
+    // b: 1e4*250*20/(30*400)=4166bp
+    assert(kept("s") > 70 && kept("s") <= 100)   // ~83% of 100
+    assert(kept("b") > 130 && kept("b") < 200)   // ~42% of 400
+    // per-doc keep decision is independent of other rows: a subset corpus
+    // with the same rates keeps exactly the intersection
+    val all = Sampling.sqrtMixtureSample(docs, "doc_id", "source", 250L, "t")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.values.sum === all.size)
+  }
+
   test("dsir: integer micro-nat scores are partition-independent") {
     val target = Seq.tabulate(10)(i => (i.toLong, s"term$i common word"))
       .toDF("doc_id", "text")
