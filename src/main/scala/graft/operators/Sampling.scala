@@ -184,14 +184,39 @@ object Sampling {
     * key, one parquet dir per shard. A downstream trainer streaming
     * shard=0,1,2,… reads the whole corpus in deterministic shuffled
     * order without anyone ever paying a global sort.
+    *
+    * After the data lands, a MANIFEST (`_manifest.json` beside the shard
+    * dirs) records per-shard row counts, id sums, and a modular checksum
+    * of the order keys — the integrity record a trainer verifies before
+    * a run, computed by re-reading the WRITTEN files so it attests what
+    * is actually on storage, not what the plan intended. ≤ numShards
+    * rows through the driver.
     */
   def exportShuffled(df: DataFrame, idCol: String, path: String,
-                     numShards: Int, salt: String = "shard"): Unit =
+                     numShards: Int, salt: String = "shard"): Unit = {
     assignShards(df, idCol, numShards, salt)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_order"), col(idCol))
       .write.partitionBy("shard")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val rows = spark.read.parquet(path)
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(idCol)).as("id_sum"),
+        sum(col("shard_order") % 1000000007L).as("order_sum"))
+      .orderBy(col("shard"))
+      .collect() // bounded: one row per shard
+    val body = rows.map { r =>
+      s"""{"shard":${r.get(0)},"n_docs":${r.getLong(1)},""" +
+        s""""id_sum":${r.getLong(2)},"order_sum":${r.getLong(3)}}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Deterministic train/validation/test split assignment: each doc's
     * split is a pure function of (salt, id) — the hash lands in one of

@@ -203,6 +203,23 @@ class TextFunctionsSpec extends SparkSpec {
         .select($"shard_order").collect().map(_.getLong(0))
       assert(rows.sameElements(rows.sorted), s"shard $d not in order")
     }
+    // the manifest attests what is on storage: per-shard counts/checksums
+    // recomputed from the read-back data must match it line for line
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/_manifest.json")))
+    val expected = back.groupBy($"shard").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"id").as("ids"),
+        org.apache.spark.sql.functions.sum($"shard_order" % 1000000007L).as("os"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    expected.foreach { case (s, cnt, ids, os) =>
+      val line = s"""{"shard":$s,"n_docs":$cnt,"id_sum":$ids,"order_sum":$os}"""
+      assert(manifest.contains(line), s"manifest missing $line\n$manifest")
+    }
+    // Spark ignores the underscore-prefixed manifest when reading the dir
+    assert(back.columns.toSeq.sorted ==
+      Seq("id", "payload", "shard", "shard_order"))
     // deterministic: same salt → same assignment
     val a1 = Sampling.assignShards(df, "id", n, "t")
       .select($"id", $"shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
