@@ -96,9 +96,13 @@ object Sampling {
   def sqrtMixtureSample(df: DataFrame, idCol: String, sourceCol: String,
                         budgetDocs: Long, salt: String = "mix"): DataFrame = {
     val spark = df.sparkSession
+    // null sources are unmixable (and would NPE the collect): excluded
+    // from the quota AND from the output (the rate join can't match null)
     val counts: Seq[(String, Long)] = df
+      .where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(counts.nonEmpty, "no non-null sources to mix")
     def isqrt(n: BigInt): BigInt =
       if (n < 2) n
       else {

@@ -407,6 +407,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.values.sum === all.size)
   }
 
+  test("sqrt mixture: null sources are excluded from quota and output") {
+    import graft.operators.Sampling
+    val docs = (Seq.tabulate(50)(i => (i.toLong, Option("s"))) ++
+      Seq.tabulate(20)(i => (1000L + i, Option.empty[String])))
+      .toDF("doc_id", "source")
+    val kept = Sampling.sqrtMixtureSample(docs, "doc_id", "source",
+      budgetDocs = 30L, salt = "t")
+    assert(kept.where($"source".isNull).count() === 0L)
+    // quota computed over the 50 non-null docs only: rate = 1e4*30/50 = 6000bp
+    val n = kept.count()
+    assert(n > 15 && n < 45, s"~60% of 50 expected, got $n")
+    val allNull = Seq.tabulate(5)(i => (i.toLong, Option.empty[String]))
+      .toDF("doc_id", "source")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.sqrtMixtureSample(allNull, "doc_id", "source", 3L, "t")
+    }
+    assert(ex.getMessage.contains("no non-null sources"))
+  }
+
   test("dsir: integer micro-nat scores are partition-independent") {
     val target = Seq.tabulate(10)(i => (i.toLong, s"term$i common word"))
       .toDF("doc_id", "text")
