@@ -923,6 +923,15 @@ object SparkEntry {
         d, d.where($"source" === "src5"), "text", buckets = 1024)
     }),
 
+    // TF-IDF keyword extraction: per-doc top-5 terms by integer
+    // tf × micro-nat-idf score — the topic/keyword signal for curation
+    // and per-domain balancing. Rank-stable (term-string tiebreak).
+    "tfidf_keywords" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Tfidf.topKeywords(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // ---- LLM-pipeline operators: dedup family -----------------------
 
     // Exact dedup via normalized-content fingerprint.
@@ -2153,6 +2162,28 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.n_toks, 0)::BIGINT AS n_toks,
          |       coalesce(sc.score_unats, 0)::BIGINT AS score_unats
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // TF-IDF replay: integer tf/df counts, one ln per distinct df of an
+    // exact integer ratio micro-nat-floored (the dsir discipline), integer
+    // tf*idf products, row_number with the term-string tiebreak
+    "tfidf_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (SELECT term, df,
+         |          floor(ln((nn.n + 1)::DOUBLE / (df + 1)::DOUBLE) * 1e6 + 0.5)
+         |            ::BIGINT AS idf_unats
+         |        FROM dfq CROSS JOIN nn),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |              tf.tf * idf.idf_unats AS score_unats
+         |       FROM tf JOIN idf USING (term)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score_unats DESC, term ASC)::BIGINT AS rank
+         |       FROM sc)
+         |SELECT doc_id, term, tf, score_unats, rank FROM rk
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // round-0 BPE pair table: vocabulary freqs x adjacent character pairs
     "bpe_pair_counts" ->

@@ -426,6 +426,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("no non-null sources"))
   }
 
+  test("tfidf: rare terms outrank ubiquitous ones; ties break on term") {
+    import graft.operators.Tfidf
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common common"),
+      (3L, "common zeta alfa")).toDF("doc_id", "text")
+    // 'common' df=3 -> idf ln(4/4)=0 -> score 0 always
+    val kw = Tfidf.topKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).toSeq
+    val d1 = kw.filter(_._1 == 1L).sortBy(_._4)
+    assert(d1.head._2 === "rare" && d1.head._3 > 0)
+    assert(d1(1)._2 === "common" && d1(1)._3 === 0L)
+    // doc 3: alfa and zeta tie (same tf, same df) -> term-string order
+    val d3 = kw.filter(_._1 == 3L).sortBy(_._4).map(_._2)
+    assert(d3 === Seq("alfa", "zeta"))
+    // partition-independence: integer scores survive a repartition
+    val again = Tfidf.topKeywords(docs.repartition(7), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(again === kw.toSet)
+  }
+
   test("dsir: integer micro-nat scores are partition-independent") {
     val target = Seq.tabulate(10)(i => (i.toLong, s"term$i common word"))
       .toDF("doc_id", "text")
