@@ -923,6 +923,27 @@ object SparkEntry {
         d, d.where($"source" === "src5"), "text", buckets = 1024)
     }),
 
+    // Naive Bayes classifier round-trip: train a hashed-unigram
+    // multinomial NB on the corpus's own lang labels (doc_id%5!=0),
+    // predict the held-out fifth — the fastText-shaped quality/language
+    // filter, deterministic end-to-end in integer micro-nats. NOTE: the
+    // synthetic corpus draws every lang's text from the SAME 31-word
+    // pool, so labels are text-independent and the Bayes-correct answer
+    // is the majority-prior argmax — this query gates the exact train+
+    // score arithmetic; CurationOpsSpec pins real class separation on a
+    // corpus where the vocabularies actually differ.
+    "nb_langid" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      graft.operators.NaiveBayes.classify(
+          d.where($"doc_id" % 5 === 0), d.where($"doc_id" % 5 =!= 0),
+          "doc_id", "lang", "text", buckets = 1024)
+        .join(d.select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"doc_id", $"pred", $"score_unats",
+          ($"pred" === $"lang").cast("long").as("hit"))
+        .orderBy($"doc_id")
+    }),
+
     // TF-IDF keyword extraction: per-doc top-5 terms by integer
     // tf × micro-nat-idf score — the topic/keyword signal for curation
     // and per-domain balancing. Rank-stable (term-string tiebreak).
@@ -2162,6 +2183,54 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.n_toks, 0)::BIGINT AS n_toks,
          |       coalesce(sc.score_unats, 0)::BIGINT AS score_unats
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // NB replay: the full train+score round-trip — per-class integer
+    // counts, one ln per (label,bucket) of an exact integer ratio
+    // micro-nat-floored, integer per-doc sums, argmax with label tiebreak
+    "nb_langid" ->
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+         |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |nt AS (SELECT count(*)::BIGINT AS n FROM tr),
+         |cls AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
+         |          coalesce(sum(len($tokensSql)), 0)::BIGINT AS tot_toks
+         |        FROM tr GROUP BY 1),
+         |cl AS (SELECT label, n_docs, tot_toks,
+         |         floor(ln(n_docs::DOUBLE / nt.n::DOUBLE) * 1e6 + 0.5)
+         |           ::BIGINT AS prior_unats,
+         |         floor(ln(1::DOUBLE / (tot_toks + 1024)::DOUBLE) * 1e6 + 0.5)
+         |           ::BIGINT AS dflt_unats
+         |       FROM cls CROSS JOIN nt),
+         |ttok AS (SELECT lang AS label,
+         |           ('0x' || substr(md5(s), 1, 15))::BIGINT % 1024 AS bucket
+         |         FROM (SELECT lang, unnest($tokensSql) AS s FROM tr)),
+         |wc AS (SELECT label, bucket, count(*)::BIGINT AS n
+         |       FROM ttok GROUP BY 1, 2),
+         |wt AS (SELECT wc.label, wc.bucket,
+         |         floor(ln((wc.n + 1)::DOUBLE / (cl.tot_toks + 1024)::DOUBLE)
+         |           * 1e6 + 0.5)::BIGINT AS w_unats
+         |       FROM wc JOIN cl USING (label)),
+         |dtok AS (SELECT doc_id,
+         |           ('0x' || substr(md5(s), 1, 15))::BIGINT % 1024 AS bucket
+         |         FROM (SELECT doc_id, unnest($tokensSql) AS s FROM te)),
+         |sc AS (SELECT d.doc_id, cl.label,
+         |         cl.prior_unats
+         |           + sum(coalesce(wt.w_unats, cl.dflt_unats))::BIGINT
+         |           AS score_unats
+         |       FROM dtok d CROSS JOIN cl
+         |            LEFT JOIN wt ON wt.label = cl.label
+         |                        AND wt.bucket = d.bucket
+         |       GROUP BY 1, 2, cl.prior_unats),
+         |emp AS (SELECT te.doc_id, cl.label,
+         |          cl.prior_unats::BIGINT AS score_unats
+         |        FROM te CROSS JOIN cl
+         |        WHERE te.doc_id NOT IN (SELECT DISTINCT doc_id FROM dtok)),
+         |al AS (SELECT * FROM sc UNION ALL SELECT * FROM emp),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score_unats DESC, label ASC) AS rn FROM al)
+         |SELECT r.doc_id, r.label AS pred, r.score_unats,
+         |       (r.label = te.lang)::BIGINT AS hit
+         |FROM rk r JOIN te USING (doc_id) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
 
     // TF-IDF replay: integer tf/df counts, one ln per distinct df of an
     // exact integer ratio micro-nat-floored (the dsir discipline), integer

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.{DedupFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier over hashed unigram features —
+  * the fastText-shaped linear quality/language/domain filter every
+  * large-scale curation pipeline trains on weak labels and sweeps over
+  * the crawl (GPT-3's quality classifier, CCNet's language filter).
+  *
+  * Determinism discipline (the [[Dsir]] recipe): all counts are exact
+  * integers; each (label, bucket) pays ONE `ln` of an exact integer
+  * ratio — add-one smoothed `ln((c_lb+1)/(tot_l+B))` — quantized to
+  * integer MICRO-NATS; a document's per-label score is the INTEGER sum
+  * `prior_unats + Σ w_unats` (unseen buckets coalesce to the label's
+  * default `ln(1/(tot_l+B))` weight). No float ever accumulates, so
+  * predictions are partition-independent and the DuckDB oracle replays
+  * the whole train+score round-trip bit-exactly. Argmax ties break on
+  * the label string.
+  *
+  * Scale shape: training is two map-side-combinable aggregations bounded
+  * by `labels × buckets` rows (a fixed model size — the hashing trick's
+  * design point, NOT corpus cardinality); the model broadcasts; scoring
+  * is explode → broadcast join → integer partial-agg → a per-document
+  * window. Nothing driver-side, no corpus-sized shuffle beyond the
+  * (doc, label) aggregation that scoring inherently is.
+  */
+object NaiveBayes {
+
+  /** Per-class table: `(label, n_docs, tot_toks, prior_unats,
+    * dflt_unats)` — document priors and the unseen-bucket default
+    * weight, both micro-nat quantized. Bounded by the label count.
+    */
+  def classTable(train: DataFrame, labelCol: String, textCol: String,
+                 buckets: Int): DataFrame = {
+    val nDocs = train.count()
+    require(nDocs > 0, "empty training set")
+    train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(TextFunctions.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("tot_toks"))
+      .select(col("label"), col("n_docs"), col("tot_toks"),
+        floor(log(col("n_docs").cast("double") / lit(nDocs.toDouble))
+          * 1e6 + 0.5).cast("long").as("prior_unats"),
+        floor(log(lit(1.0) / (col("tot_toks") + lit(buckets)).cast("double"))
+          * 1e6 + 0.5).cast("long").as("dflt_unats"))
+  }
+
+  /** The model proper: `(label, bucket, w_unats)` — add-one-smoothed
+    * log-likelihood of each hashed unigram bucket under each class, in
+    * integer micro-nats. ≤ `labels × buckets` rows.
+    */
+  def weightTable(train: DataFrame, labelCol: String, textCol: String,
+                  buckets: Int): DataFrame = {
+    val cls = classTable(train, labelCol, textCol, buckets)
+    train.select(col(labelCol).as("label"),
+        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .select(col("label"),
+        DedupFunctions.hash60(col("_tok")).%(buckets).as("bucket"))
+      .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("n"))
+      .join(cls.select(col("label"), col("tot_toks")), Seq("label"))
+      .select(col("label"), col("bucket"),
+        floor(log((col("n") + 1).cast("double")
+            / (col("tot_toks") + lit(buckets)).cast("double"))
+          * 1e6 + 0.5).cast("long").as("w_unats"))
+  }
+
+  /** Train on `train` (labels in `labelCol`) and predict every `docs`
+    * row: `(idCol, pred, score_unats)` — the argmax label and its
+    * integer log-posterior score. Token-less documents fall back to the
+    * prior-only argmax. Rank-stable: score ties break on label.
+    */
+  def classify(docs: DataFrame, train: DataFrame, idCol: String,
+               labelCol: String, textCol: String,
+               buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val cls = classTable(train, labelCol, textCol, buckets)
+    val wt = weightTable(train, labelCol, textCol, buckets)
+    val toks = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .select(col(idCol),
+        DedupFunctions.hash60(col("_tok")).%(buckets).as("bucket"))
+    val scored = toks
+      .crossJoin(broadcast(cls.select(col("label"), col("prior_unats"),
+        col("dflt_unats"))))
+      .join(broadcast(wt), Seq("label", "bucket"), "left")
+      .groupBy(col(idCol), col("label"), col("prior_unats"))
+      .agg(sum(coalesce(col("w_unats"), col("dflt_unats"))).as("_tok_unats"))
+      .select(col(idCol), col("label"),
+        (col("prior_unats") + col("_tok_unats")).as("score_unats"))
+    // empty docs drop out of the explode — restore them prior-only
+    val empties = docs.select(col(idCol))
+      .join(toks.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .crossJoin(broadcast(cls.select(col("label"),
+        col("prior_unats").as("score_unats"))))
+      .select(col(idCol), col("label"), col("score_unats"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_unats").desc, col("label").asc)
+    scored.unionByName(empties)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score_unats"))
+  }
+}

@@ -449,6 +449,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(again === kw.toSet)
   }
 
+  test("naive bayes: separable vocabularies classify; empty doc falls back to prior") {
+    import graft.operators.NaiveBayes
+    val train = (Seq.tabulate(20)(i => (i.toLong, "spam", "buy cheap pills now win prize")) ++
+      Seq.tabulate(30)(i => (100L + i, "ham", "meeting notes agenda quarterly review")))
+      .toDF("doc_id", "label", "text")
+    val test = Seq(
+      (500L, "cheap prize pills"),
+      (501L, "agenda for the quarterly meeting"),
+      (502L, "")).toDF("doc_id", "text")
+    val pred = NaiveBayes.classify(test, train, "doc_id", "label", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(500L) === "spam")
+    assert(pred(501L) === "ham")
+    assert(pred(502L) === "ham") // prior-only: ham is the majority class
+    // integer scores are partition-independent
+    val again = NaiveBayes.classify(test.repartition(5), train.repartition(7),
+        "doc_id", "label", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val once = NaiveBayes.classify(test, train, "doc_id", "label", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again === once)
+  }
+
   test("dsir: integer micro-nat scores are partition-independent") {
     val target = Seq.tabulate(10)(i => (i.toLong, s"term$i common word"))
       .toDF("doc_id", "text")
