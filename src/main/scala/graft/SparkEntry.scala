@@ -923,6 +923,20 @@ object SparkEntry {
         d, d.where($"source" === "src5"), "text", buckets = 1024)
     }),
 
+    // Per-source cap: keep each source's 40 best documents by heuristic
+    // quality score (doc_id tiebreak) — the per-domain ceiling that
+    // stops any one host dominating the training mix (sources carry ≥25
+    // docs at every SF, so a cap of 15 genuinely cuts).
+    "cap_per_source" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"source",
+        TextFunctions.basisPoints(TextFunctions.qualityScore($"text"))
+          .as("quality_bp"))
+      graft.operators.Sampling.capPerGroup(d, "doc_id", "source",
+          "quality_bp", k = 15)
+        .orderBy($"source", $"rank")
+    }),
+
     // Naive Bayes classifier round-trip: train a hashed-unigram
     // multinomial NB on the corpus's own lang labels (doc_id%5!=0),
     // predict the held-out fifth — the fastText-shaped quality/language
@@ -2183,6 +2197,18 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.n_toks, 0)::BIGINT AS n_toks,
          |       coalesce(sc.score_unats, 0)::BIGINT AS score_unats
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // per-source cap replay: quality annotation CTE + a per-source
+    // row_number with the doc_id tiebreak
+    "cap_per_source" ->
+      s"""WITH ${docAnnotateCte()},
+         |j AS (SELECT d.doc_id, d.source, ann.quality_bp
+         |      FROM documents d JOIN ann USING (doc_id)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+         |         ORDER BY quality_bp DESC, doc_id ASC)::BIGINT AS rank
+         |       FROM j)
+         |SELECT doc_id, source, quality_bp, rank FROM rk
+         |WHERE rank <= 15 ORDER BY source, rank""".stripMargin,
 
     // NB replay: the full train+score round-trip — per-class integer
     // counts, one ln per (label,bucket) of an exact integer ratio

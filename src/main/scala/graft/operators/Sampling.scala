@@ -36,6 +36,30 @@ object Sampling {
       concat_ws("|", lit(salt), col(idCol).cast("string"))).%(10000) < rate)
   }
 
+  /** Deterministic per-group cap: keep at most `k` rows per group,
+    * ranked `(rankCol DESC, idCol ASC)` — the per-domain/per-source
+    * ceiling a crawl pipeline applies so no single host dominates the
+    * training mix (rank by a quality score to keep each domain's best
+    * `k`). Appends a 1-based `rank` column. Total-ordered tiebreak on
+    * the id, so output is bit-reproducible.
+    *
+    * Scale shape: one window partitioned BY GROUP — no global sort; a
+    * group's sort is distributed across its partition and output is
+    * bounded at `k` rows per group. A pathologically hot single group
+    * (one domain = half the crawl) sorts on one reducer — pre-thin such
+    * groups with [[stratifiedSample]] before capping if that shape is
+    * expected.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  rankCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(rankCol).desc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Mixture sampling: resample the corpus toward TARGET source weights
     * under a total document budget — the data-mixing step of a training
     * run (the weights are the mixture config a method like DoReMi or a

@@ -449,6 +449,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(again === kw.toSet)
   }
 
+  test("cap per group: keeps top-k by score with id tiebreak") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 1L)).toDF("doc_id", "source", "score")
+    val kept = Sampling.capPerGroup(d, "doc_id", "source", "score", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    // group a: scores 30(id2), 30(id3) — tie broken by id; group b under cap
+    assert(kept === Set((2L, "a", 1L), (3L, "a", 2L), (5L, "b", 1L)))
+  }
+
   test("naive bayes: separable vocabularies classify; empty doc falls back to prior") {
     import graft.operators.NaiveBayes
     val train = (Seq.tabulate(20)(i => (i.toLong, "spam", "buy cheap pills now win prize")) ++
