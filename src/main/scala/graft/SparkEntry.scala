@@ -923,7 +923,35 @@ object SparkEntry {
         d, d.where($"source" === "src5"), "text", buckets = 1024)
     }),
 
-    // Per-source cap: keep each source's 40 best documents by heuristic
+    // Word-entropy quality signals: unnormalized Shannon entropy
+    // n·H in integer micro-nats + distinct-token ratio — the
+    // boilerplate/noise screens (low entropy = repeated boilerplate,
+    // high distinct ratio on long docs = token soup).
+    "text_entropy" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Entropy.wordEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Winnowing fingerprints (Schleimer et al. SIGMOD'03): windowed-min
+    // selection over word-3-gram hashes, ~2/(w+1) density with a
+    // guaranteed hit for any shared passage of ≥ w+2 tokens. Output:
+    // per-doc gram/fingerprint counts + a mod-p checksum of the
+    // selected set (order-independent, so engines may disagree on
+    // array order but never on the set).
+    "text_winnow_fp" -> ((s, dir) => {
+      import s.implicits._
+      val p = 1000000007L
+      val fp = TextFunctions.winnowedFingerprints($"text", n = 3, w = 8)
+      docs(s, dir).select($"doc_id",
+          size(TextFunctions.shingles($"text", 3)).cast("long").as("n_grams"),
+          size(fp).cast("long").as("n_fp"),
+          aggregate(fp, lit(0L),
+            (acc, x) => (acc + x % p) % p).as("fp_checksum"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-source cap: keep each source's 15 best documents by heuristic
     // quality score (doc_id tiebreak) — the per-domain ceiling that
     // stops any one host dominating the training mix (sources carry ≥25
     // docs at every SF, so a cap of 15 genuinely cuts).
@@ -2197,6 +2225,48 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.n_toks, 0)::BIGINT AS n_toks,
          |       coalesce(sc.score_unats, 0)::BIGINT AS score_unats
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // word-entropy replay: per-(doc,token) integer counts, each ln of an
+    // exact integer micro-nat-floored, integer n·L(n) − Σ c·L(c)
+    "text_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS c
+         |       FROM tok GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, sum(c)::BIGINT AS n_toks,
+         |         count(*)::BIGINT AS n_distinct,
+         |         sum(c * floor(ln(c::DOUBLE) * 1e6 + 0.5)::BIGINT)::BIGINT
+         |           AS clnc
+         |       FROM tf GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(ag.n_toks, 0)::BIGINT AS n_toks,
+         |  coalesce(ag.n_distinct, 0)::BIGINT AS n_distinct,
+         |  coalesce(floor(ag.n_distinct::DOUBLE / ag.n_toks * 10000 + 0.5),
+         |    0)::BIGINT AS distinct_bp,
+         |  coalesce(ag.n_toks
+         |      * floor(ln(ag.n_toks::DOUBLE) * 1e6 + 0.5)::BIGINT
+         |      - ag.clnc, 0)::BIGINT AS ent_nunats
+         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // winnowing replay: shingle-hash list, windowed list_min selection,
+    // distinct set, order-independent mod-p checksum via list_reduce
+    "text_winnow_fp" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id, $shinglesSql AS gs FROM t),
+         |h AS (SELECT doc_id, gs,
+         |        list_transform(gs,
+         |          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+         |      FROM g),
+         |w AS (SELECT doc_id, len(gs)::BIGINT AS n_grams,
+         |        list_distinct(CASE WHEN len(hs) >= 8
+         |          THEN list_transform(generate_series(1, len(hs) - 7),
+         |                 i -> list_min(hs[i:i+7]))
+         |          ELSE [list_min(hs)] END) AS fp
+         |      FROM h)
+         |SELECT doc_id, n_grams, len(fp)::BIGINT AS n_fp,
+         |  list_reduce(list_prepend(0,
+         |    list_transform(fp, x -> x % 1000000007)),
+         |    (a, b) -> (a + b) % 1000000007)::BIGINT AS fp_checksum
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     // per-source cap replay: quality annotation CTE + a per-source
     // row_number with the doc_id tiebreak

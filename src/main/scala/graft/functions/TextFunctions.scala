@@ -86,6 +86,26 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     expressions.WordShingles.word_shingles(text, n)
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash
+    * the word `n`-gram shingles, slide a window of `w` consecutive
+    * hashes, keep each window's minimum — any shared passage of
+    * ≥ `w + n − 1` tokens is guaranteed to share a fingerprint, at
+    * ~2/(w+1) selection density. The standard robust alternative to
+    * fixed-stride fingerprinting for plagiarism/near-dup detection.
+    * Per-row array expression — codegen'd, shuffle-free. Docs with
+    * fewer than `w` shingles keep their single global minimum.
+    */
+  def winnowedFingerprints(text: Column, n: Int, w: Int): Column = {
+    val hs = transform(shingles(text, n),
+      s => graft.functions.DedupFunctions.hash60(s))
+    array_distinct(
+      when(size(hs) >= w,
+          transform(sequence(lit(1), size(hs) - w + 1),
+            i => array_min(slice(hs, i, lit(w)))))
+        .otherwise(array(array_min(hs))))
+  }
+
   /** Language marker stopwords (tiny per-language sets; distinct-match
     * scoring). Mirrored literally in the SQL oracle — keep in sync.
     */

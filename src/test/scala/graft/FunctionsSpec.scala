@@ -320,6 +320,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L))
   }
 
+  test("word entropy: exact integer micro-nat values, zeros for empty docs") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "a a a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Entropy.wordEntropy(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // n=3 c={2,1}: 3·L(3) − 2·L(2) = 3·1098612 − 2·693147 = 1909542
+    assert(r(1L) === ((3L, 2L, 6667L, 1909542L)))
+    assert(r(2L) === ((3L, 1L, 3333L, 0L))) // uniform repeat: H = 0
+    assert(r(3L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("winnowing: shared long passage guarantees a common fingerprint") {
+    import spark.implicits._
+    val passage = (1 to 15).map(i => s"shared$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"one two three four five six $passage seven eight"),
+      (3L, "totally different words everywhere nothing matches here at all"))
+      .toDF("doc_id", "text")
+    val fp = d.select($"doc_id",
+        TextFunctions.winnowedFingerprints($"text", 3, 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // passage of 15 tokens ≥ w+n−1 = 10 ⇒ guaranteed shared fingerprint
+    assert((fp(1L) & fp(2L)).nonEmpty)
+    assert((fp(1L) & fp(3L)).isEmpty)
+    // density: selected set is a small fraction of all grams (~2/(w+1))
+    val nGrams = d.select(size(TextFunctions.shingles($"text", 3)))
+      .collect().map(_.getInt(0)).sum
+    assert(fp.values.map(_.size).sum < nGrams)
+    // short doc: single global min
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val sfp = short.select(TextFunctions.winnowedFingerprints($"text", 3, 8))
+      .head().getSeq[Long](0)
+    assert(sfp.size === 1)
+  }
+
   test("redact scrubs urls/emails/ips with typed placeholders; counts match") {
     import spark.implicits._
     val df = Seq(
