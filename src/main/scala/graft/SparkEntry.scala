@@ -923,6 +923,16 @@ object SparkEntry {
         d, d.where($"source" === "src5"), "text", buckets = 1024)
     }),
 
+    // Winnowing near-dup pairs: docs sharing ≥2 winnowed fingerprints —
+    // passage-level overlap detection (guaranteed hit for shared
+    // passages of ≥ w+2 tokens), the minhash-pairs join shape.
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      import s.implicits._
+      DedupFunctions.winnowNearDups(docs(s, dir), "doc_id", "text",
+          n = 3, w = 8, minShared = 2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Word-entropy quality signals: unnormalized Shannon entropy
     // n·H in integer micro-nats + distinct-token ratio — the
     // boilerplate/noise screens (low entropy = repeated boilerplate,
@@ -2225,6 +2235,25 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.n_toks, 0)::BIGINT AS n_toks,
          |       coalesce(sc.score_unats, 0)::BIGINT AS score_unats
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // winnow-pairs replay: the winnow CTE + fingerprint self-join
+    "dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id, $shinglesSql AS gs FROM t),
+         |h AS (SELECT doc_id,
+         |        list_transform(gs,
+         |          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+         |      FROM g),
+         |w AS (SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 8
+         |        THEN list_transform(generate_series(1, len(hs) - 7),
+         |               i -> list_min(hs[i:i+7]))
+         |        ELSE [list_min(hs)] END) AS fp
+         |      FROM h),
+         |e AS (SELECT doc_id, unnest(fp) AS fp FROM w)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       count(*)::BIGINT AS n_shared
+         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
     // word-entropy replay: per-(doc,token) integer counts, each ln of an
     // exact integer micro-nat-floored, integer n·L(n) − Σ c·L(c)

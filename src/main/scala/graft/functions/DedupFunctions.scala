@@ -228,6 +228,42 @@ object DedupFunctions {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Winnowing near-dup candidate pairs: documents sharing at least
+    * `minShared` winnowed fingerprints
+    * ([[TextFunctions.winnowedFingerprints]] — any shared passage of
+    * ≥ w+n−1 tokens guarantees a shared fingerprint, so this catches
+    * passage-level overlap MinHash's whole-document similarity dilutes
+    * away). Same banded equi-join shape as [[minhashCandidates]]:
+    * explode (fingerprint, id), self-join on the fingerprint, count per
+    * pair — one shuffle, no all-pairs comparison. A fingerprint shared
+    * by k docs contributes k² pair rows (the standard LSH-bucket skew);
+    * boilerplate passages common to a large doc fraction should be
+    * removed first ([[removeRepeatedSpans]]) exactly as a minhash
+    * pipeline would. `stagingPath` is the same at-scale escape hatch as
+    * the other pair generators: fingerprints go to parquet and both
+    * join sides read the file instead of a block-manager checkpoint.
+    */
+  def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, w: Int = 8, minShared: Int = 2,
+                     stagingPath: Option[String] = None): DataFrame = {
+    require(minShared > 0, "minShared must be positive")
+    val projected = df.select(col(idCol).as("_id"),
+      explode(TextFunctions.winnowedFingerprints(col(textCol), n, w))
+        .as("_fp"))
+    val fps = stagingPath match {
+      case Some(path) =>
+        projected.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => projected.localCheckpoint(true)
+    }
+    val a = fps.select(col("_fp"), col("_id").as("id_a"))
+    val b = fps.select(col("_fp"), col("_id").as("id_b"))
+    a.join(b, Seq("_fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over the token multiset: each token's 60-bit hash votes

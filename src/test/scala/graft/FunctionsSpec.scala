@@ -358,6 +358,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sfp.size === 1)
   }
 
+  test("winnow pairs: passage overlap found, staged path identical") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"one two three four five six $passage seven eight"),
+      (3L, "totally different words everywhere nothing matches here at all"))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.winnowNearDups(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    val staged = DedupFunctions.winnowNearDups(d, "doc_id", "text",
+        stagingPath = Some(s"$tmp/fps"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged === pairs)
+  }
+
   test("redact scrubs urls/emails/ips with typed placeholders; counts match") {
     import spark.implicits._
     val df = Seq(
