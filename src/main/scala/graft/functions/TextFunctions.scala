@@ -93,18 +93,14 @@ object TextFunctions {
     * ≥ `w + n − 1` tokens is guaranteed to share a fingerprint, at
     * ~2/(w+1) selection density. The standard robust alternative to
     * fixed-stride fingerprinting for plagiarism/near-dup detection.
-    * Per-row array expression — codegen'd, shuffle-free. Docs with
-    * fewer than `w` shingles keep their single global minimum.
+    * Native single-pass expression ([[expressions.WinnowSelect]],
+    * monotonic-deque windowed min — the composed
+    * `transform(sequence, i → array_min(slice))` form was interpreted
+    * O(n·w) and ~50× slower). Docs with fewer than `w` shingles keep
+    * their single global minimum.
     */
-  def winnowedFingerprints(text: Column, n: Int, w: Int): Column = {
-    val hs = transform(shingles(text, n),
-      s => graft.functions.DedupFunctions.hash60(s))
-    array_distinct(
-      when(size(hs) >= w,
-          transform(sequence(lit(1), size(hs) - w + 1),
-            i => array_min(slice(hs, i, lit(w)))))
-        .otherwise(array(array_min(hs))))
-  }
+  def winnowedFingerprints(text: Column, n: Int, w: Int): Column =
+    expressions.WinnowSelect.winnow_select(shingles(text, n), w)
 
   /** Language marker stopwords (tiny per-language sets; distinct-match
     * scoring). Mirrored literally in the SQL oracle — keep in sync.

@@ -207,6 +207,71 @@ object WordShingles {
   * self-join drops from two hash-set builds + two array materializations
   * to one linear merge.
   */
+/** Winnowing fingerprint selection over an array<string> of shingles →
+  * array<long>: hash each shingle (ONE md5), slide a window of `w`
+  * hashes keeping each window's minimum (monotonic-deque, O(n) total —
+  * not O(n·w)), emit the distinct minima in first-occurrence order.
+  * Replaces the interpreted `transform(sequence, i → array_min(slice))`
+  * formulation whose per-window slice allocations and boxed lambda eval
+  * made it ~50× slower. Fewer than `w` shingles → the single global min
+  * (matching the SQL oracle's CASE fallback).
+  */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"winnow_select needs array<string>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowSelect.compute(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.WinnowSelect.compute($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  def compute(shingles: ArrayData, w: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = Hash60.hash60(shingles.getUTF8String(i))
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < w) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      out.add(m)
+    } else {
+      // monotonic deque of indices; popping on >= keeps ties harmless
+      // (the window MIN VALUE is what's emitted either way)
+      val dq = new Array[Int](n)
+      var head = 0; var tail = 0 // live index range [head, tail)
+      i = 0
+      while (i < n) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out.add(hs(dq(head)))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def winnow_select(c: Column, w: Int): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(c), w))
+}
+
 case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
