@@ -53,8 +53,16 @@ object NaiveBayes {
     * integer micro-nats. ≤ `labels × buckets` rows.
     */
   def weightTable(train: DataFrame, labelCol: String, textCol: String,
-                  buckets: Int): DataFrame = {
-    val cls = classTable(train, labelCol, textCol, buckets)
+                  buckets: Int): DataFrame =
+    weightTableFrom(classTable(train, labelCol, textCol, buckets),
+      train, labelCol, textCol, buckets)
+
+  /** [[weightTable]] with a precomputed [[classTable]], so callers that
+    * need both (e.g. [[classify]]) don't re-aggregate the training set.
+    */
+  private def weightTableFrom(cls: DataFrame, train: DataFrame,
+                              labelCol: String, textCol: String,
+                              buckets: Int): DataFrame = {
     train.select(col(labelCol).as("label"),
         explode(TextFunctions.tokens(col(textCol))).as("_tok"))
       .select(col("label"),
@@ -76,8 +84,13 @@ object NaiveBayes {
                labelCol: String, textCol: String,
                buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // the class table is label-count-sized — materialize it once (driver
+    // collect would also be fine; localCheckpoint keeps it off-driver)
+    // and feed both the model build and the scorer, so the training set
+    // is aggregated twice (class stats + bucket counts), not four times.
     val cls = classTable(train, labelCol, textCol, buckets)
-    val wt = weightTable(train, labelCol, textCol, buckets)
+      .localCheckpoint(true)
+    val wt = weightTableFrom(cls, train, labelCol, textCol, buckets)
     val toks = docs.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("_tok"))
       .select(col(idCol),
