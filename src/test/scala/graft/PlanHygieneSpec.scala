@@ -179,6 +179,36 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("nb classifier: bounded model broadcasts, corpus side never products") {
+    val p = plan("nb_langid")
+    // the label×bucket model and the label-count class table broadcast;
+    // the only nested-loop is corpus × class-table — bounded by the
+    // label count, a broadcast by construction
+    assert(p.contains("BroadcastHashJoin"), s"NB model not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"NB corpus product join:\n$p")
+  }
+
+  test("tfidf / winnow pairs / per-source cap: shuffle equi-joins, per-group windows only") {
+    for (q <- Seq("tfidf_keywords", "dedup_winnow_pairs", "cap_per_source")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q fell back to a product join:\n$p")
+    }
+    // tfidf's idf join must NOT be a forced broadcast (vocabulary-sized
+    // at web scale) — allow AQE to choose but the static plan stays sort-
+    // merge/shuffled-hash
+    val tp = SparkEntry.queries("tfidf_keywords")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!tp.contains("broadcast"),
+      s"tfidf statically forces a vocabulary broadcast:\n$tp")
+    // windows partition by doc/group — never a global single partition
+    for (q <- Seq("tfidf_keywords", "cap_per_source")) {
+      val p2 = plan(q)
+      assert(!p2.contains("Window [") || !p2.contains("partitionBy=[]"),
+        s"$q has an unpartitioned window:\n$p2")
+    }
+  }
+
   test("token-budget recursion: the deep split stacks bucket filters under the window") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
