@@ -23,22 +23,44 @@ object SparkEntry {
 
   private val names = FieldNames()
 
+  /** The driver's `events.parquet` has shipped `ts` under two encodings:
+    * an INT64-nanos long (read as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and, since the 2026-08-13
+    * regeneration, a native `timestamp[us]` (TIMESTAMP_NTZ). Dispatch on
+    * the column type actually present so either encoding works; the
+    * DuckDB oracle already handles both (`epoch_ms(CAST(ts AS
+    * TIMESTAMP))`), and the session timezone is pinned to UTC so the
+    * NTZ→timestamp cast is value-preserving.
+    */
+  private[graft] def tsMillis(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case _        => unix_millis(col("ts").cast("timestamp"))
+    }
+
+  /** `ts` as a proper TIMESTAMP column (micros precision), either encoding. */
+  private[graft] def tsTimestamp(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts").cast("timestamp")
+    }
+
   /** Rebuild the driver `events` parquet as Fabric-envelope JSON lines —
     * the wire shape the reference ingests (FIXTURES.md §1). Collection =
     * event_type, project = "demo"; the props JSON object is inlined so its
     * `k` field exercises dynamic map inference.
     */
   def eventsAsFabricJson(spark: SparkSession, sfDir: String): Dataset[String] = {
-    // `ts` arrives as a nanos-long (spark.sql.legacy.parquet.nanosAsLong);
-    // the Fabric wire format wants epoch millis.
+    // the Fabric wire format wants epoch millis (either `ts` encoding).
     // one parquet file < maxPartitionBytes = ONE scan partition; spread the
     // wire stream across the cluster before the (CPU-bound) parse passes
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.schema.TableContract.check("events",
+        spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(spark.sparkContext.defaultParallelism)
     ev.select(concat(
       lit("""{"id":""""), col("event_id"), lit("""","metadata":{},"data":{"""),
       lit(""""_project":"demo","_collection":""""), col("event_type"), lit("\","),
-      lit(""""_time":"""), expr("ts div 1000000"), lit(","),
+      lit(""""_time":"""), tsMillis(ev), lit(","),
       lit(""""_user":"u"""), col("user_id"), lit("\","),
       lit(""""value":"""), col("value"), lit(","),
       lit(""""props":"""), col("props"),
@@ -46,9 +68,11 @@ object SparkEntry {
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    tbl(s, dir, "documents")
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    // contract check is schema-metadata only (no job) — see TableContract
+    graft.schema.TableContract.check(name,
+      s.read.parquet(s"$dir/$name.parquet"))
 
   /** Self-validating recall certificate for an approximate top-k result —
     * the `agg_approx_sketch` pattern applied to ANN: join the approximate
@@ -165,17 +189,17 @@ object SparkEntry {
     // `_time`, which stays numeric here to pin the exception (ref :350-360).
     "d2_rakam_ingest" -> ((s, dir) => {
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = tbl(s, dir, "events")
         .repartition(s.sparkContext.defaultParallelism)
       val wire = ev.select(concat(
         lit("""{"project":"demo","collection":""""), $"event_type", lit("\","),
-        lit(""""properties":{"_time":"""), expr("ts div 1000000"), lit(","),
+        lit(""""properties":{"_time":"""), tsMillis(ev), lit(","),
         lit(""""_user":"u"""), $"user_id", lit("\","),
         lit(""""value":"""), $"value", lit(","),
         lit(""""seen_at":"""),
-        when($"event_id" % 10 === 0, expr("ts div 1000000").cast("string"))
+        when($"event_id" % 10 === 0, tsMillis(ev).cast("string"))
           .otherwise(concat(lit("\""),
-            date_format(timestamp_millis(expr("ts div 1000000")),
+            date_format(timestamp_millis(tsMillis(ev)),
                         "yyyy-MM-dd'T'HH:mm:ss"), lit("\""))),
         lit("}}")).as("value")).as(Encoders.STRING)
       // Schema-fixed parse against a metastore-declared TIMESTAMP column —
@@ -380,8 +404,8 @@ object SparkEntry {
     // reference re-routes late data but has no windowed aggregation).
     "w2_tumbling_window" -> ((s, dir) => {
       import s.implicits._
-      tbl(s, dir, "events")
-        .select(timestamp_millis(expr("ts div 1000000")).as("ts"), $"value")
+      val ev = tbl(s, dir, "events")
+      ev.select(timestamp_millis(tsMillis(ev)).as("ts"), $"value")
         .groupBy(window($"ts", "1 day").as("w"))
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
         .select($"w.start".as("day_start"), $"n", $"sum_value")
@@ -392,8 +416,9 @@ object SparkEntry {
     // grouped by first-seen day, counted per day-offset of return.
     "q11_retention" -> ((s, dir) => {
       import s.implicits._
-      val u = tbl(s, dir, "events")
-        .select($"user_id", to_date(timestamp_millis(expr("ts div 1000000"))).as("d"))
+      val ev = tbl(s, dir, "events")
+      val u = ev
+        .select($"user_id", to_date(timestamp_millis(tsMillis(ev))).as("d"))
         .distinct()
       val first = u.groupBy($"user_id").agg(min($"d").as("d0"))
       u.join(first, "user_id")
@@ -407,8 +432,8 @@ object SparkEntry {
     // the shuffles co-partition.
     "q12_funnel" -> ((s, dir) => {
       import s.implicits._
-      val e = tbl(s, dir, "events")
-        .select($"user_id", $"event_type", expr("ts div 1000000").as("ms"))
+      val ev = tbl(s, dir, "events")
+      val e = ev.select($"user_id", $"event_type", tsMillis(ev).as("ms"))
       // each stage is read twice (its own count + the next stage's join);
       // lazy checkpoints materialize each once instead of re-running the
       // whole upstream funnel per use
@@ -432,8 +457,8 @@ object SparkEntry {
     // Sessions merge while consecutive events are < 30 min apart.
     "w3_sessions" -> ((s, dir) => {
       import s.implicits._
-      tbl(s, dir, "events")
-        .select($"user_id", timestamp_millis(expr("ts div 1000000")).as("t"))
+      val ev = tbl(s, dir, "events")
+      ev.select($"user_id", timestamp_millis(tsMillis(ev)).as("t"))
         .groupBy($"user_id", session_window($"t", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .groupBy($"user_id").agg(
@@ -487,8 +512,9 @@ object SparkEntry {
     // latest prior click — union+sort+window formulation, one shuffle.
     "asof_purchase_click" -> ((s, dir) => {
       import s.implicits._
-      val ev = tbl(s, dir, "events").select($"event_id", $"user_id",
-        timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type")
+      val evRaw = tbl(s, dir, "events")
+      val ev = evRaw.select($"event_id", $"user_id",
+        tsTimestamp(evRaw).as("ts"), $"event_type")
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"event_id")
       val clicks = ev.filter($"event_type" === "click")
@@ -928,8 +954,10 @@ object SparkEntry {
     // passages of ≥ w+2 tokens), the minhash-pairs join shape.
     "dedup_winnow_pairs" -> ((s, dir) => {
       import s.implicits._
+      // maxDocFreq mirrors the oracle's stop-fingerprint HAVING clause —
+      // both sides drop fingerprints shared by > 1000 docs before pairing
       DedupFunctions.winnowNearDups(docs(s, dir), "doc_id", "text",
-          n = 3, w = 8, minShared = 2)
+          n = 3, w = 8, minShared = 2, maxDocFreq = 1000)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -1405,11 +1433,12 @@ object SparkEntry {
     val full = AvroIngest.avroSchema(rowSchema, "events")
     val trunc = AvroIngest.truncatedSchema(full, 3) // drops trailing `k`
 
-    val src = tbl(s, dir, "events")
+    val evRaw = tbl(s, dir, "events")
+    val src = evRaw
       .repartition(s.sparkContext.defaultParallelism)
       .select(
       $"event_id",
-      expr("ts div 1000000").as("ms"),
+      tsMillis(evRaw).as("ms"),
       concat(lit("u"), $"user_id").as("_user"),
       $"value",
       get_json_object($"props", "$.k").cast("double").as("k"))
@@ -2249,7 +2278,9 @@ object SparkEntry {
          |               i -> list_min(hs[i:i+7]))
          |        ELSE [list_min(hs)] END) AS fp
          |      FROM h),
-         |e AS (SELECT doc_id, unnest(fp) AS fp FROM w)
+         |e0 AS (SELECT doc_id, unnest(fp) AS fp FROM w),
+         |stop AS (SELECT fp FROM e0 GROUP BY fp HAVING count(*) <= 1000),
+         |e AS (SELECT e0.* FROM e0 JOIN stop USING (fp))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       count(*)::BIGINT AS n_shared
          |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -20,6 +20,31 @@ object DedupFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Stop-key mitigation for bucket self-joins: drop rows whose join-key
+    * value occurs in more than `cap` rows. A key shared by k documents
+    * yields k² join rows, and unlike MinHash band keys (selective by
+    * construction) winnow fingerprints of genuinely common passages —
+    * site footers, license boilerplate — are SUPPOSED to collide: at web
+    * scale one fingerprint can sit in 10⁵–10⁶ docs (10¹² pair rows from a
+    * single key). Schleimer et al.'s deployed MOSS does exactly this:
+    * fingerprints above a document-frequency ceiling are dropped as
+    * uninformative "stop fingerprints" before matching.
+    *
+    * Cost at scale: one window count partitioned by the key — a single
+    * shuffle whose output partitioning
+    * (`hashpartitioning(key)`) is exactly what the downstream equi-join
+    * requires, so the join reuses it instead of adding its own exchange.
+    * `cap <= 0` disables.
+    */
+  private def capHotKeys(t: DataFrame, cap: Int, keyCols: String*): DataFrame =
+    if (cap <= 0) t
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      t.withColumn("_keyfreq", count(lit(1)).over(w))
+        .where(col("_keyfreq") <= cap).drop("_keyfreq")
+    }
+
   /** Seed-i variant for minhash families. */
   def seededHash60(seed: Int, c: Column): Column =
     hash60(concat(lit(seed.toString), lit("|"), c))
@@ -114,9 +139,10 @@ object DedupFunctions {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, nBands: Int = 4, shingleSize: Int = 3,
-                        stagingPath: Option[String] = None): DataFrame = {
+                        stagingPath: Option[String] = None,
+                        maxBandFreq: Int = 1000): DataFrame = {
     val sigs = bandedSignatures(df, idCol, textCol, k, nBands, shingleSize,
-      stagingPath)
+      stagingPath, maxBandFreq)
     val a = sigs.select(col("_band"), col("_id").as("id_a"), col("_toks").as("_toks_a"))
     val b = sigs.select(col("_band"), col("_id").as("id_b"), col("_toks").as("_toks_b"))
     a.join(b, Seq("_band"))
@@ -132,14 +158,20 @@ object DedupFunctions {
     */
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
                                k: Int, nBands: Int, shingleSize: Int,
-                               stagingPath: Option[String]): DataFrame = {
+                               stagingPath: Option[String],
+                               maxBandFreq: Int = 1000): DataFrame = {
     val rowsPerBand = k / nBands
-    val banded = df.select(
+    // band keys are selective by construction (whole-signature bands), but
+    // a corpus with MANY exact/near copies of one page still produces one
+    // hot band per copy set — capped like the winnow fingerprints.
+    val banded = capHotKeys(
+      df.select(
         col(idCol).as("_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"),
         minhashSignature(col(textCol), k, shingleSize).as("_sig"))
       .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
-      .select(col("_id"), col("_toks"), col("_band"))
+      .select(col("_id"), col("_toks"), col("_band")),
+      maxBandFreq, "_band")
     stagingPath match {
       case Some(path) =>
         banded.write.mode("overwrite").parquet(path)
@@ -170,12 +202,13 @@ object DedupFunctions {
                               k: Int = 12, nBands: Int = 4,
                               shingleSize: Int = 3,
                               batchStagingPath: Option[String] = None,
-                              corpusStagingPath: Option[String] = None): DataFrame = {
+                              corpusStagingPath: Option[String] = None,
+                              maxBandFreq: Int = 1000): DataFrame = {
     val b = bandedSignatures(batch, idCol, textCol, k, nBands, shingleSize,
-        batchStagingPath)
+        batchStagingPath, maxBandFreq)
       .select(col("_band"), col("_id").as("batch_id"), col("_toks").as("_toks_b"))
     val c = bandedSignatures(corpus, idCol, textCol, k, nBands, shingleSize,
-        corpusStagingPath)
+        corpusStagingPath, maxBandFreq)
       .select(col("_band"), col("_id").as("corpus_id"), col("_toks").as("_toks_c"))
     b.join(c, Seq("_band"))
       .select(col("batch_id"), col("corpus_id"),
@@ -200,7 +233,8 @@ object DedupFunctions {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.0,
-                        stagingPath: Option[String] = None): DataFrame = {
+                        stagingPath: Option[String] = None,
+                        maxBlockSize: Int = 0): DataFrame = {
     // both self-join sides read the prepped table (without a boundary the
     // shingle+hash projection would execute twice over the corpus).
     // Default: eager local checkpoint — executor memory/disk, released by
@@ -209,9 +243,16 @@ object DedupFunctions {
     // the prepped table goes to parquet and both sides read the FILE, so
     // nothing sits in the block manager at all (same escape hatch as
     // [[minhashCandidates]]).
-    val projected = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
-      sort_array(array_distinct(transform(TextFunctions.shingles(col(textCol), n),
-        s => hash60(s)))).as("_sh"))
+    // `maxBlockSize` (default OFF): the block key is USER-chosen semantics
+    // — a coarse block (e.g. language) legitimately holds far more than
+    // 1000 docs, and capping would silently drop whole blocks. Opt in when
+    // the block key is a generated bucket with skew risk; the within-block
+    // all-pairs cost is otherwise the caller's explicit contract.
+    val projected = capHotKeys(
+      df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+        sort_array(array_distinct(transform(TextFunctions.shingles(col(textCol), n),
+          s => hash60(s)))).as("_sh")),
+      maxBlockSize, "_blk")
     val prepped = stagingPath match {
       case Some(path) =>
         projected.write.mode("overwrite").parquet(path)
@@ -236,20 +277,27 @@ object DedupFunctions {
     * away). Same banded equi-join shape as [[minhashCandidates]]:
     * explode (fingerprint, id), self-join on the fingerprint, count per
     * pair — one shuffle, no all-pairs comparison. A fingerprint shared
-    * by k docs contributes k² pair rows (the standard LSH-bucket skew);
-    * boilerplate passages common to a large doc fraction should be
-    * removed first ([[removeRepeatedSpans]]) exactly as a minhash
-    * pipeline would. `stagingPath` is the same at-scale escape hatch as
-    * the other pair generators: fingerprints go to parquet and both
-    * join sides read the file instead of a block-manager checkpoint.
+    * by k docs contributes k² pair rows (the standard LSH-bucket skew),
+    * and common-passage fingerprints are the one bucket key that is
+    * EXPECTED to go hot, so fingerprints with document frequency above
+    * `maxDocFreq` are dropped before the self-join ([[capHotKeys]] — the
+    * MOSS stop-fingerprint rule; boilerplate that widespread carries no
+    * near-dup signal and should also be stripped via
+    * [[removeRepeatedSpans]]). `stagingPath` is the same at-scale escape
+    * hatch as the other pair generators: fingerprints go to parquet
+    * (already capped) and both join sides read the file instead of a
+    * block-manager checkpoint.
     */
   def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, w: Int = 8, minShared: Int = 2,
-                     stagingPath: Option[String] = None): DataFrame = {
+                     stagingPath: Option[String] = None,
+                     maxDocFreq: Int = 1000): DataFrame = {
     require(minShared > 0, "minShared must be positive")
-    val projected = df.select(col(idCol).as("_id"),
-      explode(TextFunctions.winnowedFingerprints(col(textCol), n, w))
-        .as("_fp"))
+    val projected = capHotKeys(
+      df.select(col(idCol).as("_id"),
+        explode(TextFunctions.winnowedFingerprints(col(textCol), n, w))
+          .as("_fp")),
+      maxDocFreq, "_fp")
     val fps = stagingPath match {
       case Some(path) =>
         projected.write.mode("overwrite").parquet(path)
@@ -288,7 +336,8 @@ object DedupFunctions {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
-                      stagingPath: Option[String] = None): DataFrame = {
+                      stagingPath: Option[String] = None,
+                      maxBandFreq: Int = 0): DataFrame = {
     val nBands = maxHamming + 1
     require(60 % nBands == 0, s"maxHamming + 1 = $nBands must divide 60")
     val bandBits = 60 / nBands
@@ -309,11 +358,20 @@ object DedupFunctions {
         df.sparkSession.read.parquet(path)
       case None => projected.localCheckpoint(true)
     }
-    val banded = sigs.select(col("_id"), col("_sig"),
-      explode(array((0 until nBands).map(b => struct(
-        lit(b).as("b"),
-        shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("bits")
-      )): _*)).as("_band"))
+    // `maxBandFreq` (default OFF): a 15-bit band space holds only 32k
+    // distinct values per band index, so at ≥10⁷ docs large buckets are a
+    // structural property of multi-index Hamming blocking, not skew — the
+    // right lever there is a smaller radius (more bands × fewer bits
+    // inverts the ratio) or pre-dedup of exact copies. Opt in when one
+    // degenerate copy set (all sharing every band) must not explode the
+    // join.
+    val banded = capHotKeys(
+      sigs.select(col("_id"), col("_sig"),
+        explode(array((0 until nBands).map(b => struct(
+          lit(b).as("b"),
+          shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("bits")
+        )): _*)).as("_band")),
+      maxBandFreq, "_band")
     val a = banded.select(col("_band"), col("_id").as("id_a"),
       col("_sig").as("_sig_a"))
     val bb = banded.select(col("_band"), col("_id").as("id_b"),

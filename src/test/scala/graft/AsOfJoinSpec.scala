@@ -62,8 +62,9 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("matches brute-force as-of on real events (purchases → prior click)") {
     import spark.implicits._
-    val ev = sf("events").select($"event_id", $"user_id",
-      timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type")
+    val evRaw = sf("events")
+    val ev = evRaw.select($"event_id", $"user_id",
+      SparkEntry.tsTimestamp(evRaw).as("ts"), $"event_type")
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"event_id")
     val clicks = ev.filter($"event_type" === "click")

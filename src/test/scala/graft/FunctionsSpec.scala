@@ -376,6 +376,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(staged === pairs)
   }
 
+  test("winnow pairs: hot-fingerprint cap bounds boilerplate explosion") {
+    import spark.implicits._
+    // 50 docs all carrying the same boilerplate footer (the web-scale
+    // failure mode: one passage shared by k docs → k² candidate rows),
+    // plus ONE genuine near-dup pair sharing a low-frequency passage.
+    val footer = (1 to 15).map(i => s"footer$i").mkString(" ")
+    val rare = (1 to 15).map(i => s"rare$i").mkString(" ")
+    val boiler = (1L to 50L).map(i =>
+      (i, s"unique${i}a unique${i}b unique${i}c $footer unique${i}d unique${i}e"))
+    val nearDup = Seq(
+      (100L, s"alpha beta gamma $rare delta"),
+      (101L, s"one two three four $rare five"))
+    val d = (boiler ++ nearDup).toDF("doc_id", "text")
+
+    // uncapped: the footer fingerprints alone produce ≥ 50·49/2 pairs
+    val uncapped = DedupFunctions.winnowNearDups(d, "doc_id", "text",
+      minShared = 1, maxDocFreq = 0).count()
+    assert(uncapped >= 50L * 49 / 2)
+
+    // capped below the footer's document frequency: the hot fingerprints
+    // are dropped as stop-fingerprints, the rare-passage pair survives
+    val capped = DedupFunctions.winnowNearDups(d, "doc_id", "text",
+        minShared = 1, maxDocFreq = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)))
+    assert(capped.size < 50) // bounded: no quadratic footer block
+    assert(!capped.exists { case (a, b) => a <= 50 && b <= 50 })
+
+    // staged path applies the cap before writing — the parquet itself is
+    // free of the hot keys, so every later reader inherits the bound
+    val tmp = java.nio.file.Files.createTempDirectory("winnowcap").toString
+    val stagedCapped = DedupFunctions.winnowNearDups(d, "doc_id", "text",
+        minShared = 1, maxDocFreq = 30, stagingPath = Some(s"$tmp/fps"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stagedCapped === capped)
+
+    // mirrored option on the minhash band keys: 50 exact copies form one
+    // degenerate copy set; capping its band buckets drops those pairs
+    val copies = (1L to 50L).map(i => (i, s"same text in every copy here"))
+      .toDF("doc_id", "text")
+    val mhCapped = DedupFunctions.minhashCandidates(copies, "doc_id", "text",
+      maxBandFreq = 30).count()
+    assert(mhCapped === 0L)
+  }
+
   test("redact scrubs urls/emails/ips with typed placeholders; counts match") {
     import spark.implicits._
     val df = Seq(
