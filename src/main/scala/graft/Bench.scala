@@ -107,7 +107,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap { case (_, ts) => minOk(ts) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_detail":$detail,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_detail":$detail,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+    println(fullJson)
+    // the stdout capture has truncated this line to a 2000-char tail two
+    // rounds running ("parsed": null in the BENCH artifact) — persist the
+    // full JSON to a file as well so it always survives intact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     // compact headline LAST: the driver captures only the output tail, and
     // two rounds of BENCH artifacts lost the total because it led the one
     // giant line above — the summary repeats it (plus the slowest five)

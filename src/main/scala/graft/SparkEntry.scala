@@ -556,13 +556,19 @@ object SparkEntry {
     // language-ID heuristic, quality score, content fingerprint.
     "text_stats" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(
+      // fused native expression: all five signals in one string pass
+      // (contract identical to the composed TextFunctions originals —
+      // pinned by TextStatsSpec against the composed plan + the oracle)
+      docs(s, dir)
+        .select($"doc_id",
+          graft.functions.expressions.TextStats.textStats($"text").as("_st"))
+        .select(
           $"doc_id",
-          TextFunctions.tokenCount($"text").as("n_tokens"),
-          TextFunctions.basisPoints(TextFunctions.punctRatio($"text")).as("punct_bp"),
-          TextFunctions.langId($"text").as("lang_pred"),
-          TextFunctions.basisPoints(TextFunctions.qualityScore($"text")).as("quality_bp"),
-          TextFunctions.fingerprint($"text").as("fingerprint"))
+          $"_st.n_tokens".as("n_tokens"),
+          $"_st.punct_bp".as("punct_bp"),
+          $"_st.lang_pred".as("lang_pred"),
+          $"_st.quality_bp".as("quality_bp"),
+          $"_st.fingerprint".as("fingerprint"))
         .orderBy($"doc_id")
     }),
 
@@ -945,8 +951,16 @@ object SparkEntry {
     "corpus_drift" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
-      graft.operators.Dsir.driftUnats(
-        d, d.where($"source" === "src5"), "text", buckets = 1024)
+      // the monitor's deployed lifecycle: snapshot the corpus to storage
+      // once, then drift every new batch against the LOADED snapshot (the
+      // old corpus is never re-tokenized). Integer counts round-trip
+      // parquet exactly, so the result is identical to in-query training.
+      val snapDir = java.nio.file.Files
+        .createTempDirectory("drift_snapshot").toString
+      graft.operators.Dsir.snapshot(d, "text", buckets = 1024).save(snapDir)
+      graft.operators.Dsir.driftFromSnapshot(
+        graft.operators.Dsir.loadSnapshot(s, snapDir),
+        d.where($"source" === "src5"), "text")
     }),
 
     // Winnowing near-dup pairs: docs sharing ≥2 winnowed fingerprints —

@@ -26,14 +26,18 @@ object DocPipeline {
                           dedup: Boolean = true)
 
   /** One-pass per-doc annotations: predicted language, quality score
-    * (basis points), normalized-content fingerprint.
+    * (basis points), normalized-content fingerprint. Literally one pass:
+    * the fused [[graft.functions.expressions.TextStats]] expression
+    * computes all three in a single string scan (contract identical to
+    * the composed TextFunctions originals — TextStatsSpec pins it).
     */
   def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), col(textCol),
-      TextFunctions.langId(col(textCol)).as("lang_pred"),
-      TextFunctions.basisPoints(TextFunctions.qualityScore(col(textCol)))
-        .as("quality_bp"),
-      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+        graft.functions.expressions.TextStats.textStats(col(textCol)).as("_st"))
+      .select(col(idCol), col(textCol),
+        col("_st.lang_pred").as("lang_pred"),
+        col("_st.quality_bp").as("quality_bp"),
+        col("_st.fingerprint").as("fingerprint"))
 
   private def passes(cfg: Config): Column =
     col("lang_pred") === cfg.lang && col("quality_bp") >= cfg.minQualityBp
@@ -85,10 +89,12 @@ object DocPipeline {
   // the watermark timestamp — survives into the streaming plan
   private def annotatedAll(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
-      .withColumn("quality_bp",
-        TextFunctions.basisPoints(TextFunctions.qualityScore(col(textCol))))
-      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("_st",
+        graft.functions.expressions.TextStats.textStats(col(textCol)))
+      .withColumn("lang_pred", col("_st.lang_pred"))
+      .withColumn("quality_bp", col("_st.quality_bp"))
+      .withColumn("fingerprint", col("_st.fingerprint"))
+      .drop("_st")
 
   private def statefulDedup(filtered: DataFrame, cfg: Config,
                             watermarkCol: Option[String],

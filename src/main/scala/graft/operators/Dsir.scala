@@ -40,6 +40,63 @@ object Dsir {
       .select(DedupFunctions.hash60(col("_tok")).%(buckets).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 
+  /** A persisted corpus snapshot for drift monitoring: the hashed-unigram
+    * bucket counts of one crawl, written once when the crawl lands. The
+    * production monitor shape is snapshot-per-crawl + drift of each new
+    * crawl AGAINST the stored snapshot — the old corpus is never
+    * re-tokenized (at 100 TB the snapshot is ≤ `buckets` rows vs a full
+    * re-read of last month's data). Counts are integers, so the parquet
+    * round-trip is exact and drift through a loaded snapshot is
+    * bit-identical to in-query training.
+    */
+  final case class CorpusSnapshot(counts: DataFrame, buckets: Int) {
+    def save(path: String): Unit = {
+      counts.write.mode("overwrite").parquet(s"$path/counts")
+      val spark = counts.sparkSession
+      import spark.implicits._
+      Seq(buckets).toDF("buckets")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Snapshot a corpus side for later [[driftFromSnapshot]] / scoring. */
+  def snapshot(df: DataFrame, textCol: String, buckets: Int = 1024): CorpusSnapshot =
+    CorpusSnapshot(bucketCounts(df, textCol, buckets), buckets)
+
+  /** Load a snapshot persisted by [[CorpusSnapshot.save]]. */
+  def loadSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   path: String): CorpusSnapshot =
+    CorpusSnapshot(spark.read.parquet(s"$path/counts"),
+      spark.read.parquet(s"$path/meta").head.getInt(0))
+
+  /** The trained DSIR model — the broadcastable importance-weight table.
+    * Deployment shape: train ONCE against the target sample, [[DsirModel.save]],
+    * then [[scoreWith]] every raw batch against the loaded model without
+    * re-aggregating either corpus (the same train-once/score-many
+    * lifecycle as [[LmScore.BigramModel]] / [[Bpe]] merges / the
+    * persisted ANN indexes).
+    */
+  final case class DsirModel(weights: DataFrame, buckets: Int) {
+    def save(path: String): Unit = {
+      weights.write.mode("overwrite").parquet(s"$path/weights")
+      val spark = weights.sparkSession
+      import spark.implicits._
+      Seq(buckets).toDF("buckets")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Train the importance-weight model (see [[weightTable]]). */
+  def trainModel(raw: DataFrame, target: DataFrame, textCol: String,
+                 buckets: Int = 1024): DsirModel =
+    DsirModel(weightTable(raw, target, textCol, buckets), buckets)
+
+  /** Load a model persisted by [[DsirModel.save]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): DsirModel =
+    DsirModel(spark.read.parquet(s"$path/weights"),
+      spark.read.parquet(s"$path/meta").head.getInt(0))
+
   /** The importance-weight table: `(bucket, w_unats)` where `w_unats` is
     * the micro-nat quantized log-likelihood ratio
     * `ln(((t_b+1) * (R+B)) / ((r_b+1) * (T+B)))` — add-one smoothing on
@@ -51,11 +108,18 @@ object Dsir {
     * docs (scoring still coalesces defensively).
     */
   def weightTable(raw: DataFrame, target: DataFrame, textCol: String,
-                  buckets: Int): DataFrame = {
-    val tc = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("n", "_tn")
-    val rc = bucketCounts(raw, textCol, buckets)
-      .withColumnRenamed("n", "_rn")
+                  buckets: Int): DataFrame =
+    weightTableFromCounts(bucketCounts(raw, textCol, buckets),
+      bucketCounts(target, textCol, buckets), buckets)
+
+  /** [[weightTable]] over pre-aggregated `(bucket, n)` count tables —
+    * the path a loaded [[CorpusSnapshot]] takes, skipping the tokenize +
+    * aggregate pass over the snapshotted corpus entirely.
+    */
+  def weightTableFromCounts(rawCounts: DataFrame, targetCounts: DataFrame,
+                            buckets: Int): DataFrame = {
+    val tc = targetCounts.withColumnRenamed("n", "_tn")
+    val rc = rawCounts.withColumnRenamed("n", "_rn")
     // two scalar totals — bounded driver reads (one row each)
     val tTot = tc.agg(coalesce(sum(col("_tn")), lit(0L))).head.getLong(0)
     val rTot = rc.agg(coalesce(sum(col("_rn")), lit(0L))).head.getLong(0)
@@ -80,9 +144,22 @@ object Dsir {
     * `kl_unats_sum/t_tokens` is the per-token KL estimate in micro-nats.
     */
   def driftUnats(raw: DataFrame, target: DataFrame, textCol: String,
-                 buckets: Int = 1024): DataFrame = {
-    val weights = weightTable(raw, target, textCol, buckets)
-    val tc = bucketCounts(target, textCol, buckets)
+                 buckets: Int = 1024): DataFrame =
+    driftFromSnapshot(snapshot(raw, textCol, buckets), target, textCol)
+
+  /** [[driftUnats]] of `target` against a stored [[CorpusSnapshot]] of the
+    * raw/old corpus — the monitor's deployed shape: only the NEW data is
+    * tokenized; the old side contributes its ≤ `buckets` persisted count
+    * rows. Integer counts × integer weights, so the result is identical
+    * whether the snapshot came from parquet or was built in-query.
+    */
+  def driftFromSnapshot(rawSnap: CorpusSnapshot, target: DataFrame,
+                        textCol: String): DataFrame = {
+    // tc feeds BOTH the weight table and the drift join — materialize the
+    // ≤ `buckets`-row aggregate once instead of tokenizing target twice
+    val tc = bucketCounts(target, textCol, rawSnap.buckets)
+      .localCheckpoint(true)
+    val weights = weightTableFromCounts(rawSnap.counts, tc, rawSnap.buckets)
     tc.join(weights, Seq("bucket"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("n")).as("t_tokens"),
@@ -98,12 +175,20 @@ object Dsir {
   def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
                        textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val weights = weightTable(raw, target, textCol, buckets)
+    scoreWith(trainModel(raw, target, textCol, buckets), raw, idCol, textCol)
+  }
+
+  /** Score a raw batch against a (possibly loaded) [[DsirModel]] — the
+    * steady-state crawl path: no re-training, just explode →
+    * broadcast-join on the ≤ `buckets`-row weight table → integer sum.
+    */
+  def scoreWith(model: DsirModel, raw: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
     val toks = raw.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("_tok"))
       .select(col(idCol),
-        DedupFunctions.hash60(col("_tok")).%(buckets).as("bucket"))
-    val scored = toks.join(broadcast(weights), Seq("bucket"), "left")
+        DedupFunctions.hash60(col("_tok")).%(model.buckets).as("bucket"))
+    val scored = toks.join(broadcast(model.weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
         sum(coalesce(col("w_unats"), lit(0L))).as("score_unats"))

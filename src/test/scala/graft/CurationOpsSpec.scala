@@ -386,6 +386,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(shifted > 0L, s"disjoint-vocab drift should be positive, got $shifted")
   }
 
+  test("dsir: snapshot and model survive a save/load round trip exactly") {
+    import graft.operators.Dsir
+    val raw = (Seq.tabulate(40)(i => (i.toLong, s"alpha beta common$i noise")) ++
+      Seq((90L, ""))).toDF("doc_id", "text")
+    val target = Seq.tabulate(10)(i => (200L + i, s"alpha beta quality$i"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+
+    // drift through a loaded snapshot == drift trained in-query
+    // (integer counts round-trip parquet exactly)
+    val direct = Dsir.driftUnats(raw, target, "text", buckets = 128)
+      .collect().map(_.toSeq).toSeq
+    Dsir.snapshot(raw, "text", buckets = 128).save(s"$tmp/snap")
+    val viaSnap = Dsir.driftFromSnapshot(
+        Dsir.loadSnapshot(spark, s"$tmp/snap"), target, "text")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSnap === direct)
+
+    // scoring through a loaded model == importanceScores trained in-query
+    val directScores = Dsir.importanceScores(raw, target, "doc_id", "text",
+        buckets = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Dsir.trainModel(raw, target, "text", buckets = 128).save(s"$tmp/model")
+    val loaded = Dsir.loadModel(spark, s"$tmp/model")
+    assert(loaded.buckets === 128)
+    val viaModel = Dsir.scoreWith(loaded, raw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaModel === directScores)
+  }
+
   test("sqrt mixture: rates follow isqrt weighting; kept set is a hash filter") {
     import graft.operators.Sampling
     // sizes 100 and 400: sqrt weights 10 and 20 -> the small source keeps
