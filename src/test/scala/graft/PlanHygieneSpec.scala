@@ -227,4 +227,31 @@ class PlanHygieneSpec extends SparkSpec {
     assert(nLevels >= 2,
       s"window residue fenced by only $nLevels bucket filter(s):\n$p")
   }
+
+  test("winnow cap: window shuffle is reused by the pair join, no extra exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val capped = graft.functions.DedupFunctions.winnowNearDups(
+      docs, "doc_id", "text", maxDocFreq = 1000)
+    // sparkPlan (pre-AQE) so the exchange count is the static plan's, not
+    // an adaptive wrapper that hides children until execution
+    val executed = capped.queryExecution.sparkPlan
+    val exchanges = executed.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the capped fingerprint table is materialized once (localCheckpoint)
+    // ALREADY hash-partitioned by _fp from the window's shuffle; both
+    // join sides inherit that partitioning, so the plan needs only the
+    // pair-aggregation exchange downstream of the join — a cap that cost
+    // an extra shuffle per side (3+ exchanges) would defeat its purpose
+    assert(exchanges.size <= 1,
+      s"winnow cap added per-side exchanges (${exchanges.size}):\n$executed")
+    // and the cap itself is present: a window count keyed on _fp
+    val uncapped = graft.functions.DedupFunctions.winnowNearDups(
+      docs, "doc_id", "text", maxDocFreq = 0)
+    val cappedStr = executed.toString
+    val uncappedStr = uncapped.queryExecution.sparkPlan.toString
+    assert(cappedStr.contains("_keyfreq") || cappedStr != uncappedStr,
+      "cap did not change the plan")
+  }
 }
