@@ -75,14 +75,33 @@ object NaiveBayes {
           * 1e6 + 0.5).cast("long").as("w_unats"))
   }
 
-  /** Train on `train` (labels in `labelCol`) and predict every `docs`
-    * row: `(idCol, pred, score_unats)` — the argmax label and its
-    * integer log-posterior score. Token-less documents fall back to the
-    * prior-only argmax. Rank-stable: score ties break on label.
+  /** The trained classifier: class priors/defaults + bucket weights,
+    * both bounded by `labels × buckets` rows. Deployment shape: train
+    * ONCE on the labeled set, [[NbModel.save]], then [[classifyWith]]
+    * every crawl batch against the loaded model — the labeled set is
+    * never re-aggregated (the same train-once/score-many lifecycle as
+    * [[Dsir.DsirModel]] / [[LmScore.BigramModel]] / the ANN indexes).
+    * Integer micro-nat weights round-trip parquet exactly, so loaded-
+    * model predictions are bit-identical to in-query training.
     */
-  def classify(docs: DataFrame, train: DataFrame, idCol: String,
-               labelCol: String, textCol: String,
-               buckets: Int = 1024): DataFrame = {
+  final case class NbModel(classes: DataFrame, weights: DataFrame,
+                           buckets: Int) {
+    def save(path: String): Unit = {
+      classes.write.mode("overwrite").parquet(s"$path/classes")
+      weights.write.mode("overwrite").parquet(s"$path/weights")
+      val spark = classes.sparkSession
+      import spark.implicits._
+      Seq(buckets).toDF("buckets")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Train the classifier (class table + weight table, two aggregations
+    * over the labeled set — the class table is label-count-sized and
+    * materialized once to feed both).
+    */
+  def trainModel(train: DataFrame, labelCol: String, textCol: String,
+                 buckets: Int = 1024): NbModel = {
     require(buckets > 0, "buckets must be positive")
     // the class table is label-count-sized — materialize it once (driver
     // collect would also be fine; localCheckpoint keeps it off-driver)
@@ -90,15 +109,43 @@ object NaiveBayes {
     // is aggregated twice (class stats + bucket counts), not four times.
     val cls = classTable(train, labelCol, textCol, buckets)
       .localCheckpoint(true)
-    val wt = weightTableFrom(cls, train, labelCol, textCol, buckets)
+    NbModel(cls, weightTableFrom(cls, train, labelCol, textCol, buckets),
+      buckets)
+  }
+
+  /** Load a model persisted by [[NbModel.save]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): NbModel =
+    NbModel(spark.read.parquet(s"$path/classes"),
+      spark.read.parquet(s"$path/weights"),
+      spark.read.parquet(s"$path/meta").head.getInt(0))
+
+  /** Train on `train` (labels in `labelCol`) and predict every `docs`
+    * row: `(idCol, pred, score_unats)` — the argmax label and its
+    * integer log-posterior score. Token-less documents fall back to the
+    * prior-only argmax. Rank-stable: score ties break on label.
+    */
+  def classify(docs: DataFrame, train: DataFrame, idCol: String,
+               labelCol: String, textCol: String,
+               buckets: Int = 1024): DataFrame =
+    classifyWith(trainModel(train, labelCol, textCol, buckets),
+      docs, idCol, textCol)
+
+  /** Predict with a (possibly loaded) [[NbModel]] — the steady-state
+    * crawl path: explode → broadcast model joins → integer sums → one
+    * per-document window.
+    */
+  def classifyWith(model: NbModel, docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val cls = model.classes
     val toks = docs.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("_tok"))
       .select(col(idCol),
-        DedupFunctions.hash60(col("_tok")).%(buckets).as("bucket"))
+        DedupFunctions.hash60(col("_tok")).%(model.buckets).as("bucket"))
     val scored = toks
       .crossJoin(broadcast(cls.select(col("label"), col("prior_unats"),
         col("dflt_unats"))))
-      .join(broadcast(wt), Seq("label", "bucket"), "left")
+      .join(broadcast(model.weights), Seq("label", "bucket"), "left")
       .groupBy(col(idCol), col("label"), col("prior_unats"))
       .agg(sum(coalesce(col("w_unats"), col("dflt_unats"))).as("_tok_unats"))
       .select(col(idCol), col("label"),

@@ -49,14 +49,34 @@ object Tfidf {
         .cast("long").as("idf_unats"))
   }
 
+  /** Persist an [[idfTable]] — the reference-corpus statistics a
+    * deployment trains once and scores every new batch against
+    * ([[topKeywordsWith]]); integer df/micro-nat idf round-trip parquet
+    * exactly, so loaded-table scores are bit-identical.
+    */
+  def saveIdf(idf: DataFrame, path: String): Unit =
+    idf.write.mode("overwrite").parquet(path)
+
+  /** Load a table persisted by [[saveIdf]]. */
+  def loadIdf(spark: org.apache.spark.sql.SparkSession,
+              path: String): DataFrame = spark.read.parquet(path)
+
   /** Per-document top-`k` keywords by integer TF-IDF score, rank-stable:
     * ties break on the term string, so the output is total-ordered and
     * bit-reproducible. Documents with no tokens emit no rows.
     */
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    topKeywordsWith(idfTable(df, idCol, textCol), df, idCol, textCol, k)
+
+  /** [[topKeywords]] against a precomputed (possibly [[loadIdf]]-ed) idf
+    * table — the steady-state path: the reference corpus is never
+    * re-aggregated; terms outside the reference vocabulary drop (inner
+    * join), which is the standard out-of-vocabulary rule.
+    */
+  def topKeywordsWith(idf: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val idf = idfTable(df, idCol, textCol)
     val tf = df.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))

@@ -512,6 +512,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(again === once)
   }
 
+  test("naive bayes + tfidf: models survive a save/load round trip exactly") {
+    import graft.operators.{NaiveBayes, Tfidf}
+    val train = (Seq.tabulate(20)(i => (i.toLong, "spam", "buy cheap pills now win prize")) ++
+      Seq.tabulate(30)(i => (100L + i, "ham", "meeting notes agenda quarterly review")))
+      .toDF("doc_id", "label", "text")
+    val test = Seq(
+      (500L, "cheap prize pills"),
+      (501L, "agenda for the quarterly meeting"),
+      (502L, "")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("models").toString
+
+    // NB: scoring through a loaded model == training in-query
+    val direct = NaiveBayes.classify(test, train, "doc_id", "label", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    NaiveBayes.trainModel(train, "label", "text").save(s"$tmp/nb")
+    val nb = NaiveBayes.loadModel(spark, s"$tmp/nb")
+    assert(nb.buckets === 1024)
+    val viaModel = NaiveBayes.classifyWith(nb, test, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaModel === direct)
+
+    // TF-IDF: keywords through a loaded idf table == in-query idf
+    val docs = Seq(
+      (1L, "alpha beta beta unique1"),
+      (2L, "alpha beta unique2 unique2"),
+      (3L, "alpha gamma unique3 filler")).toDF("doc_id", "text")
+    val directKw = Tfidf.topKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(_.toSeq).toSet
+    Tfidf.saveIdf(Tfidf.idfTable(docs, "doc_id", "text"), s"$tmp/idf")
+    val viaIdf = Tfidf.topKeywordsWith(Tfidf.loadIdf(spark, s"$tmp/idf"),
+        docs, "doc_id", "text", k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaIdf === directKw)
+  }
+
   test("dsir: integer micro-nat scores are partition-independent") {
     val target = Seq.tabulate(10)(i => (i.toLong, s"term$i common word"))
       .toDF("doc_id", "text")
