@@ -759,7 +759,8 @@ object DedupFunctions {
     */
   def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
                               propagationRounds: Int = 2,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50,
+                              localMaxEdges: Long = 1000000L): DataFrame = {
     val maxDegree = pairs
       .select(explode(array(col(aCol), col(bCol))).as("_v"))
       .groupBy(col("_v")).agg(count(lit(1)).as("_d"))
@@ -768,10 +769,12 @@ object DedupFunctions {
         case d: Long => d
       }
     if (maxDegree <= 2L)
-      connectedComponentsAlternating(pairs, aCol, bCol, maxIter)
+      connectedComponentsAlternating(pairs, aCol, bCol, maxIter, localMaxEdges)
     else
       propagateLabels(pairs, aCol, bCol, propagationRounds)
-        .getOrElse(connectedComponentsAlternating(pairs, aCol, bCol, maxIter))
+        .getOrElse(
+          connectedComponentsAlternating(pairs, aCol, bCol, maxIter,
+            localMaxEdges))
   }
 
   /** Connected components via alternating large-star/small-star (Kiveris et
@@ -794,7 +797,8 @@ object DedupFunctions {
     * label = smallest member of v's component.
     */
   def connectedComponentsAlternating(pairs: DataFrame, aCol: String,
-                                     bCol: String, maxIter: Int = 50): DataFrame = {
+                                     bCol: String, maxIter: Int = 50,
+                                     localMaxEdges: Long = 1000000L): DataFrame = {
     // vertex set BEFORE the self-loop filter: a vertex appearing only in
     // self-pairs still owes a singleton (v, v) row — the propagation
     // variant emits it, and the "same output contract" promise must hold
@@ -807,6 +811,46 @@ object DedupFunctions {
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
     var edgeCount = edges.count()
+    // Size-gated LOCAL epilogue (the Kiveris-deployment "finish small
+    // graphs in one round" rule): each distributed round costs two
+    // shuffle stages of fixed scheduling latency, so once the
+    // deduplicated edge set is driver-trivial (≤ localMaxEdges rows of
+    // two longs — 16 MB at the 1M default, the same order as the other
+    // bounded driver reads here), an exact min-label union-find replaces
+    // O(log n) rounds. Output is IDENTICAL to the distributed fixpoint —
+    // label = smallest member of the component — for any gate value, so
+    // the gate changes latency, never results (spec-pinned both paths).
+    // `localMaxEdges <= 0` disables; non-long id types always run
+    // distributed.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localMaxEdges > 0 && longIds && edgeCount <= localMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrDefault(root, root) != root)
+          root = parent.getOrDefault(root, root)
+        var cur = x // path compression
+        while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+        root
+      }
+      val edgeVerts = new java.util.HashSet[Long]()
+      edges.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        edgeVerts.add(a); edgeVerts.add(b)
+        val (ra, rb) = (find(a), find(b))
+        // union by id: the smaller id stays root, so root == component min
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val labels = edgeVerts.toArray(Array.empty[java.lang.Long])
+        .map(v => (v.longValue(), find(v))).toSeq
+      val labelDf = labels.toDF("v", "label")
+      return vertices.join(broadcast(labelDf), Seq("v"), "left")
+        .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

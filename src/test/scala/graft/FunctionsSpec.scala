@@ -661,7 +661,7 @@ class DedupFunctionsSpec extends SparkSpec {
     // cluster, same as the propagation variant's contract
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (42L, 42L)).toDF("id_a", "id_b")
     val labels = DedupFunctions
-      .connectedComponentsAlternating(pairs, "id_a", "id_b")
+      .connectedComponentsAlternating(pairs, "id_a", "id_b", localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       42L -> 42L))
@@ -673,7 +673,7 @@ class DedupFunctionsSpec extends SparkSpec {
     // orientation logic (min is at the END of the input order).
     val chain = (1L until 65L).map(i => (65L - i, 65L - i + 1)).toDF("id_a", "id_b")
     val chainLabels = DedupFunctions
-      .connectedComponentsAlternating(chain, "id_a", "id_b")
+      .connectedComponentsAlternating(chain, "id_a", "id_b", localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainLabels.size == 65)
     assert(chainLabels.values.forall(_ == 1L))
@@ -683,12 +683,43 @@ class DedupFunctionsSpec extends SparkSpec {
     val randomPairs = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
       .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
     val viaStar = DedupFunctions
-      .connectedComponentsAlternating(randomPairs, "id_a", "id_b")
+      .connectedComponentsAlternating(randomPairs, "id_a", "id_b", localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaProp = DedupFunctions
       .connectedComponents(randomPairs, "id_a", "id_b", maxIter = 40)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStar == viaProp)
+  }
+
+  test("CC local epilogue: small edge sets finish locally, identical output") {
+    import spark.implicits._
+    // chains + a clique + singleton self-loop + isolated pair — every
+    // structural case the distributed fixpoint handles
+    val rnd = new scala.util.Random(11)
+    val pairs = (Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      (100L until 164L).map(i => (i, i + 1)) ++ // 64-link chain
+      Seq((500L, 500L), (600L, 601L)))
+      .toDF("id_a", "id_b")
+    val local = DedupFunctions
+      .connectedComponentsAlternating(pairs, "id_a", "id_b") // default gate: local
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = DedupFunctions
+      .connectedComponentsAlternating(pairs, "id_a", "id_b", localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == distributed)
+    // the gate is on the DEDUPLICATED edge count: a gate below it runs
+    // distributed and still agrees (gate changes latency, never results)
+    val tiny = DedupFunctions
+      .connectedComponentsAlternating(pairs, "id_a", "id_b", localMaxEdges = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny == local)
+    // non-long ids always take the distributed path and stay correct
+    val strPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val strLabels = DedupFunctions
+      .connectedComponentsAlternating(strPairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strLabels == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 
   test("auto CC: propagation on low-diameter graphs, star escalation on chains") {
@@ -698,7 +729,7 @@ class DedupFunctionsSpec extends SparkSpec {
     val dense = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
     val denseLabels = DedupFunctions
-      .connectedComponentsAuto(dense, "id_a", "id_b")
+      .connectedComponentsAuto(dense, "id_a", "id_b", localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(denseLabels ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
@@ -709,7 +740,7 @@ class DedupFunctionsSpec extends SparkSpec {
     val cycle = ((1L until 100L).map(i => (i, i + 1)) :+ (100L, 1L))
       .toDF("id_a", "id_b")
     val cycleLabels = DedupFunctions
-      .connectedComponentsAuto(cycle, "id_a", "id_b")
+      .connectedComponentsAuto(cycle, "id_a", "id_b", localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cycleLabels.size == 100 && cycleLabels.values.forall(_ == 1L))
 
@@ -718,7 +749,7 @@ class DedupFunctionsSpec extends SparkSpec {
     // plain propagation entry point throws on this input — pinned below)
     val chain = (1L until 65L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chainLabels = DedupFunctions
-      .connectedComponentsAuto(chain, "id_a", "id_b")
+      .connectedComponentsAuto(chain, "id_a", "id_b", localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainLabels.size == 65 && chainLabels.values.forall(_ == 1L))
     assertThrows[IllegalStateException] {

@@ -341,7 +341,8 @@ class StressSpec extends SparkSpec {
     }
     locally {
       assertOneComponent(DedupFunctions
-        .connectedComponentsAlternating(chain, "id_a", "id_b", maxIter = 25))
+        .connectedComponentsAlternating(chain, "id_a", "id_b", maxIter = 25,
+          localMaxEdges = 0))
     }
 
     // propagation cannot cross a 10k diameter in its default budget and
@@ -352,7 +353,7 @@ class StressSpec extends SparkSpec {
     }
     locally {
       assertOneComponent(DedupFunctions
-        .connectedComponentsAuto(chain, "id_a", "id_b"))
+        .connectedComponentsAuto(chain, "id_a", "id_b", localMaxEdges = 0))
     }
 
     // iterative CC localCheckpoints one edge set per round; the bench's
