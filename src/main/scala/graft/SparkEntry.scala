@@ -1071,6 +1071,21 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Same crawl-vs-corpus dedup through the Bloom semi-join reduction:
+    // bloom-negative batch rows skip the join, positives are exactly
+    // verified — results identical to dedup_incremental by construction,
+    // so the two queries share one oracle SQL.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      DedupFunctions.incrementalDedupBloom(
+          d.where($"source" =!= "src0"), d.where($"source" === "src0"),
+          "doc_id", "text", expectedDistinct = 1 << 16)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    }),
+
     // Paragraph-level exact dedup (RefinedWeb/MassiveText line dedup):
     // each distinct normalized line survives once corpus-wide (smallest
     // doc, first position), docs reassembled from survivors. Line
@@ -2603,6 +2618,20 @@ object SparkEntry {
     // batch (source<>src0) anti-joined against the corpus fingerprint set
     // (src0), then min-id-per-fingerprint within the surviving batch
     "dedup_incremental" ->
+      """WITH fps AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT * FROM fps WHERE source <> 'src0'
+        |    AND fp NOT IN (SELECT fp FROM fps WHERE source = 'src0')),
+        |win AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+        |SELECT f.source, count(*) AS n_kept, sum(f.doc_id)::BIGINT AS id_sum
+        |FROM fresh f JOIN win w ON f.doc_id = w.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bloom path is a pure accelerator — exact same result contract
+    "dedup_incremental_bloom" ->
       """WITH fps AS (
         |  SELECT doc_id, source,
         |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -95,6 +95,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("incremental dedup bloom: exact parity with the plain path, both gates") {
+    // real corpus split: src0 = corpus, rest = batch — planted dups ride
+    // along in the driver testdata (same split the oracle query uses)
+    val d = sf("documents")
+    val corpus = d.where($"source" === "src0")
+    val batch = d.where($"source" =!= "src0")
+    val plain = DedupFunctions.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val bloom = DedupFunctions.incrementalDedupBloom(batch, corpus,
+        "doc_id", "text", expectedDistinct = 4096)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(bloom === plain)
+    // degenerate gate: broadcastMaxSuspicious = 0 forces the fallback
+    // shuffle anti-join — still identical
+    val fallback = DedupFunctions.incrementalDedupBloom(batch, corpus,
+        "doc_id", "text", expectedDistinct = 4096,
+        broadcastMaxSuspicious = 0L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(fallback === plain)
+    // a deliberately tiny/overloaded filter (fpp driven way up) still
+    // returns exact results — false positives only cost verification work
+    val overloaded = DedupFunctions.incrementalDedupBloom(batch, corpus,
+        "doc_id", "text", expectedDistinct = 2, fpp = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(overloaded === plain)
+    // planted corpus dup + in-batch dup: the bloom path must drop both
+    val corpus2 = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (10L, "ALPHA   beta gamma"), (11L, "zeta eta"),
+      (12L, "zeta   ETA"), (13L, "unique content here"))
+      .toDF("doc_id", "text")
+    val kept2 = DedupFunctions.incrementalDedupBloom(batch2, corpus2,
+        "doc_id", "text", expectedDistinct = 64)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 === Seq(11L, 13L))
+  }
+
   test("paragraph dedup: each distinct line survives once — smallest doc, first slot") {
     val docs = Seq(
       (1L, "alpha one\nshared footer\nalpha two"),

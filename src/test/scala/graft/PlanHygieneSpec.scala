@@ -228,6 +228,17 @@ class PlanHygieneSpec extends SparkSpec {
       s"window residue fenced by only $nLevels bucket filter(s):\n$p")
   }
 
+  test("bloom incremental dedup: suspicious set broadcasts, no corpus shuffle join") {
+    val p = plan("dedup_incremental_bloom")
+    // the semi-join reduction's point: the corpus side is scanned map-side
+    // against the BROADCAST suspicious set — a sort-merge join here means
+    // the corpus fingerprints are being shuffled every batch again
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"corpus semi-join not broadcast:\n$p")
+    assert(p.contains("bloommightcontain") || p.contains("BloomMightContain"),
+      s"bloom pre-screen missing from the plan:\n$p")
+  }
+
   test("winnow cap: window shuffle is reused by the pair join, no extra exchange") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
