@@ -128,7 +128,12 @@ object DedupFunctions {
     import spark.implicits._
     val corpusFps = corpus
       .select(TextFunctions.fingerprint(col(textCol)).as("_fp"))
-    val bf = corpusFps.as[String].rdd
+    // null fingerprints (null text) never match an equi-join key, so they
+    // carry no dedup signal — skip them in the sketch build (putString
+    // would NPE on null) and route null-fp batch rows through the exact
+    // join path below, where the anti-join keeps them just like
+    // [[incrementalDedup]] does.
+    val bf = corpusFps.where(col("_fp").isNotNull).as[String].rdd
       .treeAggregate(
         org.apache.spark.util.sketch.BloomFilter.create(expectedDistinct, fpp))(
         (f, s) => { f.putString(s); f }, (a, b) => a.mergeInPlace(b))
@@ -137,7 +142,7 @@ object DedupFunctions {
     val maybe = expressions.BloomMightContain
       .bloomMightContain(col("_fp"), bf)
     val definiteNew = batchFp.where(!maybe)
-    val suspicious = batchFp.where(maybe)
+    val suspicious = batchFp.where(coalesce(maybe, lit(true)))
     val suspFps = suspicious.select(col("_fp")).distinct()
       .localCheckpoint(true) // read twice: the count gate + one join side
     val fresh =
@@ -202,7 +207,7 @@ object DedupFunctions {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, nBands: Int = 4, shingleSize: Int = 3,
                         stagingPath: Option[String] = None,
-                        maxBandFreq: Int = 1000): DataFrame = {
+                        maxBandFreq: Int = 0): DataFrame = {
     val sigs = bandedSignatures(df, idCol, textCol, k, nBands, shingleSize,
       stagingPath, maxBandFreq)
     val a = sigs.select(col("_band"), col("_id").as("id_a"), col("_toks").as("_toks_a"))
@@ -221,11 +226,16 @@ object DedupFunctions {
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
                                k: Int, nBands: Int, shingleSize: Int,
                                stagingPath: Option[String],
-                               maxBandFreq: Int = 1000): DataFrame = {
+                               maxBandFreq: Int = 0): DataFrame = {
     val rowsPerBand = k / nBands
     // band keys are selective by construction (whole-signature bands), but
     // a corpus with MANY exact/near copies of one page still produces one
-    // hot band per copy set — capped like the winnow fingerprints.
+    // hot band per copy set — cappable like the winnow fingerprints.
+    // OPT-IN (default 0 = off): a cap silently drops every pair of a copy
+    // family larger than the cap, so any caller that is checked against an
+    // independent oracle must mirror the same stop rule there (the bench
+    // queries pass 1000 and their DuckDB SQL carries the matching
+    // `HAVING count(*) <= 1000` band filter).
     val banded = capHotKeys(
       df.select(
         col(idCol).as("_id"),
@@ -265,7 +275,7 @@ object DedupFunctions {
                               shingleSize: Int = 3,
                               batchStagingPath: Option[String] = None,
                               corpusStagingPath: Option[String] = None,
-                              maxBandFreq: Int = 1000): DataFrame = {
+                              maxBandFreq: Int = 0): DataFrame = {
     val b = bandedSignatures(batch, idCol, textCol, k, nBands, shingleSize,
         batchStagingPath, maxBandFreq)
       .select(col("_band"), col("_id").as("batch_id"), col("_toks").as("_toks_b"))

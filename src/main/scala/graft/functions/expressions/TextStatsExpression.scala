@@ -5,7 +5,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -52,23 +53,54 @@ case class TextStats(child: Expression) extends UnaryExpression {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"text_stats needs string, got $other")
   }
-  override protected def nullSafeEval(input: Any): Any =
-    TextStats.compute(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.expressions.TextStats.compute($c)")
+  // NULL text does NOT null the whole struct: the composed originals each
+  // see null independently — langId falls through to "und", qualityScore's
+  // null-skipping least/greatest land on 0.5, the rest propagate null. The
+  // fused row mirrors that field-for-field ([[TextStats.nullRow]]), so
+  // fused and composed plans agree on null documents (TextStatsSpec pins it).
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextStats.nullRow()
+    else TextStats.compute(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+           |$javaType ${ev.value} = ${childGen.isNull}
+           |  ? graft.functions.expressions.TextStats.nullRow()
+           |  : graft.functions.expressions.TextStats.compute(${childGen.value});
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
   override protected def withNewChildInternal(newChild: Expression): TextStats =
     copy(child = newChild)
 }
 
 object TextStats {
 
+  // n_tokens/punct_bp/fingerprint are nullable: a null document nulls
+  // them; lang_pred and quality_bp still resolve (see [[nullRow]])
   val schema: StructType = StructType(Seq(
-    StructField("n_tokens", IntegerType, nullable = false),
-    StructField("punct_bp", LongType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = true),
+    StructField("punct_bp", LongType, nullable = true),
     StructField("lang_pred", StringType, nullable = false),
     StructField("quality_bp", LongType, nullable = false),
-    StructField("fingerprint", StringType, nullable = false)))
+    StructField("fingerprint", StringType, nullable = true)))
+
+  /** The fused row for a NULL document — field-for-field what the composed
+    * plan computes: `size(null)`/division/md5 propagate null for
+    * n_tokens/punct_bp/fingerprint; `langId`'s when-chain falls through
+    * null conditions to `"und"`; and qualityScore's `least`/`greatest`
+    * SKIP nulls, so its null-document value is 0.3·least(1.0) +
+    * 0.3·(1−least(1.0)) + 0.2·least(1.0) + 0.2·(greatest(0.0)/8) = 0.5 →
+    * 5000 bp (TextStatsSpec pins this against the live composed plan).
+    */
+  def nullRow(): InternalRow = new GenericInternalRow(
+    Array[Any](null, null, UTF8String.fromString("und"), 5000L, null))
 
   private val langs: Array[String] = TextFunctions.LangMarkers.map(_._1).toArray
   private val nLangs = langs.length

@@ -132,6 +132,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept2 === Seq(11L, 13L))
   }
 
+  test("incremental dedup bloom: null text agrees with the plain path") {
+    // null fingerprints never match an equi-join key: the plain path keeps
+    // the min-id null-fp batch row (anti-join passes nulls through, the
+    // winner agg groups them), and a null corpus text must not NPE the
+    // sketch build. The bloom path must do exactly the same.
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, null: String),          // null fp — kept (min id of null group)
+      (11L, null: String),          // null fp — dropped by the winner rule
+      (12L, "ALPHA beta   gamma"),  // corpus dup — dropped
+      (13L, "fresh content"))       // fresh singleton — kept
+      .toDF("doc_id", "text")
+    val plain = DedupFunctions.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val bloom = DedupFunctions.incrementalDedupBloom(batch, corpus,
+        "doc_id", "text", expectedDistinct = 64)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(bloom === plain)
+    assert(bloom === Seq(10L, 13L))
+    // fallback branch sees the same null routing
+    val fallback = DedupFunctions.incrementalDedupBloom(batch, corpus,
+        "doc_id", "text", expectedDistinct = 64,
+        broadcastMaxSuspicious = 0L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(fallback === plain)
+  }
+
   test("paragraph dedup: each distinct line survives once — smallest doc, first slot") {
     val docs = Seq(
       (1L, "alpha one\nshared footer\nalpha two"),

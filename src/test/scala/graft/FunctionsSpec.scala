@@ -419,6 +419,13 @@ class TextFunctionsSpec extends SparkSpec {
     val mhCapped = DedupFunctions.minhashCandidates(copies, "doc_id", "text",
       maxBandFreq = 30).count()
     assert(mhCapped === 0L)
+
+    // the cap is OPT-IN: by default every pair of the copy family is
+    // reported, exactly like an uncapped oracle replay would compute —
+    // callers with an independent oracle must mirror any cap they pass
+    val mhDefault = DedupFunctions.minhashCandidates(
+      copies, "doc_id", "text").count()
+    assert(mhDefault === 50L * 49 / 2)
   }
 
   test("redact scrubs urls/emails/ips with typed placeholders; counts match") {

@@ -68,6 +68,22 @@ class TextStatsSpec extends SparkSpec {
     assertIdentical(edges)
   }
 
+  test("fused == composed on null documents: lang_pred 'und', other fields null") {
+    val withNulls = Seq(
+      (1L, null: String),
+      (2L, "the and of plain text"),
+      (3L, null: String))
+      .toDF("doc_id", "text")
+    assertIdentical(withNulls)
+    // pin the exact null contract (not just parity): langId's when-chain
+    // resolves null to "und"; qualityScore's null-skipping least/greatest
+    // land on 0.5 → 5000 bp; n_tokens/punct_bp/fingerprint propagate null
+    val r = fused(withNulls.where($"doc_id" === 1L)).head()
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(5))
+    assert(r.getString(3) === "und")
+    assert(r.getLong(4) === 5000L)
+  }
+
   test("fused stays inside whole-stage codegen") {
     // the `*(n)` prefix in toString marks a WholeStageCodegen stage; check
     // the node type directly so the assertion doesn't depend on format
