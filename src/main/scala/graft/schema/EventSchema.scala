@@ -197,7 +197,7 @@ object EventSchema {
       * state — stable schemas, every trigger). Returns whether a save ran.
       */
     def saveIfChanged(path: String,
-                      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+                      conf: org.apache.hadoop.conf.Configuration): Boolean = this.synchronized {
       val v = version.get()
       val saved = savedVersions.get(path)
       if (saved != null && saved.longValue() == v) false
@@ -219,7 +219,17 @@ object EventSchema {
       * Returns whether any shard was written.
       */
     def saveShardedIfChanged(dir: String,
-                             conf: org.apache.hadoop.conf.Configuration): Boolean = {
+                             conf: org.apache.hadoop.conf.Configuration): Boolean = this.synchronized {
+      // saves SERIALIZE on the registry: two streaming queries sharing this
+      // registry may commit concurrently, and without the lock a save that
+      // serialized OLDER entries can win the rename race against one that
+      // serialized newer entries while `savedVersions` records the newer
+      // version — the steady-state skip would then hide the lost columns
+      // on disk until the project's next evolution. Under the lock the
+      // later saver re-reads both the version and the entries, so the file
+      // always ends at the newest serialization (the reference serializes
+      // equivalently through its metastore DAO, MetadataDao.java:114-133).
+      // addColumns stays lock-free — only persistence serializes.
       import scala.jdk.CollectionConverters._
       val projects = schemas.keySet.asScala.map(_.project).toSet
       var any = false

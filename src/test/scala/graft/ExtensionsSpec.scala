@@ -178,6 +178,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(registry.get(id).get.fieldNames.take(2).toSeq == Seq("_time", "_user"))
   }
 
+  test("two concurrent save writers evolving one project never lose columns") {
+    // the deployed shape: two streaming queries in ONE driver share the
+    // registry and each runs addColumns + saveShardedIfChanged inside its
+    // own commit barrier. Saves serialize on the registry (see
+    // saveShardedIfChanged), so no interleaving can leave the on-disk
+    // shard missing a column that a version skip then hides. (Cross-driver
+    // writers are out of scope by design — two separate processes must
+    // merge through loadSharded, mirroring the reference's single
+    // metastore DAO.)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("regrace").toString + "/reg"
+    val registry = new EventSchema.Registry()
+    val id1 = CollectionId("racep", "stream1")
+    val id2 = CollectionId("racep", "stream2") // same project → same shard
+    val rounds = 25
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until rounds).foreach { i =>
+            registry.addColumns(if (w == 1) id1 else id2,
+              StructType(Seq(StructField(s"w${w}_f$i", DoubleType))))
+            barrier.await() // maximal interleave: both saves race each round
+            registry.saveShardedIfChanged(dir, conf)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // no trailing flush on the shared registry: the LAST racing save must
+    // already have persisted every column either writer added before it
+    val loaded = new EventSchema.Registry()
+    assert(loaded.loadSharded(dir, conf))
+    val c1 = loaded.get(id1).get.fieldNames.toSet
+    val c2 = loaded.get(id2).get.fieldNames.toSet
+    val miss1 = (0 until rounds).map(i => s"w1_f$i").filterNot(c1)
+    val miss2 = (0 until rounds).map(i => s"w2_f$i").filterNot(c2)
+    assert(miss1.isEmpty && miss2.isEmpty,
+      s"lost columns on disk: $miss1 $miss2")
+    // and the version bookkeeping is consistent with the disk state:
+    // nothing evolved since the last save, so the next one is a no-op
+    assert(!registry.saveShardedIfChanged(dir, conf))
+  }
+
   test("saltedJoin equals plain join; saltedCount equals plain count") {
     import spark.implicits._
     // skewed: 90% of rows share key 1
