@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery here — schema convention, batched
   * `mapPartitions` kernels, partition sizing — is real and tested. Image
-  * kernels (decode → features, resize) are REAL via `javax.imageio`, and
-  * audio features are REAL via `javax.sound.sampled` (both in the JDK).
-  * Video decode remains a deterministic stub (the JDK ships no video
-  * codec) — swap the [[MediaKernels]] entry for a real decoder
-  * (JavaCV/ffmpeg…) without touching the dataflow.
+  * kernels (decode → features, resize) are REAL via `javax.imageio`,
+  * audio features are REAL via `javax.sound.sampled` (both in the JDK),
+  * and video demux/decode is REAL for Motion-JPEG streams (byte-exact
+  * SOI/EOI frame split + the ImageIO image kernel per frame —
+  * [[MediaKernels.mjpegFrames]]). Compressed video codecs (H.264…) are
+  * not in the JDK; those bytes fall back to a deterministic stub split —
+  * swap the [[MediaKernels]] entry for a real decoder (JavaCV/ffmpeg…)
+  * without touching the dataflow.
   */
 object Multimodal {
 
@@ -51,8 +54,9 @@ object Multimodal {
     * Dispatches on `meta.format`: image-typed media (an `image/` MIME
     * prefix) decodes for real via `javax.imageio` (luminance/color
     * histogram features), audio-typed media via `javax.sound.sampled`
-    * (amplitude histogram); video falls back to the deterministic stub
-    * kernel.
+    * (amplitude histogram), video-typed media via the MJPEG demux (mean
+    * of per-frame image histograms); undecodable bytes fall back to the
+    * deterministic stub kernel.
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
                       dim: Int = 64): DataFrame = {
@@ -102,7 +106,11 @@ object Multimodal {
   }
 
   /** Video frame sampling: one row per sampled frame with a frame index —
-    * the explode-shaped transform a frame-level pipeline needs.
+    * the explode-shaped transform a frame-level pipeline needs. `video/`
+    * media demuxes for REAL when the bytes are a Motion-JPEG stream
+    * ([[MediaKernels.mjpegFrames]] — each output frame is a decodable
+    * JPEG, byte-identical to the original); other bytes fall back to the
+    * deterministic stub windows.
     */
   def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
                    everyN: Int): DataFrame = {
@@ -114,8 +122,10 @@ object Multimodal {
     val mIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        val bytes = r.getStruct(mIdx).getAs[Array[Byte]]("data")
-        MediaKernels.fakeFrames(bytes, everyN).zipWithIndex.map { case (f, i) =>
+        val media = r.getStruct(mIdx)
+        val bytes = media.getAs[Array[Byte]]("data")
+        val format = media.getStruct(media.fieldIndex("meta")).getAs[String]("format")
+        MediaKernels.videoFrames(bytes, format, everyN).zipWithIndex.map { case (f, i) =>
           new GenericRowWithSchema(Array[Any](r.get(idIdx), i, f), outSchema): Row
         }
       }
@@ -123,16 +133,18 @@ object Multimodal {
   }
 }
 
-/** Media kernels. Images decode for REAL via `javax.imageio` and audio via
-  * `javax.sound.sampled` (both in the JDK — no extra jars); the video
-  * kernel remains a deterministic stub standing in for codecs this
-  * environment doesn't ship. Every kernel is pure on its input bytes so
-  * tests and oracles are reproducible.
+/** Media kernels. Images decode for REAL via `javax.imageio`, audio via
+  * `javax.sound.sampled` (both in the JDK — no extra jars), and video via
+  * the pure-JVM MJPEG demux ([[mjpegFrames]]) + the image kernel per
+  * frame. Compressed codecs the JDK doesn't ship fall back to
+  * deterministic stubs. Every kernel is pure on its input bytes so tests
+  * and oracles are reproducible.
   */
 object MediaKernels {
 
   /** Modality dispatch: an `image/` MIME prefix → real ImageIO decode, an
-    * `audio/` prefix → real `javax.sound.sampled` decode (each falling back
+    * `audio/` prefix → real `javax.sound.sampled` decode, a `video/`
+    * prefix → real MJPEG demux + per-frame image decode (each falling back
     * to the stub when the bytes don't decode); everything else → stub.
     */
   def decodeFeatures(bytes: Array[Byte], format: String, dim: Int): Array[Float] =
@@ -140,6 +152,8 @@ object MediaKernels {
       imageFeatures(bytes, dim).getOrElse(fakeDecodeFeatures(bytes, dim))
     else if (format != null && format.startsWith("audio/"))
       audioFeatures(bytes, dim).getOrElse(fakeDecodeFeatures(bytes, dim))
+    else if (format != null && format.startsWith("video/"))
+      videoFeatures(bytes, dim).getOrElse(fakeDecodeFeatures(bytes, dim))
     else fakeDecodeFeatures(bytes, dim)
 
   /** Real audio features via `javax.sound.sampled` (in the JDK — no extra
@@ -285,8 +299,10 @@ object MediaKernels {
     out
   }
 
-  /** STUB (video demux/codecs absent here) — real impl: demux container,
-    * decode every Nth frame. Fake: fixed 64-byte windows, every Nth.
+  /** Fallback frame split for video bytes that are NOT a decodable MJPEG
+    * stream (compressed codecs this environment doesn't ship): fixed
+    * 64-byte windows, every Nth. Deterministic so tests/oracles stay
+    * reproducible.
     */
   def fakeFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
     if (bytes == null || bytes.isEmpty) return Seq.empty
@@ -295,6 +311,74 @@ object MediaKernels {
     (0 until nFrames by math.max(1, everyN)).map { f =>
       val start = f * frameSize
       bytes.slice(start, math.min(start + frameSize, bytes.length))
+    }
+  }
+
+  /** REAL video demux for Motion-JPEG streams — the classic MJPEG wire
+    * format is literally concatenated JPEG images, so a pure-JVM demux is
+    * a byte scan: split on SOI (FFD8) / EOI (FFD9) marker pairs, tracking
+    * nesting depth so an embedded EXIF thumbnail (its own SOI..EOI inside
+    * the outer frame) never splits a frame early. Entropy-coded JPEG data
+    * escapes 0xFF as FF00 and restart markers are FFD0-D7, so FFD9 only
+    * appears as a real EOI — the scan is exact, and each returned frame is
+    * the original JPEG byte-for-byte (decodable by the `javax.imageio`
+    * image kernel). Empty result = the bytes are not an MJPEG stream.
+    */
+  def mjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 4) return Seq.empty
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var start = -1
+    var depth = 0
+    while (i + 1 < bytes.length) {
+      val m = (bytes(i) & 0xff, bytes(i + 1) & 0xff)
+      if (m == (0xff, 0xd8)) {
+        if (depth == 0) start = i
+        depth += 1
+        i += 2
+      } else if (m == (0xff, 0xd9) && depth > 0) {
+        depth -= 1
+        if (depth == 0) {
+          frames += java.util.Arrays.copyOfRange(bytes, start, i + 2)
+          start = -1
+        }
+        i += 2
+      } else i += 1
+    }
+    frames.toSeq
+  }
+
+  /** Frame split dispatch: `video/` media tries the REAL MJPEG demux
+    * first; anything that isn't a JPEG stream falls back to the
+    * deterministic stub windows.
+    */
+  def videoFrames(bytes: Array[Byte], format: String, everyN: Int): Seq[Array[Byte]] = {
+    val real =
+      if (format != null && format.startsWith("video/")) mjpegFrames(bytes)
+      else Seq.empty
+    if (real.nonEmpty) {
+      val step = math.max(1, everyN)
+      real.indices.collect { case f if f % step == 0 => real(f) }
+    } else fakeFrames(bytes, everyN)
+  }
+
+  /** Real video features: mean of the per-frame image histograms over the
+    * demuxed MJPEG frames (each frame through [[imageFeatures]]). None when
+    * the bytes aren't MJPEG or no frame decodes — caller falls back to the
+    * stub, the same contract as the image/audio kernels.
+    */
+  def videoFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val decoded = mjpegFrames(bytes).flatMap(f => imageFeatures(f, dim))
+    if (decoded.isEmpty) None
+    else {
+      val mean = new Array[Float](dim)
+      decoded.foreach { f =>
+        var i = 0
+        while (i < dim) { mean(i) += f(i); i += 1 }
+      }
+      var i = 0
+      while (i < dim) { mean(i) /= decoded.length; i += 1 }
+      Some(mean)
     }
   }
 }

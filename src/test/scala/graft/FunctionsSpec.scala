@@ -1183,4 +1183,69 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(1, 4) & 0xffffff) == 0xff0000)
     assert((back.getRGB(6, 4) & 0xffffff) == 0x0000ff)
   }
+
+  /** Deterministic JPEG frame: 16×16 solid color through ImageIO. */
+  private def testJpeg(rgb: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("video modality demuxes for real: MJPEG frame split is byte-exact") {
+    import spark.implicits._
+    // an MJPEG stream IS concatenated JPEGs — three distinct frames
+    val f0 = testJpeg(0xff0000); val f1 = testJpeg(0x00ff00); val f2 = testJpeg(0x0000ff)
+    val stream = f0 ++ f1 ++ f2
+
+    // byte-exact demux: every frame comes back as the original JPEG
+    val frames = MediaKernels.mjpegFrames(stream)
+    assert(frames.length == 3)
+    assert(frames(0).toSeq == f0.toSeq && frames(1).toSeq == f1.toSeq
+      && frames(2).toSeq == f2.toSeq)
+    // and each demuxed frame decodes through the real image kernel
+    frames.foreach { f =>
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(im.getWidth == 16 && im.getHeight == 16)
+    }
+
+    // Spark path: one row per sampled frame, every-Nth semantics
+    val df = Seq((7L, stream)).toDF("id", "bytes")
+      .select($"id", Multimodal.asMedia($"bytes", lit("video/x-motion-jpeg")).as("media"))
+    val all = Multimodal.sampleFrames(df, "id", "media", everyN = 1)
+      .orderBy($"frame_idx").collect()
+    assert(all.length == 3)
+    assert(all.map(_.getAs[Array[Byte]]("frame").toSeq).toSeq ==
+      Seq(f0.toSeq, f1.toSeq, f2.toSeq))
+    val sampled = Multimodal.sampleFrames(df, "id", "media", everyN = 2)
+      .orderBy($"frame_idx").collect()
+    assert(sampled.map(_.getAs[Array[Byte]]("frame").toSeq).toSeq ==
+      Seq(f0.toSeq, f2.toSeq)) // frames 0 and 2
+
+    // video features = mean of the per-frame image histograms, exactly
+    val perFrame = Seq(f0, f1, f2).map(MediaKernels.imageFeatures(_, 16).get)
+    val expected = (0 until 16).map(i => perFrame.map(_(i)).sum / 3)
+    val vf = MediaKernels.videoFeatures(stream, 16).get
+    assert(vf.toSeq == expected)
+    assert(MediaKernels.decodeFeatures(stream, "video/x-motion-jpeg", 16).toSeq ==
+      vf.toSeq)
+
+    // nested SOI/EOI (EXIF-thumbnail shape) does not split a frame early:
+    // frame = SOI + [embedded full JPEG] + EOI must come back whole
+    val nested = Array[Byte](0xff.toByte, 0xd8.toByte) ++ f1 ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val nf = MediaKernels.mjpegFrames(nested ++ f0)
+    assert(nf.length == 2)
+    assert(nf(0).toSeq == nested.toSeq && nf(1).toSeq == f0.toSeq)
+
+    // non-MJPEG video bytes fall back to the deterministic stubs
+    val junk = "definitely not a jpeg stream".getBytes
+    assert(MediaKernels.mjpegFrames(junk).isEmpty)
+    assert(MediaKernels.videoFrames(junk, "video/mp4", 2).map(_.toSeq) ==
+      MediaKernels.fakeFrames(junk, 2).map(_.toSeq))
+    assert(MediaKernels.decodeFeatures(junk, "video/mp4", 16).toSeq ==
+      MediaKernels.fakeDecodeFeatures(junk, 16).toSeq)
+  }
 }
