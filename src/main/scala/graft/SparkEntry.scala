@@ -580,6 +580,10 @@ object SparkEntry {
 
     // As-of join (custom operator): each purchase matched to the user's
     // latest prior click — union+sort+window formulation, one shuffle.
+    // skewBuckets=8 runs the segmented-window variant (time-bucketed
+    // windows + carry-in): a pathologically hot user key spreads over 8
+    // tasks instead of serializing on one — output identical to the
+    // single-window plan (AsOfJoinSpec pins parity + the row bound).
     "asof_purchase_click" -> ((s, dir) => {
       import s.implicits._
       val evRaw = tbl(s, dir, "events")
@@ -590,7 +594,8 @@ object SparkEntry {
       val clicks = ev.filter($"event_type" === "click")
         .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
       graft.operators.AsOfJoin.asOfJoin(
-          purchases, clicks, Seq("user_id"), "ts", "click_ts")
+          purchases, clicks, Seq("user_id"), "ts", "click_ts",
+          skewBuckets = 8)
         .select($"event_id", $"click_id")
         .orderBy($"event_id")
     }),

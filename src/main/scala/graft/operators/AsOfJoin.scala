@@ -18,6 +18,19 @@ import org.apache.spark.sql.types.StructType
   * custom `SparkPlan` only if the sort needed fusing with a custom state
   * layout.
   *
+  * SKEW: a window partition is one key group — AQE's skew handling splits
+  * sort-merge JOIN partitions, not window partitions, so a pathologically
+  * hot key (one user with 20% of the events) serializes on a single task.
+  * `skewBuckets > 1` switches to the segmented-scan formulation: the time
+  * axis is split into `skewBuckets` ranges, the running window runs per
+  * (key, bucket) — the hot key's rows spread over `skewBuckets` tasks —
+  * and rows whose bucket holds no earlier right row take their match from
+  * a per-(key, bucket) carry-in table (last right payload of every
+  * PRECEDING bucket: at most keys × buckets rows, prefix-scanned with a
+  * tiny window and joined back; AQE broadcasts it). Identical output to
+  * the single-window plan — AsOfJoinSpec pins parity and the per-task
+  * row bound under a planted hot key.
+  *
   * Output: every left column, plus the matched right payload columns
   * (null when no match) — right columns must not collide with left ones
   * (pre-rename on the caller side).
@@ -26,7 +39,9 @@ object AsOfJoin {
 
   def asOfJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                leftTime: String, rightTime: String,
-               tolerance: Option[Column] = None): DataFrame = {
+               tolerance: Option[Column] = None,
+               skewBuckets: Int = 1): DataFrame = {
+    require(skewBuckets >= 1, s"skewBuckets must be >= 1, got $skewBuckets")
     val leftPayload = left.columns.filterNot(on.contains).toSeq
     val rightPayload = right.columns.filterNot(on.contains).toSeq
     require(leftPayload.intersect(rightPayload).isEmpty,
@@ -44,16 +59,57 @@ object AsOfJoin {
         col(rightTime).as("_t"), lit(0).as("_src"),
         lit(null).cast(StructType(left.select(leftPayload.map(col): _*).schema.fields)).as("_lpay"),
         struct(rightPayload.map(col): _*).as("_rpay")): _*)
+    val union = lhs.unionByName(rhs)
 
-    // right rows sort BEFORE left rows at equal time (_src 0 < 1), so
-    // `rightTime == leftTime` matches (ASOF >= semantics)
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("_t").asc, col("_src").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matched = lhs.unionByName(rhs)
-      .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
-      .where(col("_src") === 1)
+    val matched =
+      if (skewBuckets == 1) {
+        // right rows sort BEFORE left rows at equal time (_src 0 < 1), so
+        // `rightTime == leftTime` matches (ASOF >= semantics)
+        val w = Window.partitionBy(on.map(col): _*)
+          .orderBy(col("_t").asc, col("_src").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union
+          .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
+          .where(col("_src") === 1)
+      } else {
+        // segmented scan: bucket the time axis on the GLOBAL [min, max]
+        // range (one 2-value aggregate — cheap, and monotone casts keep
+        // ordering), window per (key, bucket), then fill bucket-local
+        // misses from the carry-in of preceding buckets.
+        val tNum = col("_t").cast("double") // monotone for numeric + timestamp
+        val Array(mn, mx) = union
+          .agg(min(tNum), max(tNum)).head().toSeq.toArray
+        val (lo, hi) = (Option(mn).map(_.asInstanceOf[Double]).getOrElse(0.0),
+                        Option(mx).map(_.asInstanceOf[Double]).getOrElse(0.0))
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        val bucketed = union.withColumn("_b",
+          least(lit(skewBuckets - 1), greatest(lit(0),
+            floor((tNum - lit(lo)) / lit(span) * skewBuckets).cast("int"))))
+        val w = Window.partitionBy((on :+ "_b").map(col): _*)
+          .orderBy(col("_t").asc, col("_src").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = bucketed
+          .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
+          .where(col("_src") === 1)
+        // last right payload per (key, bucket): keys × buckets rows max.
+        // Seeded from EVERY populated (key, bucket) — a bucket holding
+        // only left rows still needs the carry from earlier buckets —
+        // with the right side's last payload where one exists.
+        val bucketLast = bucketed
+          .groupBy((on :+ "_b").map(col): _*)
+          .agg(max_by(col("_rpay"),
+            when(col("_src") === 0, col("_t"))).as("_blast"))
+        // carry-in for bucket b = last right payload over buckets < b
+        // (tiny per-key window: at most `skewBuckets` rows per key)
+        val cw = Window.partitionBy(on.map(col): _*).orderBy(col("_b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = bucketLast
+          .withColumn("_carry", last(col("_blast"), ignoreNulls = true).over(cw))
+          .select((on :+ "_b").map(col) :+ col("_carry"): _*)
+        local.join(carry, on :+ "_b", "left")
+          .withColumn("_match", coalesce(col("_match"), col("_carry")))
+          .drop("_b", "_carry")
+      }
 
     // tolerance: an interval (timestamp times) or numeric delta — the match
     // must satisfy rightTime >= leftTime - tolerance, else null

@@ -86,4 +86,74 @@ class AsOfJoinSpec extends SparkSpec {
     brute.foreach { case (eid, cid) => assert(fast(eid).contains(cid), s"event $eid") }
     fast.foreach { case (eid, cid) => if (cid.isEmpty) assert(!brute.contains(eid)) }
   }
+
+  test("segmented windows tame a hot key: identical output, bounded partitions") {
+    import spark.implicits._
+    // planted skew: ONE user owns 20% of all events (the window-partition
+    // hazard AQE cannot split — skew-join handling only covers joins)
+    val n = 10000
+    val hotShare = n / 5
+    val events = ((0 until hotShare).map(i => (1L, i.toLong * 7919 % 99991, i % 3 == 0)) ++
+      (hotShare until n).map(i => (2L + i % 500, i.toLong * 6101 % 99991, i % 3 == 0)))
+      .zipWithIndex.map { case ((u, t, isP), i) => (i.toLong, u, t, isP) }
+      .toDF("event_id", "user_id", "t", "is_purchase")
+    val purchases = events.where($"is_purchase")
+      .select($"user_id", $"t", $"event_id")
+    val clicks = events.where(!$"is_purchase")
+      .select($"user_id", $"t".as("click_t"), $"event_id".as("click_id"))
+
+    def result(buckets: Int) = AsOfJoin.asOfJoin(purchases, clicks,
+        Seq("user_id"), "t", "click_t", skewBuckets = buckets)
+      .select($"event_id", $"click_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("click_id")))
+      .toMap
+
+    // parity: the segmented plan is bit-identical to the single-window one
+    val single = result(1)
+    assert(result(8) == single)
+    assert(result(32) == single)
+    // more buckets than distinct times still agrees (degenerate segments)
+    assert(result(997) == single)
+
+    // bounded partitions: the hot key's window work is the max (key,
+    // bucket) group — with 8 time buckets no task sees more than ~1/8th
+    // of the hot key's rows (2× slack for non-uniform time)
+    val hotRows = events.where($"user_id" === 1L).count()
+    val maxGroup = events
+      .withColumn("_b", least(lit(7), greatest(lit(0),
+        floor($"t".cast("double") / 99991.0 * 8).cast("int"))))
+      .groupBy($"user_id", $"_b").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxGroup <= hotRows / 8 * 2,
+      s"hot key not spread: max group $maxGroup of $hotRows hot rows")
+
+    // carry across right-empty buckets: clicks only at early times, a late
+    // purchase many empty buckets away still finds the old click
+    val lateL = Seq((9L, 1000L, 100L)).toDF("user_id", "t", "event_id")
+    val earlyR = Seq((9L, 1L, 200L)).toDF("user_id", "click_t", "click_id")
+    val carried = AsOfJoin.asOfJoin(lateL, earlyR, Seq("user_id"), "t",
+        "click_t", skewBuckets = 16)
+      .head().getAs[java.lang.Long]("click_id")
+    assert(carried == 200L)
+
+    // the timestamp edge cases from the basic test hold under bucketing
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:05"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 99.0),
+      ("B", ts("2024-01-01 10:00:01"), 50.0),
+      ("C", ts("2024-01-01 10:00:01"), 10.0))
+      .toDF("sym", "trade_ts", "price")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 98.5),
+      ("A", ts("2024-01-01 10:00:03"), 98.9),
+      ("A", ts("2024-01-01 10:00:06"), 99.9),
+      ("B", ts("2024-01-01 09:59:00"), 49.5))
+      .toDF("sym", "quote_ts", "bid")
+    val a = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "trade_ts", "quote_ts")
+      .collect().map(_.toSeq).toSet
+    val b = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "trade_ts", "quote_ts",
+        skewBuckets = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
