@@ -1,0 +1,223 @@
+package graft
+
+import graft.functions.{DedupFunctions, TextFunctions}
+import graft.schema.EventSchema
+import graft.sinks.ColumnarSink
+import graft.streaming.{IngestConfig, IngestStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10×-scale stress run for the dedup family + the collection-cardinality
+  * write loop. The 100 TB design claims rest on plan shapes (banded joins,
+  * hot-key caps, size gates); this bench validates them EMPIRICALLY one
+  * order of magnitude past the driver's sf0.1 surface, with the corpus
+  * constructed so every cap/gate actually crosses:
+  *
+  *  - `factor`× near-dup families (each source doc + factor-1 tail-mutated
+  *    copies) — the LSH recall shape;
+  *  - a 2,500-doc IDENTICAL family — every MinHash/SimHash band goes
+  *    hotter than `maxBandFreq`=1000 (cap crossover), and uncapped it
+  *    yields ~3.1M candidate pairs — past `localMaxEdges`=1M, forcing
+  *    connected components onto the distributed star path;
+  *  - a boilerplate passage shared by ~20% of docs — winnow's `maxDocFreq`
+  *    stop-fingerprint cap crossover;
+  *  - `factor`× jittered embedding copies — SemDeDup at 10×;
+  *  - 1,000 live collections in one micro-batch — the per-collection
+  *    write-loop crossover the consolidated cohort path removes.
+  *
+  * Run manually (not part of the driver bench):
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt 'runMain graft.StressBench'
+  * Results are recorded in SCALE.md's crossover table.
+  */
+object StressBench {
+
+  private val HotFamilySize = 2500
+  private val BandCap = 1000
+  private val DocFreqCap = 1000
+  private val LocalMaxEdges = 1000000L
+
+  /** factor× documents: copy 0 verbatim; copies k>0 tail-mutated (same
+    * doc, distinct text → near-dup, not exact-dup). ~20% of ALL copies
+    * carry a shared boilerplate tail; plus the identical hot family.
+    */
+  def tenXDocs(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val boiler = (0 until 30).map(i => s"standard footer clause $i").mkString(" ")
+    val copies = (0 until factor).map { k =>
+      val t = if (k == 0) col("text")
+              else concat(col("text"), lit(s" edition$k revised"))
+      val withBoiler = when(col("doc_id") % 5 === 0, concat(t, lit(" " + boiler)))
+        .otherwise(t)
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        withBoiler.as("text"))
+    }.reduce(_.unionByName(_))
+    val hotText = (0 until 120).map(i => s"hot clause token$i").mkString(" ")
+    val hot = spark.range(HotFamilySize)
+      .select((col("id") + lit(900000000L)).as("doc_id"), lit(hotText).as("text"))
+    copies.unionByName(hot)
+  }
+
+  /** factor× embeddings with per-copy jitter (cosine vs original ≈ 1). */
+  def tenXEmbeddings(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    (0 until factor).map { k =>
+      if (k == 0) base
+      else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(1e-4f * k)).cast("float"))
+          .as("embedding"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stress")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      out(name) = f"$sec%.2f"
+      System.err.println(f"[stress] $name: $sec%.2f s")
+      r
+    }
+
+    // ---- stage the 10× corpus to parquet (downstream reads real files)
+    val corpusPath = s"$tmp/docs10x"
+    val nDocs = timed("gen_corpus_sec") {
+      tenXDocs(spark, sfDir, factor)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(corpusPath)
+      spark.read.parquet(corpusPath).count()
+    }
+    out("n_docs") = nDocs.toString
+    val corpus = spark.read.parquet(corpusPath)
+
+    // ---- MinHash band cap crossover: capped vs uncapped candidate pairs
+    val capped = timed("minhash_capped_sec") {
+      DedupFunctions.minhashCandidates(corpus, "doc_id", "text",
+        stagingPath = Some(s"$tmp/sigs_capped"), maxBandFreq = BandCap).count()
+    }
+    out("minhash_capped_pairs") = capped.toString
+    val pairsPath = s"$tmp/pairs_uncapped"
+    val uncapped = timed("minhash_uncapped_sec") {
+      DedupFunctions.minhashCandidates(corpus, "doc_id", "text",
+          stagingPath = Some(s"$tmp/sigs_uncapped"), maxBandFreq = 0)
+        .write.parquet(pairsPath)
+      spark.read.parquet(pairsPath).count()
+    }
+    out("minhash_uncapped_pairs") = uncapped.toString
+    out("band_cap_fired") =
+      (uncapped - capped >= HotFamilySize.toLong * (HotFamilySize - 1) / 2).toString
+
+    // ---- CC on the uncapped pairs: edges > localMaxEdges forces the
+    // distributed alternating-star path (the local union-find gate closes)
+    val edges = spark.read.parquet(pairsPath)
+    out("cc_edges") = uncapped.toString
+    out("cc_distributed_forced") = (uncapped > LocalMaxEdges).toString
+    val clusters = timed("cc_auto_sec") {
+      DedupFunctions.connectedComponentsAuto(edges, "id_a", "id_b")
+        .select(col("component")).distinct().count()
+    }
+    out("cc_clusters") = clusters.toString
+
+    // ---- winnow stop-fingerprint cap: the boilerplate passage's doc-freq
+    // crosses maxDocFreq, so capped candidates stay bounded (uncapped would
+    // be ~(n_docs/5)^2 boilerplate pairs — the exact blowup the cap stops)
+    val maxFpFreq = corpus.select(col("doc_id"),
+        explode(TextFunctions.winnowedFingerprints(col("text"), 3, 8)).as("_fp"))
+      .groupBy(col("_fp")).agg(countDistinct(col("doc_id")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    out("winnow_max_fp_docfreq") = maxFpFreq.toString
+    out("winnow_cap_fired") = (maxFpFreq > DocFreqCap).toString
+    val winnow = timed("winnow_capped_sec") {
+      DedupFunctions.winnowNearDups(corpus, "doc_id", "text",
+        stagingPath = Some(s"$tmp/winnow_fps"), maxDocFreq = DocFreqCap).count()
+    }
+    out("winnow_capped_pairs") = winnow.toString
+
+    // ---- SimHash with the band cap (identical hot family goes over it)
+    val simhash = timed("simhash_capped_sec") {
+      DedupFunctions.simhashNearDups(corpus, "doc_id", "text",
+        stagingPath = Some(s"$tmp/simhash_sigs"), maxBandFreq = BandCap).count()
+    }
+    out("simhash_capped_pairs") = simhash.toString
+
+    // ---- repeated-span removal at 10×
+    val spans = timed("span_removal_sec") {
+      DedupFunctions.removeRepeatedSpans(corpus, "doc_id", "text").count()
+    }
+    out("span_removal_rows") = spans.toString
+
+    // ---- SemDeDup at 10× embeddings
+    val emb = tenXEmbeddings(spark, sfDir, factor)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val nEmb = emb.count()
+    out("n_embeddings") = nEmb.toString
+    val semKept = timed("semantic_dedup_sec") {
+      DedupFunctions.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.999).count()
+    }
+    out("semantic_kept") = semKept.toString
+
+    // ---- Bloom incremental: 10× batch vs original corpus (exact matches
+    // = the verbatim copy-0 docs; boilerplate originals differ)
+    val orig = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bloomNew = timed("bloom_incremental_sec") {
+      DedupFunctions.incrementalDedupBloom(corpus, orig, "doc_id", "text",
+        expectedDistinct = nDocs).count()
+    }
+    out("bloom_new_rows") = bloomNew.toString
+
+    // ---- 1k-collection micro-batch: per-collection loop vs consolidated
+    val rawJson = {
+      import spark.implicits._
+      val now = System.currentTimeMillis()
+      spark.range(100000).select(
+        concat(lit("""{"data":{"_project":"demo","_collection":"c"""),
+          (col("id") % 1000), lit("\","),
+          lit(""""_time":"""), lit(now), lit(","),
+          lit(""""_user":"u"""), (col("id") % 97), lit("\","),
+          lit(""""n":"""), col("id"), lit("}}")).as("value")).as[String]
+        .localCheckpoint(true)
+    }
+    timed("collections1k_percoll_sec") {
+      val c = IngestStream.processBatch(spark, rawJson,
+        new EventSchema.Registry(), new ColumnarSink(s"$tmp/sink_per"),
+        None, IngestConfig(consolidateThreshold = 0), batchId = 1)
+      require(c.size == 1000 && c.values.sum == 100000L, s"percoll counts: ${c.size}")
+    }
+    timed("collections1k_consolidated_sec") {
+      val c = IngestStream.processBatch(spark, rawJson,
+        new EventSchema.Registry(), new ColumnarSink(s"$tmp/sink_co"),
+        None, IngestConfig(consolidateThreshold = 64), batchId = 1)
+      require(c.size == 1000 && c.values.sum == 100000L, s"consolidated counts: ${c.size}")
+    }
+
+    println(out.map { case (k, v) =>
+      val quoted = if (v.matches("-?[0-9.]+|true|false")) v else "\"" + v + "\""
+      "\"" + k + "\":" + quoted
+    }.mkString("{", ",", "}"))
+    try {
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

@@ -258,7 +258,8 @@ object AvroIngest {
                    batchId: Long = -1L,
                    bulkFetch: Option[String => Array[Byte]] = None,
                    dedupBatch: Boolean = false,
-                   writeParallelism: Int = 4)
+                   writeParallelism: Int = 4,
+                   consolidateThreshold: Int = 64)
       : Map[CollectionId, Long] = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -297,12 +298,7 @@ object AvroIngest {
         .collect()
         .map(r => CollectionId(r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
-      // writes submit from a bounded pool (ParallelWrites — the
-      // reference's writer-queue shape); largest-first kept as submission
-      // order, failures surface only after every write finished
-      val inline: Map[CollectionId, Long] = graft.util.ParallelWrites.run(
-        schemas.keys.toSeq.filter(present.contains)
-          .sortBy(id => -present(id)), writeParallelism) { id =>
+      def decodeSingle(id: CollectionId): Option[(CollectionId, Long)] = {
         val (avroJson, rowSchema) = schemaPairs(id)
         val enc = Encoders.row(rowSchema)
         val decoded = routed
@@ -331,6 +327,86 @@ object AvroIngest {
         // batch id flows through for sink-side replay idempotence)
         val n = graft.util.ObservedCount.insertCounted(sink, id, deduped, batchId)
         if (n > 0) Some(id -> n) else None
+      }
+
+      /** Same-schema cohort: decode every member's rows in ONE pass (each
+        * record still resolves against its OWN collection's reader schema —
+        * members share the StructType but keep their record names) and land
+        * them via the sink's consolidated partitioned write. Mirrors
+        * `IngestStream.processBatch`'s cohorting: collection count stops
+        * driving driver-side job submissions at high cardinality.
+        */
+      def decodeCohort(ids: Seq[CollectionId]): Seq[(CollectionId, Long)] = {
+        val rowSchema = schemaPairs(ids.head)._2
+        val members: Map[(String, String), String] =
+          ids.map(id => (id.project, id.collection) -> schemaPairs(id)._1).toMap
+        val outSchema = StructType(rowSchema.fields ++ Seq(
+          StructField("_project", StringType, nullable = false),
+          StructField("_collection", StringType, nullable = false)))
+        val enc = Encoders.row(outSchema)
+        val memberB = spark.sparkContext.broadcast(members)
+        val cohortDf = routed
+          .select(col("_project"), col("_collection"), col("key"), col("value"))
+          .mapPartitions { rows =>
+            val m = memberB.value
+            // one parsed reader schema per member per task (Schema.Parser
+            // is single-use; parsed lazily so a task touching few members
+            // pays for few)
+            val readers = scala.collection.mutable.HashMap.empty[(String, String), Schema]
+            rows.flatMap { r =>
+              val p = r.getString(0); val c = r.getString(1)
+              m.get((p, c)) match {
+                case None => Iterator.empty
+                case Some(avroJson) =>
+                  val reader = readers.getOrElseUpdate((p, c),
+                    new Schema.Parser().parse(avroJson))
+                  val id = CollectionId(p, c)
+                  decodeTagged(r.getString(2), r.getAs[Array[Byte]](3), keySep,
+                    cid => if (cid == id) Some((reader, rowSchema)) else None,
+                    names)
+                    .map { case (_, row) => Row.fromSeq(row.toSeq :+ p :+ c) }
+                    .iterator
+              }
+            }
+          }(enc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = cohortDf
+            .groupBy(col("_project"), col("_collection")).count().collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          sink.insertConsolidated(cohortDf, batchId)
+          ids.flatMap { id =>
+            val n = counts.getOrElse((id.project, id.collection), 0L)
+            if (n > 0) Some(id -> n) else None
+          }
+        } finally cohortDf.unpersist(false)
+      }
+
+      // cohorting by EXACT schema fingerprint above the cardinality
+      // threshold (JSON-path twin). dedupBatch keeps the per-collection
+      // path: its (user, time) dedup key must never span collections.
+      val candidates = schemas.keys.toSeq.filter(present.contains)
+      val consolidate = consolidateThreshold > 0 && !dedupBatch &&
+        candidates.size >= consolidateThreshold && sink.supportsConsolidated
+      val (cohorts, singles) =
+        if (!consolidate) (Nil, candidates)
+        else {
+          val groups = candidates.groupBy(id => schemaPairs(id)._2.json).values.toSeq
+          val (multi, lone) = groups.partition(_.size >= 2)
+          (multi, lone.flatten)
+        }
+      // writes submit from a bounded pool (ParallelWrites — the
+      // reference's writer-queue shape); largest-first kept as submission
+      // order over BOTH shapes, failures surface only after every write
+      val tasks: Seq[Either[CollectionId, Seq[CollectionId]]] =
+        (singles.map(Left(_)) ++ cohorts.map(Right(_))).sortBy {
+          case Left(id) => -present(id)
+          case Right(g) => -g.map(present).sum
+        }
+      val inline: Map[CollectionId, Long] = graft.util.ParallelWrites.run(
+        tasks, writeParallelism) {
+        case Left(id) => decodeSingle(id).toSeq
+        case Right(g) => decodeCohort(g)
       }.flatten.toMap
 
       bulkFetch match {

@@ -101,6 +101,37 @@ object JsonIngest {
     }(enc)
   }
 
+  /** Pass-2 variant for a same-schema COHORT of collections: parse every
+    * member's rows against the shared fixed schema in one distributed pass,
+    * tagging each output row with its routing columns so one partitioned
+    * write can land the whole cohort (`EventSink.insertConsolidated`).
+    * Per-record semantics are exactly [[parseCollection]]'s (the same
+    * `JsonEventParser.parseEvent` call against the same authoritative
+    * schema) — only the job structure changes: ONE scan of the cached
+    * batch for C collections instead of C filtered scans, which is what
+    * keeps the driver off the critical path at 10k live collections.
+    */
+  def parseCohort(routed: DataFrame, members: Set[(String, String)],
+                  schema: StructType, dialect: JsonDialect,
+                  names: FieldNames = FieldNames()): DataFrame = {
+    val spark = routed.sparkSession
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("_project", StringType, nullable = false),
+      StructField("_collection", StringType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    val membersB = spark.sparkContext.broadcast(members)
+    routed.select(col("value"), col("_project"), col("_collection"))
+      .mapPartitions { it =>
+        val m = membersB.value
+        it.flatMap { r =>
+          val p = r.getString(1); val c = r.getString(2)
+          if (p == null || c == null || !m((p, c))) Iterator.empty
+          else JsonEventParser.parseEvent(r.getString(0), dialect, schema, names)
+            .map(t => Row.fromSeq(t._2.toSeq :+ p :+ c)).iterator
+        }
+      }(enc)
+  }
+
   /** Full batch ingest: route → infer → evolve registry → per-collection
     * parse. Registry order is authoritative (metastore semantics D8/D9):
     * existing columns first in registered order, new columns appended.

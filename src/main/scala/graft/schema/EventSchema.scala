@@ -92,6 +92,14 @@ object EventSchema {
     // resurrects it)
     private val removedProjects =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // cumulative wall time spent inside sharded persistence — the
+    // registry-save share of the commit barrier, surfaced by the streaming
+    // throughput bench (the steady-state save is a version-check no-op, so
+    // this should stay near zero once schemas stabilize)
+    private val persistNanos = new java.util.concurrent.atomic.AtomicLong(0)
+
+    /** Total milliseconds spent in [[saveShardedIfChanged]] so far. */
+    def persistMillis: Long = persistNanos.get() / 1000000L
 
     private def bump(project: String): Unit = {
       version.incrementAndGet()
@@ -220,6 +228,13 @@ object EventSchema {
       */
     def saveShardedIfChanged(dir: String,
                              conf: org.apache.hadoop.conf.Configuration): Boolean = this.synchronized {
+      val persistT0 = System.nanoTime()
+      try saveShardedLocked(dir, conf)
+      finally persistNanos.addAndGet(System.nanoTime() - persistT0)
+    }
+
+    private def saveShardedLocked(dir: String,
+                                  conf: org.apache.hadoop.conf.Configuration): Boolean = {
       // saves SERIALIZE on the registry: two streaming queries sharing this
       // registry may commit concurrently, and without the lock a save that
       // serialized OLDER entries can win the rename race against one that

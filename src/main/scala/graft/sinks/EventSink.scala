@@ -27,6 +27,20 @@ trait EventSink extends Serializable {
     */
   def insert(id: CollectionId, df: DataFrame, batchId: Long): Unit =
     insert(id, df)
+
+  /** Whether [[insertConsolidated]] is implemented. High-cardinality
+    * batches use it to land a same-schema COHORT of collections in one
+    * partitioned job instead of one job per collection.
+    */
+  def supportsConsolidated: Boolean = false
+
+  /** Consolidated multi-collection insert: `rows` carry the cohort's
+    * shared data schema plus `_project`/`_collection` routing columns.
+    * Must be idempotent under micro-batch replay like `insert(_, _, batchId)`.
+    */
+  def insertConsolidated(rows: DataFrame, batchId: Long): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not support consolidated inserts")
 }
 
 /** K1 (modernized) — columnar table sink. The reference's Raptor/ORC path
@@ -85,6 +99,39 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .save(s"${path(id)}/batch=$batchId")
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+  }
+
+  /** B6-at-cardinality — consolidated cohort insert: ONE partitioned write
+    * lands every (project, collection) of a same-schema cohort under the
+    * standard layout `project=…/collection=…/batch=<id>/…`, byte-identical
+    * to what C separate [[insertBatch]] calls would produce (cohorts share
+    * one exact schema, so no foreign columns appear in any file). Dynamic
+    * partition overwrite scopes the overwrite to exactly the (project,
+    * collection, batch) triples present in `rows`, so a replayed
+    * micro-batch rewrites its own output in place — the same
+    * effectively-once contract as [[insertBatch]], without a marker file.
+    * At 10k live collections this turns C driver-side job submissions per
+    * trigger into O(#distinct schema shapes).
+    */
+  override def supportsConsolidated: Boolean = true
+
+  override def insertConsolidated(rows: DataFrame, batchId: Long): Unit = {
+    val tagged = rows
+      .withColumnRenamed("_project", "project")
+      .withColumnRenamed("_collection", "collection")
+    val w =
+      if (batchId >= 0)
+        tagged.withColumn("batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("project", "collection", "batch")
+      else // batch (non-streaming) load: plain append, like insert(id, df)
+        tagged.write.mode(SaveMode.Append)
+          .partitionBy("project", "collection")
+    w.format(format)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .save(basePath)
   }
 
   /** Read a collection back with schema evolution across appended batches. */

@@ -53,7 +53,10 @@ final case class IngestConfig(
     commitRetries: Int = 3,                       // C4, TargetConnectorCommitter.java:35-39
     commitRetryBaseMillis: Long = 1000,
     schemaFixed: Boolean = false,                 // registry authoritative; skip inference
-    writeParallelism: Int = 4)                    // B3 writer queues, S3DatabaseHandler:389-479
+    writeParallelism: Int = 4,                    // B3 writer queues, S3DatabaseHandler:389-479
+    availableNow: Boolean = false,                // drain-everything trigger (bench/backfill)
+    consolidateThreshold: Int = 64)               // collections/batch above which same-schema
+                                                  // cohorts write in ONE partitioned job
 
 /** The streaming ingest pipeline: the reference's Kafka/Kinesis worker loop
   * (SURVEY.md §3.1) re-expressed as one Structured Streaming query.
@@ -82,9 +85,17 @@ object IngestStream {
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
-  /** File-drop source of raw JSON lines (test/local stand-in for a topic). */
-  def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).toDF("value")
+  /** File-drop source of raw JSON lines (test/local stand-in for a topic).
+    * `maxFilesPerTrigger` bounds per-batch intake the way
+    * `maxOffsetsPerTrigger` does for Kafka (B5) — and doubles as the
+    * batch-cadence control for the replay throughput bench.
+    */
+  def fileSource(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(dir).toDF("value")
+  }
 
   /** S3 — Kinesis raw source: requires the spark-sql-kinesis connector
     * (e.g. the Qubole/AWS `spark-streaming-sql-kinesis` artifact) at
@@ -262,38 +273,95 @@ object IngestStream {
         routed.groupBy(col("_project"), col("_collection")).count()
           .collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      val ordered = parsed.toSeq.sortBy { case (id, _) =>
-        -routedSizes.getOrElse((id.project, id.collection), 0L)
+      def sizeOf(id: graft.schema.CollectionId): Long =
+        routedSizes.getOrElse((id.project, id.collection), 0L)
+      val ordered = parsed.toSeq.sortBy { case (id, _) => -sizeOf(id) }
+
+      // C7 failure policy shared by both write shapes: dead-letter each
+      // affected collection's raw rows and advance, or abort the batch
+      def failAll(ids: Seq[graft.schema.CollectionId], e: Throwable)
+          : Seq[(graft.schema.CollectionId, Long)] =
+        deadLetter match {
+          case Some(dl) => // C7: preserve + advance instead of skip/abort
+            ids.foreach(id => dl.handle(id, routed.filter(
+              col("_project") === id.project &&
+                col("_collection") === id.collection), e))
+            ids.map(_ -> 0L)
+          case None => throw e // abort the batch: offsets never commit
+        }
+
+      def runSingle(id: graft.schema.CollectionId, df: DataFrame)
+          : Seq[(graft.schema.CollectionId, Long)] = {
+        val withCheckpoint = EventOps.withShardTime(df, cfg.names)
+        try {
+          // C4: job-level retry with backoff around the sink commit;
+          // batch id flows through for sink-side idempotence. The
+          // inserted-row count rides on the write job itself (a fresh
+          // Observation per attempt, inside the retry) instead of
+          // re-running the parse in a second job per collection.
+          Seq(id -> withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
+            graft.util.ObservedCount.insertCounted(
+              sink, id, withCheckpoint, batchId)))
+        } catch { case e: Throwable => failAll(Seq(id), e) }
       }
+
+      // One partitioned write job per same-schema cohort: all member rows
+      // parse in ONE pass over the cached batch and land via the sink's
+      // consolidated insert. Collection count stops driving driver-side
+      // job submissions — the scale axis that made 10k live collections a
+      // bottleneck (C jobs/batch even through the bounded pool).
+      def runCohort(group: Seq[(graft.schema.CollectionId, DataFrame)])
+          : Seq[(graft.schema.CollectionId, Long)] = {
+        val ids = group.map(_._1)
+        val schema = registry.get(ids.head).getOrElse(group.head._2.schema)
+        val members = ids.map(id => (id.project, id.collection)).toSet
+        val cohortDf = EventOps.withShardTime(
+          JsonIngest.parseCohort(routed, members, schema, cfg.dialect, cfg.names),
+          cfg.names)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = cohortDf
+            .groupBy(col("_project"), col("_collection")).count().collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          try {
+            withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
+              sink.insertConsolidated(cohortDf, batchId))
+            ids.map(id => id -> counts.getOrElse((id.project, id.collection), 0L))
+          } catch { case e: Throwable => failAll(ids, e) }
+        } finally cohortDf.unpersist(false)
+      }
+
+      // Cohorting (active above the cardinality threshold, for sinks that
+      // support it): group non-empty collections by EXACT schema
+      // fingerprint — members of a cohort produce byte-identical files to
+      // the per-collection path, so the at-rest contract is unchanged.
+      // Empty and schema-unique collections keep the per-collection path.
+      val consolidate = cfg.consolidateThreshold > 0 &&
+        ordered.size >= cfg.consolidateThreshold && sink.supportsConsolidated
+      val (cohorts, singles) =
+        if (!consolidate) (Nil, ordered)
+        else {
+          val (withRows, empty) = ordered.partition { case (id, _) => sizeOf(id) > 0 }
+          val groups = withRows.groupBy { case (id, _) =>
+            registry.get(id).map(_.json).getOrElse(id.toString)
+          }.values.toSeq
+          val (multi, lone) = groups.partition(_.size >= 2)
+          (multi, empty ++ lone.flatten)
+        }
+      // largest-first over BOTH shapes (B3 flush order), through the
+      // bounded pool; a failure only surfaces after every in-flight write
+      // finished, keeping the barrier clean
+      val tasks: Seq[Either[(graft.schema.CollectionId, DataFrame),
+                            Seq[(graft.schema.CollectionId, DataFrame)]]] =
+        (singles.map(Left(_)) ++ cohorts.map(Right(_))).sortBy {
+          case Left((id, _)) => -sizeOf(id)
+          case Right(g)      => -g.map(x => sizeOf(x._1)).sum
+        }
       try {
-        // writes submit from a bounded pool (ParallelWrites — the
-        // reference's writer-queue shape); largest-first is preserved as
-        // submission order, and a failure only surfaces after every
-        // in-flight write finished, keeping the barrier clean
-        graft.util.ParallelWrites.run(ordered, cfg.writeParallelism) {
-          case (id, df) =>
-            val withCheckpoint = EventOps.withShardTime(df, cfg.names)
-            try {
-              // C4: job-level retry with backoff around the sink commit;
-              // batch id flows through for sink-side idempotence. The
-              // inserted-row count rides on the write job itself (a fresh
-              // Observation per attempt, inside the retry) instead of
-              // re-running the parse in a second job per collection.
-              id -> withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
-                graft.util.ObservedCount.insertCounted(
-                  sink, id, withCheckpoint, batchId))
-            } catch {
-              case e: Throwable =>
-                deadLetter match {
-                  case Some(dl) => // C7: preserve + advance instead of skip/abort
-                    dl.handle(id, routed.filter(
-                      col("_project") === id.project &&
-                        col("_collection") === id.collection), e)
-                    id -> 0L
-                  case None => throw e // abort the batch: offsets never commit
-                }
-            }
-        }.toMap
+        graft.util.ParallelWrites.run(tasks, cfg.writeParallelism) {
+          case Left((id, df)) => runSingle(id, df)
+          case Right(group)   => runCohort(group)
+        }.flatten.toMap
       } finally routed.unpersist(false)
     } finally decoupled.unpersist(false)
   }
@@ -312,6 +380,15 @@ object IngestStream {
                            drainIntervalSeconds: Int = 1800): StreamingQuery =
     start(spark, source, registry, sink, historical = None, checkpointDir,
       cfg.copy(splitEnabled = false, triggerSeconds = drainIntervalSeconds))
+
+  /** Trigger from config: the reference's 15 s poll cadence
+    * (stream.max-flush-duration) in steady state; AvailableNow for
+    * drain-everything runs (backfills, the replay throughput bench) — same
+    * pipeline, the stream stops itself once the source is exhausted.
+    */
+  private def triggerOf(cfg: IngestConfig): Trigger =
+    if (cfg.availableNow) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds")
 
   /** Registry persistence location, checkpoint-adjacent (K4 durability):
     * the schema registry is saved after every committed batch and loaded on
@@ -353,7 +430,7 @@ object IngestStream {
       case None => source.select("value")
     }
     base.writeStream
-      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .trigger(triggerOf(cfg))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -386,12 +463,13 @@ object IngestStream {
     loadRegistry(spark, registry, checkpointDir)
     source.select(col("key").cast("string").as("key"), col("value"))
       .writeStream
-      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .trigger(triggerOf(cfg))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ingest.AvroIngest.processBatch(batch, registry, sink, keySep,
           cfg.names, batchId = batchId, bulkFetch = bulkFetch,
-          dedupBatch = dedupBatch)
+          dedupBatch = dedupBatch, writeParallelism = cfg.writeParallelism,
+          consolidateThreshold = cfg.consolidateThreshold)
         registry.saveShardedIfChanged(registryPath(checkpointDir),
                       batch.sparkSession.sparkContext.hadoopConfiguration)
         () // barrier: returning commits the batch's offsets (C1/C2)

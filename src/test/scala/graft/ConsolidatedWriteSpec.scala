@@ -1,0 +1,227 @@
+package graft
+
+import graft.schema.{CollectionId, EventSchema}
+import graft.sinks.ColumnarSink
+import graft.streaming.{IngestConfig, IngestStream}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+/** High-collection-cardinality write consolidation: above
+  * `IngestConfig.consolidateThreshold`, same-schema cohorts land in ONE
+  * partitioned write job instead of C per-collection jobs (the driver-side
+  * job-submission loop was the measured scale bottleneck at 1k+ live
+  * collections). The cohort files must be byte-compatible with the
+  * per-collection layout — same `project=…/collection=…/batch=…` dirs, same
+  * per-file schema — so the at-rest contract (mergeSchema read, compaction,
+  * idempotent replay) is unchanged.
+  */
+class ConsolidatedWriteSpec extends SparkSpec {
+
+  private val nColl = 100
+  private val rowsPer = 20
+
+  /** 100 same-schema collections, `rowsPer` rows each, all same-day. */
+  private def raw(now: Long) = {
+    import spark.implicits._
+    spark.range(nColl.toLong * rowsPer).select(
+      concat(
+        lit("""{"data":{"_project":"demo","_collection":"c"""),
+        ($"id" % nColl), lit("\","),
+        lit(""""_time":"""), lit(now), lit(","),
+        lit(""""_user":"u"""), ($"id" % 7), lit("\","),
+        lit(""""n":"""), $"id", lit("}}")).as("value")
+    ).as[String]
+  }
+
+  private def countJobs(body: => Unit): Int = {
+    // count ONLY this spec's jobs (other suites leave streaming queries
+    // ticking in the shared session): scope via a job group — the
+    // ParallelWrites pool inherits it through the caller's local properties
+    val group = s"cons-spec-${System.nanoTime()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "consolidated-write-spec")
+    try { body; Thread.sleep(1000) } // listener bus is async; let it drain
+    finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    jobs.get()
+  }
+
+  test("cohort write: same counts + at-rest content as per-collection, O(1) jobs in C") {
+    val now = System.currentTimeMillis()
+    val perDir = java.nio.file.Files.createTempDirectory("cons_per").toString
+    val coDir = java.nio.file.Files.createTempDirectory("cons_co").toString
+    val perSink = new ColumnarSink(perDir)
+    val coSink = new ColumnarSink(coDir)
+
+    // baseline: consolidation disabled → C per-collection write jobs
+    val regA = new EventSchema.Registry()
+    val jobsPer = countJobs {
+      val counts = IngestStream.processBatch(spark, raw(now), regA, perSink,
+        None, IngestConfig(consolidateThreshold = 0), batchId = 7)
+      assert(counts.size == nColl && counts.values.forall(_ == rowsPer))
+    }
+
+    // consolidated: 100 same-schema collections ≥ threshold → ONE cohort
+    val regB = new EventSchema.Registry()
+    val jobsCo = countJobs {
+      val counts = IngestStream.processBatch(spark, raw(now), regB, coSink,
+        None, IngestConfig(consolidateThreshold = 64), batchId = 7)
+      assert(counts.size == nColl && counts.values.forall(_ == rowsPer))
+    }
+    info(s"jobs: per-collection=$jobsPer consolidated=$jobsCo")
+    // per-collection issues ≥1 write job per collection; the cohort path
+    // must not scale job count with C (decouple/cache + sizes + inference +
+    // cohort count + ONE write + margin)
+    assert(jobsPer >= nColl, s"baseline should issue >=$nColl jobs, got $jobsPer")
+    assert(jobsCo <= 20, s"consolidated path issued $jobsCo jobs — still O(C)")
+
+    // at-rest layout identical: standard partition dirs incl. batch key
+    val sample = new org.apache.hadoop.fs.Path(
+      s"$coDir/project=demo/collection=c0/batch=7")
+    val fs = sample.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(sample), "cohort write must use the standard partition layout")
+
+    // content parity on spot-checked collections: same rows, same columns
+    for (c <- Seq("c0", "c17", "c99")) {
+      val id = CollectionId("demo", c)
+      val a = perSink.read(spark, id)
+      val b = coSink.read(spark, id)
+      assert(a.columns.sorted.toSeq == b.columns.sorted.toSeq,
+        s"$c: schema drift between write shapes")
+      val cols = a.columns.filterNot(_ == "_shard_time").sorted.map(col)
+      val rowsA = a.select(cols.toIndexedSeq: _*).collect().map(_.toSeq).sortBy(_.toString)
+      val rowsB = b.select(cols.toIndexedSeq: _*).collect().map(_.toSeq).sortBy(_.toString)
+      assert(rowsA.toSeq == rowsB.toSeq, s"$c: content drift between write shapes")
+    }
+    // registry evolved identically through both paths
+    assert(regA.all.map { case (id, st) => id -> st.json } ==
+           regB.all.map { case (id, st) => id -> st.json })
+  }
+
+  test("cohort replay: re-running the same batchId overwrites in place, no duplicates") {
+    val now = System.currentTimeMillis()
+    val dir = java.nio.file.Files.createTempDirectory("cons_replay").toString
+    val sink = new ColumnarSink(dir)
+    val reg = new EventSchema.Registry()
+    val cfg = IngestConfig(consolidateThreshold = 64)
+    IngestStream.processBatch(spark, raw(now), reg, sink, None, cfg, batchId = 3)
+    // replay (foreachBatch is at-least-once): same batch id re-runs whole
+    IngestStream.processBatch(spark, raw(now), reg, sink, None, cfg, batchId = 3)
+    val total = (0 until nColl).map { i =>
+      sink.read(spark, CollectionId("demo", s"c$i")).count()
+    }.sum
+    assert(total == nColl.toLong * rowsPer,
+      s"replay duplicated rows: $total != ${nColl * rowsPer}")
+  }
+
+  test("two schema cohorts write concurrently to one basePath without clobbering") {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    // c0..c49: {n}; c50..c99: {n, s} → exactly two same-schema cohorts,
+    // submitted concurrently through the bounded pool into ONE basePath
+    val mixed = spark.range(nColl.toLong * rowsPer).select(
+      concat(
+        lit("""{"data":{"_project":"demo","_collection":"c"""),
+        (col("id") % nColl), lit("\","),
+        lit(""""_time":"""), lit(now), lit(","),
+        lit(""""n":"""), col("id"),
+        when(col("id") % nColl >= nColl / 2,
+          concat(lit(""","s":"x"""), col("id"), lit("\"")))
+          .otherwise(lit("")),
+        lit("}}")).as("value")).as[String]
+    val dir = java.nio.file.Files.createTempDirectory("cons_mixed").toString
+    val sink = new ColumnarSink(dir)
+    val counts = IngestStream.processBatch(spark, mixed,
+      new EventSchema.Registry(), sink, None,
+      IngestConfig(consolidateThreshold = 64), batchId = 9)
+    assert(counts.size == nColl && counts.values.forall(_ == rowsPer))
+    val lo = sink.read(spark, CollectionId("demo", "c3"))
+    val hi = sink.read(spark, CollectionId("demo", "c77"))
+    assert(lo.count() == rowsPer && hi.count() == rowsPer)
+    assert(!lo.columns.contains("s"), "cohort A must not carry cohort B's column")
+    assert(hi.columns.contains("s"), "cohort B lost its extra column")
+  }
+
+  test("avro cohort: 100 same-schema collections decode once and write consolidated") {
+    import graft.ingest.AvroIngest
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import org.apache.spark.sql.types._
+    import java.io.ByteArrayOutputStream
+    import spark.implicits._
+
+    val reg = new EventSchema.Registry()
+    val rowSchema = StructType(Seq(
+      StructField("_time", TimestampType), StructField("_user", StringType),
+      StructField("x", DoubleType)))
+    val ids = (0 until nColl).map(i => CollectionId("p", s"c$i"))
+    ids.foreach(id => reg.put(id, rowSchema))
+    val avro = AvroIngest.avroSchema(rowSchema, "ev")
+    val writer = new GenericDatumWriter[GenericRecord](avro)
+    def payload(t: Long, u: String, x: Double): Array[Byte] = {
+      val rec = new GenericData.Record(avro)
+      rec.put("_time", t); rec.put("_user", u); rec.put("x", x)
+      val out = new ByteArrayOutputStream()
+      out.write(0) // tag 0: inline, collection from key
+      val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+      writer.write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val records = (0 until nColl * rowsPer).map { i =>
+      (s"p.c${i % nColl}", payload(1700000000000L + i, s"u${i % 7}", i.toDouble))
+    }.toDF("key", "value").repartition(4)
+
+    val dir = java.nio.file.Files.createTempDirectory("cons_avro").toString
+    val sink = new ColumnarSink(dir)
+    val jobs = countJobs {
+      val counts = AvroIngest.processBatch(records, reg, sink, batchId = 5,
+        consolidateThreshold = 64)
+      assert(counts.size == nColl && counts.values.forall(_ == rowsPer))
+    }
+    info(s"avro consolidated jobs=$jobs")
+    assert(jobs <= 20, s"avro consolidated path issued $jobs jobs — still O(C)")
+    // standard layout + readable content
+    val id = CollectionId("p", "c42")
+    val back = sink.read(spark, id)
+    assert(back.count() == rowsPer)
+    assert(back.columns.contains("_user") && back.columns.contains("x"))
+  }
+
+  test("below the threshold nothing consolidates; MemorySink never does") {
+    val now = System.currentTimeMillis()
+    import spark.implicits._
+    val few = spark.range(40).select(
+      concat(lit("""{"data":{"_project":"demo","_collection":"k"""),
+        ($"id" % 2), lit("\","), lit(""""_time":"""), lit(now), lit(","),
+        lit(""""n":"""), $"id", lit("}}")).as("value")).as[String]
+    val dir = java.nio.file.Files.createTempDirectory("cons_small").toString
+    val sink = new ColumnarSink(dir)
+    val counts = IngestStream.processBatch(spark, few, new EventSchema.Registry(),
+      sink, None, IngestConfig(), batchId = 1)
+    assert(counts.values.sum == 40)
+    // per-collection path writes through the commit-marker protocol; the
+    // cohort path doesn't need markers (dynamic overwrite) — markers
+    // present ⇒ the small batch stayed on the per-collection path
+    val markers = new org.apache.hadoop.fs.Path(s"$dir/_graft_commits/demo")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(markers), "small batch should use per-collection inserts")
+
+    // an unsupporting sink stays per-collection even above the threshold
+    val mem = new graft.sinks.MemorySink
+    val counts2 = IngestStream.processBatch(spark, raw(now),
+      new EventSchema.Registry(), mem, None,
+      IngestConfig(consolidateThreshold = 64), batchId = 2)
+    assert(counts2.size == nColl && counts2.values.forall(_ == rowsPer))
+  }
+}
