@@ -52,7 +52,11 @@ object StressBench {
       base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         withBoiler.as("text"))
     }.reduce(_.unionByName(_))
-    val hotText = (0 until 120).map(i => s"hot clause token$i").mkString(" ")
+    // short on purpose: the family's gate-crossing property is its SIZE
+    // (band frequency, pair count), not its text length — short text keeps
+    // the per-pair jaccard in the admit-the-family run from dominating
+    // the measurement (2500² half-pairs × |shingles|-sized intersects)
+    val hotText = (0 until 12).map(i => s"hot clause token$i").mkString(" ")
     val hot = spark.range(HotFamilySize)
       .select((col("id") + lit(900000000L)).as("doc_id"), lit(hotText).as("text"))
     copies.unionByName(hot)
@@ -85,6 +89,11 @@ object StressBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // re-measure selectively: SPARK_GRAFT_STRESS_SECTIONS=spans,collections
+    val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS", "all")
+    def want(s: String): Boolean =
+      sections == "all" || sections.split(",").contains(s)
+
     val tmp = java.nio.file.Files.createTempDirectory("graft_stress")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timed[T](name: String)(f: => T): T = {
@@ -97,117 +106,192 @@ object StressBench {
     }
 
     // ---- stage the 10× corpus to parquet (downstream reads real files)
+    val needCorpus = Seq("minhash", "winnow", "simhash", "spans", "bloom").exists(want)
     val corpusPath = s"$tmp/docs10x"
-    val nDocs = timed("gen_corpus_sec") {
+    val nDocs: Long = if (!needCorpus) 0L else timed("gen_corpus_sec") {
       tenXDocs(spark, sfDir, factor)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.parquet(corpusPath)
       spark.read.parquet(corpusPath).count()
     }
-    out("n_docs") = nDocs.toString
-    val corpus = spark.read.parquet(corpusPath)
+    if (needCorpus) out("n_docs") = nDocs.toString
+    def corpus = spark.read.parquet(corpusPath)
 
-    // ---- MinHash band cap crossover: capped vs uncapped candidate pairs
-    val capped = timed("minhash_capped_sec") {
-      DedupFunctions.minhashCandidates(corpus, "doc_id", "text",
-        stagingPath = Some(s"$tmp/sigs_capped"), maxBandFreq = BandCap).count()
-    }
-    out("minhash_capped_pairs") = capped.toString
-    val pairsPath = s"$tmp/pairs_uncapped"
-    val uncapped = timed("minhash_uncapped_sec") {
-      DedupFunctions.minhashCandidates(corpus, "doc_id", "text",
-          stagingPath = Some(s"$tmp/sigs_uncapped"), maxBandFreq = 0)
-        .write.parquet(pairsPath)
-      spark.read.parquet(pairsPath).count()
-    }
-    out("minhash_uncapped_pairs") = uncapped.toString
-    out("band_cap_fired") =
-      (uncapped - capped >= HotFamilySize.toLong * (HotFamilySize - 1) / 2).toString
+    if (want("minhash")) {
+      // ---- MinHash band cap crossover: capped vs hot-admitted pairs
+      val capped = timed("minhash_capped_sec") {
+        DedupFunctions.minhashCandidates(corpus, "doc_id", "text",
+          stagingPath = Some(s"$tmp/sigs_capped"), maxBandFreq = BandCap).count()
+      }
+      out("minhash_capped_pairs") = capped.toString
+      // raising the cap ABOVE the hot-family size admits its ~3.1M pairs
+      // (the CC forcing input) while still suppressing the boilerplate band
+      // (~10k docs share it → its uncapped join would be O(10k² × bands)
+      // jaccard evaluations — measured runaway; the cap is not optional at
+      // scale, and that asymmetry is itself the crossover evidence)
+      val hotAdmitCap = HotFamilySize + 500
+      val pairsPath = s"$tmp/pairs_hot"
+      val hotAdmitted = timed("minhash_cap3000_sec") {
+        DedupFunctions.minhashCandidates(corpus, "doc_id", "text",
+            stagingPath = Some(s"$tmp/sigs_hot"), maxBandFreq = hotAdmitCap)
+          .write.parquet(pairsPath)
+        spark.read.parquet(pairsPath).count()
+      }
+      out("minhash_cap3000_pairs") = hotAdmitted.toString
+      out("band_cap_fired") =
+        (hotAdmitted - capped >= HotFamilySize.toLong * (HotFamilySize - 1) / 2).toString
 
-    // ---- CC on the uncapped pairs: edges > localMaxEdges forces the
-    // distributed alternating-star path (the local union-find gate closes)
-    val edges = spark.read.parquet(pairsPath)
-    out("cc_edges") = uncapped.toString
-    out("cc_distributed_forced") = (uncapped > LocalMaxEdges).toString
-    val clusters = timed("cc_auto_sec") {
-      DedupFunctions.connectedComponentsAuto(edges, "id_a", "id_b")
-        .select(col("component")).distinct().count()
+      // ---- CC on the hot-admitted pairs: edges > localMaxEdges forces the
+      // distributed alternating-star path (the local union-find gate closes)
+      val edges = spark.read.parquet(pairsPath)
+      out("cc_edges") = hotAdmitted.toString
+      out("cc_distributed_forced") = (hotAdmitted > LocalMaxEdges).toString
+      val clusters = timed("cc_auto_sec") {
+        DedupFunctions.connectedComponentsAuto(edges, "id_a", "id_b")
+          .select(col("label")).distinct().count()
+      }
+      out("cc_clusters") = clusters.toString
     }
-    out("cc_clusters") = clusters.toString
 
-    // ---- winnow stop-fingerprint cap: the boilerplate passage's doc-freq
-    // crosses maxDocFreq, so capped candidates stay bounded (uncapped would
-    // be ~(n_docs/5)^2 boilerplate pairs — the exact blowup the cap stops)
-    val maxFpFreq = corpus.select(col("doc_id"),
-        explode(TextFunctions.winnowedFingerprints(col("text"), 3, 8)).as("_fp"))
-      .groupBy(col("_fp")).agg(countDistinct(col("doc_id")).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    out("winnow_max_fp_docfreq") = maxFpFreq.toString
-    out("winnow_cap_fired") = (maxFpFreq > DocFreqCap).toString
-    val winnow = timed("winnow_capped_sec") {
-      DedupFunctions.winnowNearDups(corpus, "doc_id", "text",
-        stagingPath = Some(s"$tmp/winnow_fps"), maxDocFreq = DocFreqCap).count()
+    if (want("winnow")) {
+      // ---- winnow stop-fingerprint cap: the boilerplate passage's doc-freq
+      // crosses maxDocFreq, so capped candidates stay bounded (uncapped would
+      // be ~(n_docs/5)^2 boilerplate pairs — the exact blowup the cap stops)
+      val maxFpFreq = corpus.select(col("doc_id"),
+          explode(TextFunctions.winnowedFingerprints(col("text"), 3, 8)).as("_fp"))
+        .groupBy(col("_fp")).agg(countDistinct(col("doc_id")).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      out("winnow_max_fp_docfreq") = maxFpFreq.toString
+      out("winnow_cap_fired") = (maxFpFreq > DocFreqCap).toString
+      val winnow = timed("winnow_capped_sec") {
+        DedupFunctions.winnowNearDups(corpus, "doc_id", "text",
+          stagingPath = Some(s"$tmp/winnow_fps"), maxDocFreq = DocFreqCap).count()
+      }
+      out("winnow_capped_pairs") = winnow.toString
     }
-    out("winnow_capped_pairs") = winnow.toString
 
-    // ---- SimHash with the band cap (identical hot family goes over it)
-    val simhash = timed("simhash_capped_sec") {
-      DedupFunctions.simhashNearDups(corpus, "doc_id", "text",
-        stagingPath = Some(s"$tmp/simhash_sigs"), maxBandFreq = BandCap).count()
+    if (want("simhash")) {
+      // ---- SimHash with the band cap (identical hot family goes over it)
+      val simhash = timed("simhash_capped_sec") {
+        DedupFunctions.simhashNearDups(corpus, "doc_id", "text",
+          stagingPath = Some(s"$tmp/simhash_sigs"), maxBandFreq = BandCap).count()
+      }
+      out("simhash_capped_pairs") = simhash.toString
     }
-    out("simhash_capped_pairs") = simhash.toString
 
-    // ---- repeated-span removal at 10×
-    val spans = timed("span_removal_sec") {
-      DedupFunctions.removeRepeatedSpans(corpus, "doc_id", "text").count()
+    if (want("spans")) {
+      // ---- repeated-span removal at 10× (aggregate over the CLEANED text —
+      // a bare count() would let column pruning skip the actual span work)
+      val spanChars = timed("span_removal_sec") {
+        DedupFunctions.removeRepeatedSpans(corpus, "doc_id", "text")
+          .agg(sum(length(col("cleaned")))).head().getLong(0)
+      }
+      out("span_removal_out_chars") = spanChars.toString
     }
-    out("span_removal_rows") = spans.toString
 
-    // ---- SemDeDup at 10× embeddings
-    val emb = tenXEmbeddings(spark, sfDir, factor)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
-    val nEmb = emb.count()
-    out("n_embeddings") = nEmb.toString
-    val semKept = timed("semantic_dedup_sec") {
-      DedupFunctions.semanticDedup(emb, "vec_id", "embedding",
-        threshold = 0.999).count()
+    if (want("semantic")) {
+      // ---- SemDeDup at 10× embeddings
+      val emb = tenXEmbeddings(spark, sfDir, factor)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val nEmb = emb.count()
+      out("n_embeddings") = nEmb.toString
+      val semKept = timed("semantic_dedup_sec") {
+        DedupFunctions.semanticDedup(emb, "vec_id", "embedding",
+          threshold = 0.999).count()
+      }
+      out("semantic_kept") = semKept.toString
     }
-    out("semantic_kept") = semKept.toString
 
-    // ---- Bloom incremental: 10× batch vs original corpus (exact matches
-    // = the verbatim copy-0 docs; boilerplate originals differ)
-    val orig = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val bloomNew = timed("bloom_incremental_sec") {
-      DedupFunctions.incrementalDedupBloom(corpus, orig, "doc_id", "text",
-        expectedDistinct = nDocs).count()
+    if (want("bloom")) {
+      // ---- Bloom incremental: 10× batch vs original corpus (exact matches
+      // = the verbatim copy-0 docs; boilerplate originals differ)
+      val orig = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val bloomNew = timed("bloom_incremental_sec") {
+        DedupFunctions.incrementalDedupBloom(corpus, orig, "doc_id", "text",
+          expectedDistinct = nDocs).count()
+      }
+      out("bloom_new_rows") = bloomNew.toString
     }
-    out("bloom_new_rows") = bloomNew.toString
 
-    // ---- 1k-collection micro-batch: per-collection loop vs consolidated
-    val rawJson = {
+    if (want("collections")) {
+      // ---- 1k-collection micro-batch: per-collection loop vs consolidated
+      val rawJson = {
+        import spark.implicits._
+        val now = System.currentTimeMillis()
+        spark.range(100000).select(
+          concat(lit("""{"data":{"_project":"demo","_collection":"c"""),
+            (col("id") % 1000), lit("\","),
+            lit(""""_time":"""), lit(now), lit(","),
+            lit(""""_user":"u"""), (col("id") % 97), lit("\","),
+            lit(""""n":"""), col("id"), lit("}}")).as("value")).as[String]
+          .localCheckpoint(true)
+      }
+      timed("collections1k_percoll_sec") {
+        val c = IngestStream.processBatch(spark, rawJson,
+          new EventSchema.Registry(), new ColumnarSink(s"$tmp/sink_per"),
+          None, IngestConfig(consolidateThreshold = 0), batchId = 1)
+        require(c.size == 1000 && c.values.sum == 100000L, s"percoll counts: ${c.size}")
+      }
+      timed("collections1k_consolidated_sec") {
+        val c = IngestStream.processBatch(spark, rawJson,
+          new EventSchema.Registry(), new ColumnarSink(s"$tmp/sink_co"),
+          None, IngestConfig(consolidateThreshold = 64), batchId = 1)
+        require(c.size == 1000 && c.values.sum == 100000L, s"consolidated counts: ${c.size}")
+      }
+    }
+
+    if (want("collprofile")) {
+      // phase-by-phase timing of the consolidated 1k-collection batch
       import spark.implicits._
+      import graft.ingest.{JsonDialect, JsonIngest}
+      import graft.operators.EventOps
       val now = System.currentTimeMillis()
-      spark.range(100000).select(
+      val rawJson = spark.range(100000).select(
         concat(lit("""{"data":{"_project":"demo","_collection":"c"""),
           (col("id") % 1000), lit("\","),
           lit(""""_time":"""), lit(now), lit(","),
           lit(""""_user":"u"""), (col("id") % 97), lit("\","),
           lit(""""n":"""), col("id"), lit("}}")).as("value")).as[String]
         .localCheckpoint(true)
-    }
-    timed("collections1k_percoll_sec") {
-      val c = IngestStream.processBatch(spark, rawJson,
-        new EventSchema.Registry(), new ColumnarSink(s"$tmp/sink_per"),
-        None, IngestConfig(consolidateThreshold = 0), batchId = 1)
-      require(c.size == 1000 && c.values.sum == 100000L, s"percoll counts: ${c.size}")
-    }
-    timed("collections1k_consolidated_sec") {
-      val c = IngestStream.processBatch(spark, rawJson,
-        new EventSchema.Registry(), new ColumnarSink(s"$tmp/sink_co"),
-        None, IngestConfig(consolidateThreshold = 64), batchId = 1)
-      require(c.size == 1000 && c.values.sum == 100000L, s"consolidated counts: ${c.size}")
+      val names = graft.schema.FieldNames()
+      val dec = timed("p_decouple_sec") {
+        val d = EventOps.decouple(rawJson, JsonDialect.Fabric, names)
+          .filter(col("_project").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count(); d
+      }
+      val split = timed("p_daysplit_sec") {
+        val s = EventOps.daySplit(dec, col("_time"))
+        s.realTime.count(); s
+      }
+      val routed = timed("p_routecache_sec") {
+        val r = split.realTime.select("value", "_project", "_collection")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count(); r
+      }
+      timed("p_sizes_sec") {
+        routed.groupBy(col("_project"), col("_collection")).count().collect()
+      }
+      val reg = new EventSchema.Registry()
+      val schemas = timed("p_infer_sec") {
+        val obs = JsonIngest.inferSchemas(
+          routed.select(col("value")).as(org.apache.spark.sql.Encoders.STRING),
+          JsonDialect.Fabric, names)
+        obs.map { case (id, o) => reg.getOrCreate(id); id -> reg.addColumns(id, o) }
+      }
+      val members = schemas.keys.map(id => (id.project, id.collection)).toSet
+      val cohortDf = timed("p_parse_count_sec") {
+        val cdf = EventOps.withShardTime(JsonIngest.parseCohort(
+            routed, members, schemas.values.head, JsonDialect.Fabric, names), names)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cdf.groupBy(col("_project"), col("_collection")).count().collect()
+        cdf
+      }
+      timed("p_write_sec") {
+        new ColumnarSink(s"$tmp/sink_prof").insertConsolidated(cohortDf, 1L)
+      }
     }
 
     println(out.map { case (k, v) =>

@@ -116,9 +116,17 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
   override def supportsConsolidated: Boolean = true
 
   override def insertConsolidated(rows: DataFrame, batchId: Long): Unit = {
+    // cluster by the partition key BEFORE the write: without this every
+    // task holds rows of every collection and opens one file per (task,
+    // collection) pair — measured 32 tasks × 1k collections = 32k files
+    // and a 100 s commit at C=1000; clustered, each collection's rows sit
+    // in one task → ~C files total and the commit moves C objects. The
+    // extra exchange is one shuffle of the (cached, already-parsed) batch
+    // — trivial next to the file-creation fan-out it removes.
     val tagged = rows
       .withColumnRenamed("_project", "project")
       .withColumnRenamed("_collection", "collection")
+      .repartition(col("project"), col("collection"))
     val w =
       if (batchId >= 0)
         tagged.withColumn("batch", lit(batchId))

@@ -253,15 +253,26 @@ object IngestStream {
 
       // D1-D9: infer, evolve, parse the real-time slice; D10 + insert per
       // table. The decouple pre-pass already extracted routing columns, so
-      // ingest reuses them instead of re-parsing (`ingestRouted`).
+      // the inference pass reuses them instead of re-parsing. Schemas only
+      // at this point — per-collection DataFrames are constructed inside
+      // the write tasks: Dataset construction runs the ANALYZER eagerly,
+      // and building C plans up front on the driver (the old ingestRouted
+      // call) serialized ~C × analysis-latency before the first write at
+      // high cardinality (measured: the dominant cost at C=1000).
       val routed = realTime.select("value", "_project", "_collection")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val parsed =
-        if (cfg.schemaFixed)
-          registry.all.map { case (id, schema) =>
-            id -> JsonIngest.parseCollection(routed, id, schema, cfg.dialect, cfg.names)
+      val batchSchemas: Map[graft.schema.CollectionId,
+                            org.apache.spark.sql.types.StructType] =
+        if (cfg.schemaFixed) registry.all
+        else {
+          val observed = JsonIngest.inferSchemas(
+            routed.select(col("value")).as(Encoders.STRING),
+            cfg.dialect, cfg.names)
+          observed.map { case (id, obs) =>
+            registry.getOrCreate(id)
+            id -> registry.addColumns(id, obs)
           }
-        else JsonIngest.ingestRouted(routed, registry, cfg.dialect, cfg.names)
+        }
       // B3 flush policy: write the LARGEST collections first (the
       // reference's MiddlewareBuffer flushes tables largest-first under
       // memory pressure, MiddlewareBuffer.java:78-80) — the biggest share
@@ -275,7 +286,7 @@ object IngestStream {
           .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       def sizeOf(id: graft.schema.CollectionId): Long =
         routedSizes.getOrElse((id.project, id.collection), 0L)
-      val ordered = parsed.toSeq.sortBy { case (id, _) => -sizeOf(id) }
+      val ordered = batchSchemas.toSeq.sortBy { case (id, _) => -sizeOf(id) }
 
       // C7 failure policy shared by both write shapes: dead-letter each
       // affected collection's raw rows and advance, or abort the batch
@@ -290,8 +301,11 @@ object IngestStream {
           case None => throw e // abort the batch: offsets never commit
         }
 
-      def runSingle(id: graft.schema.CollectionId, df: DataFrame)
+      def runSingle(id: graft.schema.CollectionId,
+                    schema: org.apache.spark.sql.types.StructType)
           : Seq[(graft.schema.CollectionId, Long)] = {
+        val df = JsonIngest.parseCollection(routed, id, schema,
+          cfg.dialect, cfg.names)
         val withCheckpoint = EventOps.withShardTime(df, cfg.names)
         try {
           // C4: job-level retry with backoff around the sink commit;
@@ -310,10 +324,11 @@ object IngestStream {
       // consolidated insert. Collection count stops driving driver-side
       // job submissions — the scale axis that made 10k live collections a
       // bottleneck (C jobs/batch even through the bounded pool).
-      def runCohort(group: Seq[(graft.schema.CollectionId, DataFrame)])
+      def runCohort(group: Seq[(graft.schema.CollectionId,
+                               org.apache.spark.sql.types.StructType)])
           : Seq[(graft.schema.CollectionId, Long)] = {
         val ids = group.map(_._1)
-        val schema = registry.get(ids.head).getOrElse(group.head._2.schema)
+        val schema = group.head._2
         val members = ids.map(id => (id.project, id.collection)).toSet
         val cohortDf = EventOps.withShardTime(
           JsonIngest.parseCohort(routed, members, schema, cfg.dialect, cfg.names),
@@ -342,24 +357,22 @@ object IngestStream {
         if (!consolidate) (Nil, ordered)
         else {
           val (withRows, empty) = ordered.partition { case (id, _) => sizeOf(id) > 0 }
-          val groups = withRows.groupBy { case (id, _) =>
-            registry.get(id).map(_.json).getOrElse(id.toString)
-          }.values.toSeq
+          val groups = withRows.groupBy { case (_, st) => st.json }.values.toSeq
           val (multi, lone) = groups.partition(_.size >= 2)
           (multi, empty ++ lone.flatten)
         }
       // largest-first over BOTH shapes (B3 flush order), through the
       // bounded pool; a failure only surfaces after every in-flight write
       // finished, keeping the barrier clean
-      val tasks: Seq[Either[(graft.schema.CollectionId, DataFrame),
-                            Seq[(graft.schema.CollectionId, DataFrame)]]] =
+      type Entry = (graft.schema.CollectionId, org.apache.spark.sql.types.StructType)
+      val tasks: Seq[Either[Entry, Seq[Entry]]] =
         (singles.map(Left(_)) ++ cohorts.map(Right(_))).sortBy {
           case Left((id, _)) => -sizeOf(id)
           case Right(g)      => -g.map(x => sizeOf(x._1)).sum
         }
       try {
         graft.util.ParallelWrites.run(tasks, cfg.writeParallelism) {
-          case Left((id, df)) => runSingle(id, df)
+          case Left((id, st)) => runSingle(id, st)
           case Right(group)   => runCohort(group)
         }.flatten.toMap
       } finally routed.unpersist(false)
