@@ -261,31 +261,34 @@ object IngestStream {
       // high cardinality (measured: the dominant cost at C=1000).
       val routed = realTime.select("value", "_project", "_collection")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val batchSchemas: Map[graft.schema.CollectionId,
-                            org.apache.spark.sql.types.StructType] =
-        if (cfg.schemaFixed) registry.all
-        else {
-          val observed = JsonIngest.inferSchemas(
+      // inference mode folds the per-collection sizes into the same sweep
+      // (one job instead of two per trigger); schema-fixed mode has no
+      // inference pass, so sizes come from one tiny aggregation
+      val (batchSchemas, batchSizes): (Map[graft.schema.CollectionId,
+                                           org.apache.spark.sql.types.StructType],
+                                       Map[graft.schema.CollectionId, Long]) =
+        if (cfg.schemaFixed) {
+          val sizes = routed.groupBy(col("_project"), col("_collection")).count()
+            .collect()
+            .map(r => graft.schema.CollectionId(r.getString(0), r.getString(1)) ->
+              r.getLong(2)).toMap
+          (registry.all, sizes)
+        } else {
+          val (observed, counts) = JsonIngest.inferSchemasWithCounts(
             routed.select(col("value")).as(Encoders.STRING),
             cfg.dialect, cfg.names)
-          observed.map { case (id, obs) =>
+          (observed.map { case (id, obs) =>
             registry.getOrCreate(id)
             id -> registry.addColumns(id, obs)
-          }
+          }, counts)
         }
       // B3 flush policy: write the LARGEST collections first (the
       // reference's MiddlewareBuffer flushes tables largest-first under
       // memory pressure, MiddlewareBuffer.java:78-80) — the biggest share
       // of the cached batch stays pinned for the shortest time, and the
       // longest write jobs front-load instead of trailing the barrier.
-      // Sizing comes from one tiny aggregation over the cached routed
-      // batch, not a per-collection count job.
-      val routedSizes: Map[(String, String), Long] =
-        routed.groupBy(col("_project"), col("_collection")).count()
-          .collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       def sizeOf(id: graft.schema.CollectionId): Long =
-        routedSizes.getOrElse((id.project, id.collection), 0L)
+        batchSizes.getOrElse(id, 0L)
       val ordered = batchSchemas.toSeq.sortBy { case (id, _) => -sizeOf(id) }
 
       // C7 failure policy shared by both write shapes: dead-letter each
