@@ -97,26 +97,32 @@ object Bench {
 
     // the reference's ACTUAL operating point is sustained streaming ingest
     // (300k records/poll, 15 s cadence) — run the drain-capacity replay
-    // once (it is its own min-of-20-batches distribution) and report it as
-    // a first-class entry; SPARK_GRAFT_STREAM_BENCH=0 skips it
-    val stream: Option[Either[Double, (Double, StreamBench.StreamResult)]] =
-      if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) None
-      else Some(try {
-        val t0 = System.nanoTime()
-        val r = StreamBench.run(spark, sfDir)
-        drainBlocks(spark)
-        Right(((System.nanoTime() - t0) / 1e9, r))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] stream_ingest failed: ${e.getMessage}")
-        Left(Double.NaN)
-      })
-    val streamOk = stream.flatMap(_.toOption)
+    // once per wire format (each is its own min-of-20-batches
+    // distribution) and report both as first-class entries; Avro is the
+    // reference's PRIMARY Kafka format. SPARK_GRAFT_STREAM_BENCH=0 skips.
+    val streamRuns: Seq[(String, Either[Double, (Double, StreamBench.StreamResult)])] =
+      if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0")) Nil
+      else Seq[(String, (SparkSession, String) => StreamBench.StreamResult)](
+        "stream_ingest" -> ((s, d) => StreamBench.run(s, d)),
+        "stream_ingest_avro" -> ((s, d) => StreamBench.runAvro(s, d))
+      ).map { case (name, fn) =>
+        name -> (try {
+          val t0 = System.nanoTime()
+          val r = fn(spark, sfDir)
+          drainBlocks(spark)
+          Right(((System.nanoTime() - t0) / 1e9, r))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Left(Double.NaN)
+        })
+      }
+    val streamOk = streamRuns.collect { case (n, Right(v)) => n -> v }
 
     val failed = results.collect { case (k, ts) if minOk(ts).isEmpty => k } ++
-      (if (stream.exists(_.isLeft)) Seq("stream_ingest") else Nil)
+      streamRuns.collect { case (n, Left(_)) => n }
     val qs = (results.map { case (k, ts) =>
       "\"" + k + "\":" + minOk(ts).map(t => f"$t%.3f").getOrElse("null")
-    } ++ streamOk.map { case (t, _) => f""""stream_ingest":$t%.3f""" })
+    } ++ streamOk.map { case (n, (t, _)) => f""""$n":$t%.3f""" })
       .mkString("{", ",", "}")
     val detail = (results.map { case (k, ts) =>
       val allRuns = ts.map { case (t, ok) =>
@@ -124,12 +130,12 @@ object Bench {
       }.mkString("[", ",", "]")
       val minStr = minOk(ts).map(t => f"$t%.3f").getOrElse("null")
       "\"" + k + "\":" + s"""{"min":$minStr,"runs":$runs,"all":$allRuns}"""
-    } ++ streamOk.map { case (t, r) =>
-      f""""stream_ingest":{"min":$t%.3f,"runs":1,"all":[$t%.3f],"stream":${r.toJson}}"""
+    } ++ streamOk.map { case (n, (t, r)) =>
+      f""""$n":{"min":$t%.3f,"runs":1,"all":[$t%.3f],"stream":${r.toJson}}"""
     }).mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap { case (_, ts) => minOk(ts) }.sum +
-      streamOk.map(_._1).getOrElse(0.0)
+      streamOk.map(_._2._1).sum
     val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_detail":$detail,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
     println(fullJson)
     // the stdout capture has truncated this line to a 2000-char tail two

@@ -82,11 +82,9 @@ object StreamBench {
           targetRecords: Long = 300000, filesPerBatch: Int = 8): StreamResult = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_streambench")
     val input = s"$tmp/input"
-    val checkpoint = s"$tmp/checkpoint"
-    val sinkDir = s"$tmp/sink"
     try {
       // stage the wire stream: replicate events to the target volume, then
-      // one text file per planned micro-batch
+      // `filesPerBatch` text files per planned micro-batch
       val one = wireJson(spark, sfDir, System.currentTimeMillis())
       val nEvents = one.count()
       val replication = math.max(1, math.ceil(targetRecords.toDouble / nEvents).toInt)
@@ -94,53 +92,142 @@ object StreamBench {
       wire.repartition(chunks * filesPerBatch).write.text(input)
       val staged = nEvents * replication
 
-      // keep every batch's progress (default history is 100; be explicit)
-      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-        (chunks + 8).toString)
       val registry = new EventSchema.Registry()
-      val sink = new ColumnarSink(sinkDir)
-      val metrics = new IngestMetricsListener().register(spark)
-      val t0 = System.nanoTime()
-      val query = IngestStream.start(spark,
-        IngestStream.fileSource(spark, input, maxFilesPerTrigger = Some(filesPerBatch)),
-        registry, sink, historical = None, checkpoint,
-        IngestConfig(availableNow = true))
-      try query.awaitTermination()
-      finally spark.streams.removeListener(metrics)
-      val wallSec = (System.nanoTime() - t0) / 1e9
-
-      val progress = query.recentProgress.toSeq.filter(_.numInputRows > 0)
-      val batchMs = progress
-        .map(p => Option(p.durationMs.get("triggerExecution"))
-          .map(_.longValue()).getOrElse(0L))
-        .sorted
-      def pct(q: Double): Long =
-        if (batchMs.isEmpty) 0L
-        else batchMs(math.min(batchMs.size - 1, (q * batchMs.size).toInt))
-      val busySec = batchMs.sum / 1e3
-      val records = progress.map(_.numInputRows).sum
-      if (records != staged)
-        System.err.println(s"[streambench] staged $staged records but " +
-          s"progress reports $records — counts below are as-reported")
-      StreamResult(
-        records = records,
-        batches = progress.size,
-        chunks = chunks,
-        wallSec = wallSec,
-        busySec = busySec,
-        recordsPerSecBusy = if (busySec > 0) records / busySec else 0.0,
-        recordsPerSecWall = if (wallSec > 0) records / wallSec else 0.0,
-        batchMsP50 = pct(0.50),
-        batchMsP95 = pct(0.95),
-        batchMsMax = batchMs.lastOption.getOrElse(0L),
-        registrySaveMs = registry.persistMillis,
-        collections = registry.all.size)
+      measure(spark, chunks, staged, registry, () =>
+        IngestStream.start(spark,
+          IngestStream.fileSource(spark, input, maxFilesPerTrigger = Some(filesPerBatch)),
+          registry, new ColumnarSink(s"$tmp/sink"), historical = None,
+          s"$tmp/checkpoint", IngestConfig(availableNow = true)))
     } finally {
       try {
         java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
       } catch { case _: Throwable => () }
     }
+  }
+
+  /** AVRO replay — the reference's PRIMARY Kafka wire format is tagged
+    * Avro, not JSON (KafkaRealTimeWorker consumes `key = project.collection`
+    * + tag-0 binary payloads); this variant measures `IngestStream
+    * .startAvro`: schema-fixed registry, single-pass tagged decode,
+    * per-collection (or cohort) sink writes, registry persistence — the
+    * same barrier. Records are staged as (key string, value binary)
+    * parquet chunks and streamed through the parquet file source with the
+    * same files-per-trigger intake bound.
+    */
+  def runAvro(spark: SparkSession, sfDir: String, chunks: Int = 20,
+              targetRecords: Long = 300000, filesPerBatch: Int = 8): StreamResult = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_streambench_avro")
+    val input = s"$tmp/input"
+    try {
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_time",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("_user",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val avroJson = graft.ingest.AvroIngest.avroSchema(rowSchema, "ev").toString
+      val nowMillis = System.currentTimeMillis()
+
+      val ev = graft.schema.TableContract.check("events",
+          spark.read.parquet(s"$sfDir/events.parquet"))
+        .select(col("event_type"), col("user_id"), col("value"))
+      val nEvents = ev.count()
+      val replication = math.max(1, math.ceil(targetRecords.toDouble / nEvents).toInt)
+      val staged = nEvents * replication
+      val types = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)) // bounded: collection universe
+
+      // distributed tag-0 Avro encode (one writer per task, FIXTURES.md §3)
+      val one = ev.select(col("event_type"),
+          col("user_id").cast("string").as("u"), col("value"))
+        .as[(String, String, Double)]
+        .mapPartitions { rows =>
+          val schema = new org.apache.avro.Schema.Parser().parse(avroJson)
+          val writer = new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema)
+          rows.map { case (etype, u, v) =>
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(0) // tag 0: inline, collection from the key
+            val enc = org.apache.avro.io.EncoderFactory.get()
+              .directBinaryEncoder(out, null)
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("_time", nowMillis)
+            rec.put("_user", "u" + u)
+            rec.put("value", v)
+            writer.write(rec, enc)
+            enc.flush()
+            (s"demo.$etype", out.toByteArray)
+          }
+        }.toDF("key", "value")
+      Seq.fill(replication)(one).reduce(_.union(_))
+        .repartition(chunks * filesPerBatch).write.parquet(input)
+
+      // schema-fixed registry: the Avro wire carries no field names
+      val registry = new EventSchema.Registry()
+      types.foreach(t =>
+        registry.put(graft.schema.CollectionId("demo", t), rowSchema))
+      val source = spark.readStream
+        .schema("key STRING, value BINARY")
+        .option("maxFilesPerTrigger", filesPerBatch)
+        .parquet(input)
+      measure(spark, chunks, staged, registry, () =>
+        IngestStream.startAvro(spark, source, registry,
+          new ColumnarSink(s"$tmp/sink"), s"$tmp/checkpoint",
+          IngestConfig(availableNow = true)))
+    } finally {
+      try {
+        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Drive the staged replay to exhaustion and distill the progress
+    * history into a [[StreamResult]].
+    */
+  private def measure(spark: SparkSession, chunks: Int, staged: Long,
+                      registry: EventSchema.Registry,
+                      start: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : StreamResult = {
+    // keep every batch's progress (default history is 100; be explicit)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (chunks + 8).toString)
+    val metrics = new IngestMetricsListener().register(spark)
+    val t0 = System.nanoTime()
+    val query = start()
+    try query.awaitTermination()
+    finally spark.streams.removeListener(metrics)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val progress = query.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val batchMs = progress
+      .map(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue()).getOrElse(0L))
+      .sorted
+    def pct(q: Double): Long =
+      if (batchMs.isEmpty) 0L
+      else batchMs(math.min(batchMs.size - 1, (q * batchMs.size).toInt))
+    val busySec = batchMs.sum / 1e3
+    val records = progress.map(_.numInputRows).sum
+    if (records != staged)
+      System.err.println(s"[streambench] staged $staged records but " +
+        s"progress reports $records — counts below are as-reported")
+    StreamResult(
+      records = records,
+      batches = progress.size,
+      chunks = chunks,
+      wallSec = wallSec,
+      busySec = busySec,
+      recordsPerSecBusy = if (busySec > 0) records / busySec else 0.0,
+      recordsPerSecWall = if (wallSec > 0) records / wallSec else 0.0,
+      batchMsP50 = pct(0.50),
+      batchMsP95 = pct(0.95),
+      batchMsMax = batchMs.lastOption.getOrElse(0L),
+      registrySaveMs = registry.persistMillis,
+      collections = registry.all.size)
   }
 
   /** Standalone entry: one JSON line, same contract style as [[Bench]]. */
@@ -157,11 +244,14 @@ object StreamBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, sfDir,
-      chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt,
-      targetRecords = sys.env.getOrElse("SPARK_GRAFT_STREAM_TARGET", "300000").toLong,
-      filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "8").toInt)
-    println(s"""{"metric":"stream_ingest","unit":"records_per_sec","value":${r.recordsPerSecBusy.toLong},"detail":${r.toJson},"sf":"$sfDir"}""")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
+    val target = sys.env.getOrElse("SPARK_GRAFT_STREAM_TARGET", "300000").toLong
+    val files = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "8").toInt
+    val wire = sys.env.getOrElse("SPARK_GRAFT_STREAM_WIRE", "json")
+    val r =
+      if (wire == "avro") runAvro(spark, sfDir, chunks, target, files)
+      else run(spark, sfDir, chunks, target, files)
+    println(s"""{"metric":"stream_ingest_$wire","unit":"records_per_sec","value":${r.recordsPerSecBusy.toLong},"detail":${r.toJson},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

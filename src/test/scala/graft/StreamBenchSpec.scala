@@ -22,4 +22,13 @@ class StreamBenchSpec extends SparkSpec {
     val json = r.toJson
     assert(json.contains("\"records\":1000") && json.contains("\"batch_ms\""))
   }
+
+  test("avro replay drains all staged tagged records through startAvro") {
+    val r = StreamBench.runAvro(spark, "/root/testdata/sf0.001",
+      chunks = 3, targetRecords = 1000)
+    assert(r.records === 1000L)
+    assert(r.batches >= 3)
+    assert(r.collections > 0, "schema-fixed registry must hold the collections")
+    assert(r.busySec > 0 && r.recordsPerSecBusy > 0)
+  }
 }
