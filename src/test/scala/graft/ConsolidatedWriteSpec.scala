@@ -198,6 +198,34 @@ class ConsolidatedWriteSpec extends SparkSpec {
     assert(back.columns.contains("_user") && back.columns.contains("x"))
   }
 
+  test("C7 under cohorts: failing consolidated insert dead-letters every member, batch advances") {
+    val now = System.currentTimeMillis()
+    val dlDir = java.nio.file.Files.createTempDirectory("cons_dl").toString
+    // a sink that advertises consolidation but always fails it; the
+    // per-collection insert also fails loudly so the test proves the
+    // cohort path (not a silent fallback) handled these collections
+    val sink = new graft.sinks.EventSink {
+      override def getColumns(id: CollectionId) = None
+      override def insert(id: CollectionId, df: org.apache.spark.sql.DataFrame): Unit =
+        throw new IllegalStateException("per-collection path must not run here")
+      override def supportsConsolidated: Boolean = true
+      override def insertConsolidated(rows: org.apache.spark.sql.DataFrame,
+                                      batchId: Long): Unit =
+        throw new RuntimeException("cohort sink down")
+    }
+    val counts = IngestStream.processBatch(spark, raw(now),
+      new EventSchema.Registry(), sink, None,
+      // zero retries so the test doesn't sit in backoff
+      IngestConfig(consolidateThreshold = 64, commitRetries = 0,
+        commitRetryBaseMillis = 1),
+      deadLetter = Some(new IngestStream.DeadLetter(dlDir)), batchId = 4)
+    // every member reports 0 inserted and its raw records are preserved
+    assert(counts.size == nColl && counts.values.forall(_ == 0L))
+    val preserved = spark.read.text(s"$dlDir/demo/*").count()
+    assert(preserved == nColl.toLong * rowsPer,
+      s"dead letter preserved $preserved of ${nColl * rowsPer} raw records")
+  }
+
   test("below the threshold nothing consolidates; MemorySink never does") {
     val now = System.currentTimeMillis()
     import spark.implicits._
