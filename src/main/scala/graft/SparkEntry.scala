@@ -317,6 +317,40 @@ object SparkEntry {
         .orderBy($"collection")
     }),
 
+    // K1 at collection CARDINALITY: 100 same-schema collections through
+    // the full streaming batch entry (IngestStream.processBatch) with the
+    // consolidation threshold crossed, so the cohort path — one parse
+    // pass + ONE dynamic-partition-overwrite write — does the landing
+    // (ConsolidatedWriteSpec pins the job shape; this query puts the
+    // at-rest CONTENT under the DuckDB oracle). splitEnabled=false is the
+    // historical-drain shape: every record inserts regardless of its
+    // event-day, which keeps the oracle an exact whole-table aggregate.
+    "k1_consolidated_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+        .repartition(s.sparkContext.defaultParallelism)
+      val wire = ev.select(concat(
+        lit("""{"data":{"_project":"demo","_collection":""""),
+        $"event_type", lit("_c"), ($"user_id" % 20), lit("\","),
+        lit(""""_time":"""), tsMillis(ev), lit(","),
+        lit(""""_user":"u"""), $"user_id", lit("\","),
+        lit(""""value":"""), $"value",
+        lit("}}")).as("value")).as(Encoders.STRING)
+      val base = java.nio.file.Files.createTempDirectory("graft_cons").toString
+      val sink = new ColumnarSink(base)
+      graft.streaming.IngestStream.processBatch(s, wire,
+        new EventSchema.Registry(), sink,
+        historical = None,
+        graft.streaming.IngestConfig(splitEnabled = false,
+          consolidateThreshold = 64),
+        batchId = 11)
+      sink.readAll(s)
+        .groupBy($"collection".cast("string").as("collection")).agg(
+          count(lit(1)).as("n"),
+          round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"collection")
+    }),
+
     // Full pipeline e2e (BASELINE.md bench shape): decouple → day-split →
     // infer/evolve/parse → per-collection dedup → _shard_time → columnar
     // sink → read back.
@@ -1859,6 +1893,11 @@ object SparkEntry {
     "k1_sink_roundtrip" ->
       """SELECT event_type AS collection, count(*) AS n,
         |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "k1_consolidated_roundtrip" ->
+      """SELECT event_type || '_c' || CAST(user_id % 20 AS VARCHAR) AS collection,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e2e_pipeline" ->
