@@ -44,6 +44,10 @@ object Bench {
     headline ++ SparkEntry.queries.keys.toSeq.filterNot(headline.contains).sorted
 
   def main(args: Array[String]): Unit = {
+    // optional args = query-name filter for plan iteration (same clock,
+    // warmup, and noop sink as the full run); no args = driver contract
+    val only: Option[Set[String]] =
+      if (args.isEmpty) None else Some(args.toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -70,7 +74,7 @@ object Bench {
     // fast success — its abort time is excluded from the min, the query
     // lands in "failed", and the process exits nonzero so a regression
     // shows up as a broken bench, never as a speedup
-    val results = all.flatMap { name =>
+    val results = all.filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
@@ -105,7 +109,8 @@ object Bench {
       else Seq[(String, (SparkSession, String) => StreamBench.StreamResult)](
         "stream_ingest" -> ((s, d) => StreamBench.run(s, d)),
         "stream_ingest_avro" -> ((s, d) => StreamBench.runAvro(s, d))
-      ).map { case (name, fn) =>
+      ).filter { case (name, _) => only.forall(_.contains(name)) }
+       .map { case (name, fn) =>
         name -> (try {
           val t0 = System.nanoTime()
           val r = fn(spark, sfDir)
