@@ -70,6 +70,33 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
 
+  /** Documents with a deterministic synthetic crawl URL (the corpus
+    * tables carry no URL column, so the url_* queries synthesize one the
+    * same way d2/d7 synthesize JSON wire from `events`). The residues
+    * are chosen to exercise every canonicalization rule: mixed-case
+    * scheme/host, `www.`, default (`:443`) and non-default (`:8080`)
+    * ports, trailing slash, unsorted params, `utm_`/`gclid` tracking
+    * params, and fragments. Mirrored verbatim by [[urlSynthSql]].
+    */
+  private def docUrls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val suffix = element_at(
+      array(lit(".example.com"), lit(".example.co.uk"),
+        lit(".blog.org"), lit(".news.net")),
+      ($"doc_id" % 4 + 1).cast("int"))
+    docs(s, dir).select($"doc_id", $"source", $"text", concat(
+      when($"doc_id" % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+      when($"doc_id" % 3 === 0, "WWW.").otherwise(""), $"source", suffix,
+      when($"doc_id" % 5 === 0, ":443")
+        .when($"doc_id" % 7 === 0, ":8080").otherwise(""),
+      lit("/Docs/"), $"doc_id" % 3,
+      when($"doc_id" % 2 === 0, "/").otherwise(""),
+      lit("?b=2&a="), $"doc_id" % 2,
+      when($"doc_id" % 2 === 0, "&utm_source=feed").otherwise(""),
+      when($"doc_id" % 5 === 0, "&gclid=g1").otherwise(""),
+      when($"doc_id" % 3 === 0, "#sec").otherwise("")).as("url"))
+  }
+
   /** One DSIR corpus snapshot per (session-lifetime, sfDir): built lazily
     * on first use, reused by every later `corpus_drift` invocation (bench
     * warmup + runs time only the drift scoring, not the snapshot build),
@@ -1127,6 +1154,45 @@ object SparkEntry {
         .orderBy($"source", $"rank")
     }),
 
+    // URL canonicalization + crawl dedup: raw URLs that differ only in
+    // scheme/host case, www., default ports, fragments, trailing
+    // slashes, param order, or tracking params collapse to one
+    // canonical form; the group is the crawl-frontier dedup unit
+    // (min-doc_id keeper). Per-row narrow normalize fused into the
+    // scan, then ONE hash shuffle on the canonical key.
+    "url_dedup_canonical" -> ((s, dir) => {
+      import s.implicits._
+      docUrls(s, dir)
+        .select($"doc_id", $"url",
+          graft.functions.UrlFunctions.normalizeUrl($"url").as("canonical_url"))
+        .groupBy($"canonical_url")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct($"url").as("n_raw_distinct"),
+          min($"doc_id").as("keeper_doc"))
+        .orderBy($"canonical_url")
+    }),
+
+    // Registered-domain curation: extract the pay-level domain from each
+    // doc's URL host, drop blocklisted domains, and keep the top-k docs
+    // per domain by quality — the per-site cap every crawl corpus
+    // applies so no single domain dominates training. The hot-group
+    // caveat of capPerGroup applies (one domain = much of the corpus →
+    // pre-thin with stratifiedSample); here domains are few and huge BY
+    // CONSTRUCTION, which is exactly the shape the cap exists for.
+    "url_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val u = docUrls(s, dir)
+      val d = u.select($"doc_id",
+          graft.functions.UrlFunctions.registeredDomain(
+            graft.functions.UrlFunctions.urlHost($"url")).as("domain"),
+          TextFunctions.basisPoints(TextFunctions.qualityScore($"text"))
+            .as("quality_bp"))
+        .filter(!$"domain".isin("news.net"))
+      graft.operators.Sampling.capPerGroup(d, "doc_id", "domain",
+          "quality_bp", k = 8)
+        .orderBy($"domain", $"rank")
+    }),
+
     // Naive Bayes classifier round-trip: train a hashed-unigram
     // multinomial NB on the corpus's own lang labels (doc_id%5!=0),
     // predict the held-out fifth — the fastText-shaped quality/language
@@ -1638,6 +1704,40 @@ object SparkEntry {
 
   private val tokensSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)"""
+
+  /** DuckDB replay of [[docUrls]]'s synthetic URL (same residues, same
+    * literals). Yields CTE `u(doc_id, source, url)`.
+    */
+  private val urlSynthSql =
+    """u AS (SELECT doc_id, source,
+      |  (CASE WHEN doc_id%2=0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+      |  (CASE WHEN doc_id%3=0 THEN 'WWW.' ELSE '' END) || source ||
+      |  (CASE doc_id%4 WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk'
+      |        WHEN 2 THEN '.blog.org' ELSE '.news.net' END) ||
+      |  (CASE WHEN doc_id%5=0 THEN ':443' WHEN doc_id%7=0 THEN ':8080' ELSE '' END) ||
+      |  '/Docs/' || (doc_id%3) ||
+      |  (CASE WHEN doc_id%2=0 THEN '/' ELSE '' END) ||
+      |  '?b=2&a=' || (doc_id%2) ||
+      |  (CASE WHEN doc_id%2=0 THEN '&utm_source=feed' ELSE '' END) ||
+      |  (CASE WHEN doc_id%5=0 THEN '&gclid=g1' ELSE '' END) ||
+      |  (CASE WHEN doc_id%3=0 THEN '#sec' ELSE '' END) AS url
+      | FROM documents)""".stripMargin
+
+  /** DuckDB replay of `UrlFunctions.urlHost`: CTE `h(doc_id, url, host)`
+    * built on `u` — scheme stripped, fragment dropped, authority
+    * lowercased, port and `www.` removed. Same regexes as the Spark
+    * expressions (Java-regex ∩ RE2 subset).
+    */
+  private val urlHostSql =
+    """p AS (SELECT doc_id, url,
+      |  lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+      | FROM u),
+      |a AS (SELECT *, lower(regexp_extract(rest, '^([^/?]+)', 1)) AS auth,
+      |  regexp_extract(rest, '^[^/?]+(.*)$', 1) AS pathq FROM p),
+      |h AS (SELECT *,
+      |  regexp_replace(regexp_extract(auth, '^([^:]+)', 1), '^www\.', '') AS host,
+      |  regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM a)""".stripMargin
 
   private val shinglesSql = // word 3-shingles with the short-text fallback
     """CASE WHEN len(toks) >= 3
@@ -2507,6 +2607,58 @@ object SparkEntry {
          |       FROM j)
          |SELECT doc_id, source, quality_bp, rank FROM rk
          |WHERE rank <= 15 ORDER BY source, rank""".stripMargin,
+
+    // url canonicalization replay: identical regex chain + param
+    // filter/sort, grouped on the canonical form
+    "url_dedup_canonical" -> {
+      val tracking = sqlList(graft.functions.UrlFunctions.TrackingKeys)
+      s"""WITH $urlSynthSql,
+         |$urlHostSql,
+         |n AS (SELECT *,
+         |  CASE WHEN rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/') = ''
+         |       THEN '/' ELSE rtrim(regexp_extract(pathq, '^([^?]*)', 1), '/')
+         |  END AS npath,
+         |  array_to_string(list_sort(list_filter(
+         |    string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
+         |    x -> x <> '' AND NOT starts_with(x, 'utm_')
+         |         AND NOT list_contains($tracking, split_part(x, '=', 1)))), '&')
+         |    AS nquery,
+         |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |            OR (scheme = 'https' AND port = '443')
+         |       THEN host ELSE host || ':' || port END AS nauth
+         | FROM h),
+         |c AS (SELECT doc_id, url,
+         |  scheme || '://' || nauth || npath ||
+         |  CASE WHEN nquery = '' THEN '' ELSE '?' || nquery END AS canonical_url
+         | FROM n)
+         |SELECT canonical_url, count(*) AS n_raw,
+         |  count(DISTINCT url) AS n_raw_distinct, min(doc_id) AS keeper_doc
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // registered-domain cap replay: host → pay-level domain via the same
+    // two regex tiers, blocklist, rank per domain by quality
+    "url_domain_cap" ->
+      s"""WITH ${docAnnotateCte()},
+         |$urlSynthSql,
+         |$urlHostSql,
+         |rd AS (SELECT doc_id,
+         |  CASE WHEN regexp_extract(host,
+         |         '${graft.functions.UrlFunctions.TwoLevelSuffixRegex}', 1) <> ''
+         |       THEN regexp_extract(host,
+         |         '${graft.functions.UrlFunctions.TwoLevelSuffixRegex}', 1)
+         |       WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) <> ''
+         |       THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+         |       ELSE host END AS domain
+         | FROM h),
+         |j AS (SELECT rd.doc_id, rd.domain, ann.quality_bp
+         |      FROM rd JOIN ann ON rd.doc_id = ann.doc_id
+         |      WHERE rd.domain <> 'news.net'),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY domain
+         |         ORDER BY quality_bp DESC, doc_id ASC)::BIGINT AS rank
+         |       FROM j)
+         |SELECT doc_id, domain, quality_bp, rank FROM rk
+         |WHERE rank <= 8 ORDER BY domain, rank""".stripMargin,
 
     // NB replay: the full train+score round-trip — per-class integer
     // counts, one ln per (label,bucket) of an exact integer ratio
