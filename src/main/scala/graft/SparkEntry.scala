@@ -837,6 +837,43 @@ object SparkEntry {
         .orderBy($"split")
     }),
 
+    // Leakage-safe splits: hash-split by DUPLICATE-CLUSTER key instead of
+    // doc id, so near-duplicate docs always land in the same split and
+    // the val/test sets never leak paraphrases of training docs. The
+    // query certifies the property in-band: leaky_groups_safe counts
+    // clusters spanning >1 split under cluster-keyed assignment (0 by
+    // construction), leaky_groups_naive counts them under doc-id-keyed
+    // assignment (>0 on any corpus with near-dups — the bug this
+    // operator exists to prevent). Plan: banded minhash candidates →
+    // O(log n) CC (checkpointed, computed once) → broadcast-size label
+    // join → per-row hash assignment fused into the scan.
+    "splits_leakage_safe" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val pairs = DedupFunctions.minhashCandidates(d, "doc_id", "text",
+        k = 12, nBands = 4, shingleSize = 3, maxBandFreq = 1000)
+      val labels = DedupFunctions
+        .connectedComponentsAlternating(pairs, "id_a", "id_b")
+        .withColumnRenamed("v", "doc_id")
+      val keyed = d.select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce($"label", $"doc_id"))
+      val weights = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+      val safe = graft.operators.Sampling.assignSplits(keyed, "split_key",
+        weights, salt = "graft")
+      val naive = graft.operators.Sampling.assignSplits(keyed, "doc_id",
+        weights, salt = "graft")
+      def leaky(a: DataFrame, name: String): DataFrame =
+        a.groupBy($"split_key").agg(countDistinct($"split").as("ns"))
+          .agg(sum(when($"ns" > 1, 1L).otherwise(0L)).as(name))
+      safe.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"),
+          countDistinct($"split_key").as("n_groups"))
+        .crossJoin(leaky(safe, "leaky_groups_safe"))
+        .crossJoin(leaky(naive, "leaky_groups_naive"))
+        .orderBy($"split")
+    }),
+
     // Deterministic shard plan for training export: hash-uniform shard
     // assignment + within-shard order — the no-global-sort shuffled-read
     // layout, pinned per shard (count, id_sum, order-key checksum).
@@ -2347,6 +2384,43 @@ object SparkEntry {
         |            WHEN h < 9500 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // cluster-keyed split replay: the dedup_clusters transitive closure
+    // feeding the corpus_splits hash, plus both leak certificates
+    "splits_leakage_safe" ->
+      s"""WITH RECURSIVE $minhashBandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s AS v, s AS r FROM edges
+         |          UNION SELECT e.d, reach.r
+         |                FROM reach JOIN edges e ON e.s = reach.v),
+         |labels AS (SELECT v, min(r) AS label FROM reach GROUP BY v),
+         |k AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN labels l ON l.v = d.doc_id),
+         |splh AS (SELECT doc_id, split_key,
+         |  ('0x' || substr(md5('graft|' || split_key::VARCHAR), 1, 15))::BIGINT
+         |    % 10000 AS h_safe,
+         |  ('0x' || substr(md5('graft|' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % 10000 AS h_naive
+         | FROM k),
+         |sp AS (SELECT doc_id, split_key,
+         |  CASE WHEN h_safe < 9000 THEN 'train'
+         |       WHEN h_safe < 9500 THEN 'val' ELSE 'test' END AS split,
+         |  CASE WHEN h_naive < 9000 THEN 'train'
+         |       WHEN h_naive < 9500 THEN 'val' ELSE 'test' END AS nsplit
+         | FROM splh),
+         |leak_safe AS (SELECT count(*)::BIGINT AS c FROM (
+         |  SELECT split_key FROM sp GROUP BY 1 HAVING count(DISTINCT split) > 1)),
+         |leak_naive AS (SELECT count(*)::BIGINT AS c FROM (
+         |  SELECT split_key FROM sp GROUP BY 1 HAVING count(DISTINCT nsplit) > 1))
+         |SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+         |  count(DISTINCT split_key) AS n_groups,
+         |  (SELECT c FROM leak_safe) AS leaky_groups_safe,
+         |  (SELECT c FROM leak_naive) AS leaky_groups_naive
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_shard_plan" ->
       """WITH h AS (
