@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Opt-in range-join rewrite (spark.graft.rangeJoin.bucketWidth > 0):
+    // point-in-interval joins plan as bucketed equi-joins, not BNLJ.
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
       (args: Seq[Expression]) => RollingHash(args.head)))
@@ -58,6 +61,12 @@ object GraftExtensions {
     * extensions path only applies at session construction).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // Live-session seam for the optimizer rule (the extensions path only
+    // applies at session construction); idempotent, and a no-op unless
+    // spark.graft.rangeJoin.bucketWidth is set positive.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
     val reg = spark.sessionState.functionRegistry
     val ext = new GraftExtensions
     def temp(name: String, builder: Seq[Expression] => Expression): Unit =

@@ -675,6 +675,58 @@ object SparkEntry {
         .orderBy($"band")
     }),
 
+    // Same range-join family, but through PURE SQL + the Catalyst rewrite
+    // rule (plans/RangeJoinRewrite): the user writes the naive
+    // point-in-interval join and the optimizer plans the bucketed
+    // equi-join. The plan shape is asserted in-query (no nested-loop
+    // join); the small aggregated result is frozen driver-side so the
+    // opt-in conf can be unset before the next query plans.
+    "range_bands_rule" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      tbl(s, dir, "lineitem").select(col("l_extendedprice"))
+        .createOrReplaceTempView("rj_lineitem")
+      tbl(s, dir, "nation").select(col("n_nationkey"))
+        .createOrReplaceTempView("rj_nation")
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "2600")
+      try {
+        val df = s.sql(
+          """WITH bands AS (
+            |  SELECT n_nationkey AS band, n_nationkey * 1200.0 AS lo,
+            |         n_nationkey * 1200.0 + 2600.0 AS hi
+            |  FROM rj_nation)
+            |SELECT band, count(*) AS n,
+            |       round(sum(l_extendedprice), 2) AS sum_price
+            |FROM rj_lineitem JOIN bands
+            |  ON l_extendedprice >= lo AND l_extendedprice < hi
+            |GROUP BY band ORDER BY band""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoop") &&
+          !plan.contains("CartesianProduct"),
+          "range-join rewrite did not fire; plan:\n" + plan)
+        val rows = df.collect() // ≤ |nation| aggregated rows
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), df.schema)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }),
+
+    // Interval × interval overlap join (RangeJoin.overlapJoin): per
+    // (brand, size) retail-price spans against fixed price bands —
+    // bucketed equi-join with the first-shared-bucket ownership rule, no
+    // cross product, each overlapping pair exactly once.
+    "overlap_price_spans" -> ((s, dir) => {
+      import s.implicits._
+      val spans = tbl(s, dir, "part")
+        .groupBy($"p_brand", $"p_size")
+        .agg(min($"p_retailprice").as("lo"), max($"p_retailprice").as("hi"))
+      val bands = s.range(0, 40).select($"id".as("band"),
+        ($"id" * 1500.0).as("blo"), ($"id" * 1500.0 + 3000.0).as("bhi"))
+      graft.operators.RangeJoin.overlapJoin(
+          spans, "lo", "hi", bands, "blo", "bhi", bucketWidth = 1500.0)
+        .groupBy($"p_brand", $"p_size")
+        .agg(count(lit(1)).as("n_bands"), min($"band").as("first_band"))
+        .orderBy($"p_brand", $"p_size")
+    }),
+
     // Set operations: nations present in segment A but not B, and in both.
     "q10_setops" -> ((s, dir) => {
       import s.implicits._
@@ -2112,6 +2164,29 @@ object SparkEntry {
         |FROM lineitem JOIN bands
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "range_bands_rule" ->
+      """WITH bands AS (
+        |  SELECT n_nationkey AS band, n_nationkey * 1200.0 AS lo,
+        |         n_nationkey * 1200.0 + 2600.0 AS hi
+        |  FROM nation)
+        |SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "overlap_price_spans" ->
+      """WITH spans AS (
+        |  SELECT p_brand, p_size,
+        |         min(p_retailprice) AS lo, max(p_retailprice) AS hi
+        |  FROM part GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT i AS band, i * 1500.0 AS blo, i * 1500.0 + 3000.0 AS bhi
+        |  FROM unnest(generate_series(0, 39)) AS t(i))
+        |SELECT p_brand, p_size, count(*) AS n_bands,
+        |       min(band) AS first_band
+        |FROM spans JOIN bands ON lo < bhi AND blo < hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "asof_purchase_click" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -35,4 +35,41 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap (interval × interval) join without a cross product:
+    * pairs where `[l_lo, l_hi)` and `[r_lo, r_hi)` intersect.
+    *
+    * Both sides explode onto the fixed-width buckets they span; two
+    * overlapping intervals share every bucket in the intersection of
+    * their spans, so the bucket equi-join alone would emit each pair once
+    * PER shared bucket. The ownership rule dedups without a distinct
+    * pass: a pair is emitted only from the first bucket both cover —
+    * `floor(max(l_lo, r_lo) / width)` — which every overlapping pair
+    * covers exactly once. Null-bounded intervals drop (as in the raw
+    * predicate); malformed `lo > hi` intervals are treated as EMPTY and
+    * dropped pre-explode — note the raw SQL predicate
+    * `l_lo < r_hi AND r_lo < l_hi` would still emit them against a
+    * wide-enough partner, so filter or repair malformed rows upstream if
+    * that behavior is wanted.
+    *
+    * Same scale calculus as `rangeJoin`: explode factor is
+    * interval-length/width per row, per-bucket candidates are bounded by
+    * interval density, and the join shuffles on the bucket id — never the
+    * cross product. Pick `bucketWidth` near the typical interval length.
+    */
+  def overlapJoin(left: DataFrame, lLo: String, lHi: String,
+                  right: DataFrame, rLo: String, rHi: String,
+                  bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    def exploded(df: DataFrame, lo: String, hi: String) =
+      df.where(col(lo) <= col(hi)).withColumn("_bucket",
+        explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    exploded(left, lLo, lHi).join(exploded(right, rLo, rHi), Seq("_bucket"))
+      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("_bucket") ===
+          floor(greatest(col(lLo), col(rLo)) / bucketWidth).cast("long"))
+      .drop("_bucket")
+  }
 }

@@ -60,6 +60,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("overlap join equals the naive interval-intersection join, once per pair") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // messy intervals: long/short/degenerate (lo==hi), malformed (lo>hi),
+    // null bounds; widths misaligned with the bucket width
+    val left = (0 until 300).map { i =>
+      val lo = i * 3.7 % 120
+      (i.toLong, if (i % 41 == 0) null else java.lang.Double.valueOf(lo),
+        if (i % 53 == 0) java.lang.Double.valueOf(lo - 5) // malformed
+        else java.lang.Double.valueOf(lo + (i % 7) * 4.1))
+    }.toDF("lid", "llo", "lhi")
+    val right = (0 until 200).map { i =>
+      val lo = i * 5.3 % 120
+      (i.toLong, java.lang.Double.valueOf(lo),
+        java.lang.Double.valueOf(if (i % 29 == 0) lo else lo + 9.0))
+    }.toDF("rid", "rlo", "rhi")
+
+    val fast = RangeJoin.overlapJoin(left, "llo", "lhi", right, "rlo", "rhi",
+        bucketWidth = 6.0)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // operator semantics: malformed lo>hi = empty interval (the raw
+    // predicate alone would emit them against a wide-enough partner)
+    val naive = left.where($"llo" <= $"lhi")
+      .join(right.where($"rlo" <= $"rhi"), $"llo" < $"rhi" && $"rlo" < $"lhi")
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact multiset equality: each overlapping pair surfaces exactly once
+    assert(fast.sorted.toSeq == naive.sorted.toSeq && fast.nonEmpty)
+
+    val plan = RangeJoin.overlapJoin(left, "llo", "lhi", right, "rlo", "rhi", 6.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("matches brute-force as-of on real events (purchases → prior click)") {
     import spark.implicits._
     val evRaw = sf("events")

@@ -1,0 +1,118 @@
+package graft
+
+import graft.plans.RangeJoinRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The Catalyst range-join rewrite: parity with the naive plan on messy
+  * inputs (nulls, empty/degenerate intervals, duplicates), plan-shape
+  * pins (no nested-loop join once enabled), and conjunct preservation.
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+
+  GraftExtensions.register(spark)
+  import spark.implicits._
+
+  /** Deterministic messy points: values in [-2000, 6000) plus nulls. */
+  private def points: DataFrame =
+    spark.range(0, 400).select($"id".as("pid"),
+      when($"id" % 37 === 0, lit(null).cast("double"))
+        .otherwise((hash($"id".cast("string")).cast("double") % 4000.0) + 2000.0)
+        .as("p"))
+
+  /** Bands with overlap, a null-lo band, a lo>hi band, and a lo==hi band. */
+  private def intervals: DataFrame =
+    spark.range(0, 50).select($"id".as("band"),
+      when($"id" === 48, lit(null).cast("double"))
+        .otherwise($"id" * 120.0 - 2000.0).as("lo"),
+      when($"id" === 47, $"id" * 120.0 - 2300.0) // lo > hi: unsatisfiable
+        .when($"id" === 46, $"id" * 120.0 - 2000.0) // lo == hi
+        .otherwise($"id" * 120.0 - 1700.0).as("hi"))
+
+  private def withWidth[T](w: Double)(body: => T): T = {
+    spark.conf.set(RangeJoinRewrite.WidthConf, w.toString)
+    try body finally spark.conf.unset(RangeJoinRewrite.WidthConf)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def parity(query: => DataFrame): Unit = {
+    val naive = sortedRows(query) // conf unset: rule is a no-op
+    val rewritten = withWidth(300.0) {
+      val df = query
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      sortedRows(df)
+    }
+    assert(rewritten == naive)
+  }
+
+  test("parity on inner join, half-open interval (>= lo, < hi)") {
+    parity(points.join(intervals, $"p" >= $"lo" && $"p" < $"hi"))
+  }
+
+  test("parity on closed interval with swapped operand order") {
+    parity(points.join(intervals, $"lo" <= $"p" && $"hi" >= $"p"))
+  }
+
+  test("parity on fully strict bounds") {
+    parity(points.join(intervals, $"p" > $"lo" && $"p" < $"hi"))
+  }
+
+  test("extra conjuncts ride along (composite condition)") {
+    parity(points.join(intervals,
+      $"p" >= $"lo" && $"p" < $"hi" && ($"pid" % 3 === $"band" % 3)))
+  }
+
+  test("naive plan IS a nested-loop join (the rewrite changes something)") {
+    val plan = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoop") || plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rule is inert for non-range joins and when disabled") {
+    // equi-join: same canonical plan with and without the width conf
+    // (exprIds churn between two builds, so compare canonicalized)
+    val before = points.join(intervals, $"pid" === $"band")
+      .queryExecution.optimizedPlan.canonicalized.toString
+    val after = withWidth(300.0) {
+      points.join(intervals, $"pid" === $"band")
+        .queryExecution.optimizedPlan.canonicalized.toString
+    }
+    assert(before == after)
+  }
+
+  test("SQL path through temp views matches the naive result") {
+    points.createOrReplaceTempView("rj_points")
+    intervals.createOrReplaceTempView("rj_intervals")
+    val sql =
+      """SELECT band, count(*) AS n, round(sum(p), 2) AS sum_p
+        |FROM rj_points JOIN rj_intervals
+        |  ON p >= lo AND p < hi
+        |GROUP BY band ORDER BY band""".stripMargin
+    val naive = sortedRows(spark.sql(sql))
+    val rewritten = withWidth(120.0) {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"), plan)
+      sortedRows(df)
+    }
+    assert(rewritten == naive)
+  }
+
+  test("inner-join multiplicity: duplicate points and intervals surface once per pair") {
+    val dupPoints = points.unionAll(points)
+    val dupIntervals = intervals.unionAll(intervals)
+    val naive = sortedRows(
+      dupPoints.join(dupIntervals, $"p" >= $"lo" && $"p" < $"hi")
+        .groupBy($"band").agg(count(lit(1)).as("n")))
+    val rewritten = withWidth(77.0) { // width deliberately misaligned
+      sortedRows(
+        dupPoints.join(dupIntervals, $"p" >= $"lo" && $"p" < $"hi")
+          .groupBy($"band").agg(count(lit(1)).as("n")))
+    }
+    assert(rewritten == naive)
+  }
+}
