@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Shape: the `events` table is serialized to Fabric JSON wire records and
   * written as N chunk files; the file source replays them one file per
-  * micro-batch (`maxFilesPerTrigger=1` — the B5 intake bound) under
+  * micro-batch (`maxFilesPerTrigger` — the B5 intake bound) under
   * `Trigger.AvailableNow`, so the run measures drain CAPACITY: how fast the
-  * engine can sustain full batches back-to-back. Reported records/s over
-  * busy time is directly comparable to the reference's envelope
-  * (300k / 15 s = 20k records/s sustained).
+  * engine can sustain full batches back-to-back. Defaults replay the
+  * reference's OWN poll size — 300k records per micro-batch
+  * (KafkaConfig.java:33) — so records/s over busy time is directly
+  * comparable to its envelope (300k / 15 s = 20k records/s sustained);
+  * smaller fixed-overhead-bound batch shapes are measured in SCALE.md
+  * §Streaming via the standalone main's knobs.
   *
   * Event times are rebased to "now" so the day-split heuristic routes the
   * whole stream real-time (the steady-state shape); the split, inference,
@@ -78,8 +81,8 @@ object StreamBench {
     * file per batch would serialize the scan+parse onto a single task,
     * which no production source does).
     */
-  def run(spark: SparkSession, sfDir: String, chunks: Int = 20,
-          targetRecords: Long = 300000, filesPerBatch: Int = 8): StreamResult = {
+  def run(spark: SparkSession, sfDir: String, chunks: Int = 5,
+          targetRecords: Long = 1500000, filesPerBatch: Int = 16): StreamResult = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_streambench")
     val input = s"$tmp/input"
     try {
@@ -115,8 +118,8 @@ object StreamBench {
     * parquet chunks and streamed through the parquet file source with the
     * same files-per-trigger intake bound.
     */
-  def runAvro(spark: SparkSession, sfDir: String, chunks: Int = 20,
-              targetRecords: Long = 300000, filesPerBatch: Int = 8): StreamResult = {
+  def runAvro(spark: SparkSession, sfDir: String, chunks: Int = 5,
+              targetRecords: Long = 1500000, filesPerBatch: Int = 16): StreamResult = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_streambench_avro")
     val input = s"$tmp/input"
