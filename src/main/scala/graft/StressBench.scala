@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *    stop-fingerprint cap crossover;
   *  - `factor`× jittered embedding copies — SemDeDup at 10×;
   *  - 1,000 live collections in one micro-batch — the per-collection
-  *    write-loop crossover the consolidated cohort path removes.
+  *    write-loop crossover the consolidated cohort path removes;
+  *  - 6M points × 10k intervals through the bucketed range join (naive
+  *    BNLJ sampled for the ratio) and 10k × 10k interval overlap.
   *
   * Run manually (not part of the driver bench):
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt 'runMain graft.StressBench'
@@ -213,6 +215,45 @@ object StressBench {
           expectedDistinct = nDocs).count()
       }
       out("bloom_new_rows") = bloomNew.toString
+    }
+
+    if (want("rangejoin")) {
+      // ---- bucketed range/overlap joins an order of magnitude up: the
+      // naive BNLJ is quadratic, so it gets a bounded SAMPLE for the ratio
+      // and the bucketed plan gets the full 10× input
+      import graft.operators.RangeJoin
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_extendedprice").as("p"))
+      val points = Seq.fill(factor)(li).reduce(_.unionByName(_))
+        .localCheckpoint(true)
+      out("rangejoin_points") = points.count().toString
+      val iv = spark.range(10000).select(col("id").as("band"),
+          (rand(7) * 100000.0).as("lo"))
+        .withColumn("hi", col("lo") + 2000.0)
+        .localCheckpoint(true)
+      val sample = li.limit(20000).localCheckpoint(true)
+      val naivePairs = timed("rangejoin_naive20k_sec") {
+        sample.join(iv, col("p") >= col("lo") && col("p") < col("hi")).count()
+      }
+      val bucketedSample = timed("rangejoin_bucketed20k_sec") {
+        RangeJoin.rangeJoin(sample, "p", iv, "lo", "hi", 2000.0).count()
+      }
+      require(bucketedSample == naivePairs,
+        s"bucketed $bucketedSample != naive $naivePairs on the sample")
+      val full = timed("rangejoin_bucketed10x_sec") {
+        RangeJoin.rangeJoin(points, "p", iv, "lo", "hi", 2000.0).count()
+      }
+      out("rangejoin_10x_pairs") = full.toString
+
+      // interval × interval at 10k × 10k (naive would be 100M interval
+      // comparisons; bucketed shuffles ~2 exploded rows per interval)
+      val iv2 = spark.range(10000).select(col("id").as("band2"),
+          (rand(11) * 100000.0).as("lo2"))
+        .withColumn("hi2", col("lo2") + 1500.0)
+      val overlapPairs = timed("overlap_10k_sec") {
+        RangeJoin.overlapJoin(iv, "lo", "hi", iv2, "lo2", "hi2", 2000.0).count()
+      }
+      out("overlap_10k_pairs") = overlapPairs.toString
     }
 
     if (want("collections")) {
