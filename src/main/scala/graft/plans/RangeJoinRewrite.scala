@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a point-in-interval (range) join into a
   * bucketed equi-join.
@@ -63,8 +63,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  private def numeric(e: Expression): Boolean =
-    e.dataType.isInstanceOf[NumericType]
+  /** Bucketable domains: numerics, plus timestamps (cast to double =
+    * epoch seconds, so `bucketWidth` is in seconds for time joins — the
+    * most common real range-join shape).
+    */
+  private def bucketable(e: Expression): Boolean = e.dataType match {
+    case _: NumericType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = SQLConf.get.getConfString(WidthConf, "0").toDouble
@@ -86,7 +92,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       upper <- cmps.iterator
       if lower.large.semanticEquals(upper.small)
       p = lower.large; lo = lower.small; hi = upper.large
-      if numeric(p) && numeric(lo) && numeric(hi)
+      if bucketable(p) && bucketable(lo) && bucketable(hi)
       if p.references.nonEmpty && lo.references.nonEmpty && hi.references.nonEmpty
       pointsLeft <-
         if (p.references.subsetOf(left.outputSet) &&
@@ -99,8 +105,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     } yield (p, lo, hi, lower.strict || upper.strict, pointsLeft)).nextOption()
 
     pair.map { case (p, lo, hi, anyStrict, pointsLeft) =>
-      def bucket(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(width))) // Floor(double) is LongType
+      val tz = Some(SQLConf.get.sessionLocalTimeZone)
+      def bucket(e: Expression): Expression = {
+        // NTZ has no direct numeric cast: go through TimestampType with
+        // the session tz on BOTH sides (monotone, so bucketing is sound)
+        val num = e.dataType match {
+          case TimestampNTZType => Cast(Cast(e, TimestampType, tz), DoubleType)
+          case _                => Cast(e, DoubleType) // timestamp = epoch secs
+        }
+        Floor(Divide(num, Literal(width))) // Floor(double) is LongType
+      }
       val (pointChild, intervalChild) = if (pointsLeft) (left, right) else (right, left)
 
       val pBucket = Alias(bucket(p), s"${BucketPrefix}pb")()

@@ -66,6 +66,21 @@ class RangeJoinRewriteSpec extends SparkSpec {
       $"p" >= $"lo" && $"p" < $"hi" && ($"pid" % 3 === $"band" % 3)))
   }
 
+  test("parity on timestamp domains (incl. TIMESTAMP_NTZ), width in seconds") {
+    val base = 1700000000000L
+    val pts = spark.range(0, 500).select($"id".as("pid"),
+      timestamp_millis(lit(base) + $"id" * 97000).as("t"))
+    val ivs = spark.range(0, 30).select($"id".as("w"),
+      timestamp_millis(lit(base) + $"id" * 1500000).as("ws"),
+      timestamp_millis(lit(base) + $"id" * 1500000 + 3000000).as("we"))
+    parity(pts.join(ivs, $"t" >= $"ws" && $"t" < $"we"))
+    // NTZ routes through TimestampType with the session tz on both sides
+    val ptsN = pts.select($"pid", $"t".cast("timestamp_ntz").as("t"))
+    val ivsN = ivs.select($"w", $"ws".cast("timestamp_ntz").as("ws"),
+      $"we".cast("timestamp_ntz").as("we"))
+    parity(ptsN.join(ivsN, $"t" >= $"ws" && $"t" < $"we"))
+  }
+
   test("naive plan IS a nested-loop join (the rewrite changes something)") {
     val plan = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
       .queryExecution.executedPlan.toString
