@@ -709,6 +709,38 @@ object SparkEntry {
       } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
     }),
 
+    // The rewrite rule's TIMESTAMP path under the oracle: events joined
+    // to overlapping 2-hour windows (1-hour step) anchored at min(ts).
+    // The anchor is a bounded 1-row driver read so the window table has
+    // no embedded cross join (keeps the no-BNLJ plan assert meaningful);
+    // bucketWidth is in seconds on time domains.
+    "range_time_windows" -> ((s, dir) => {
+      import s.implicits._
+      GraftExtensions.register(s)
+      val ev = tbl(s, dir, "events")
+      ev.select($"event_id", $"user_id", tsTimestamp(ev).as("t"))
+        .createOrReplaceTempView("rt_events")
+      val t0 = ev.agg(unix_micros(min(tsTimestamp(ev)))).head().getLong(0)
+      s.range(0, 40).select($"id".as("w"),
+          timestamp_micros(lit(t0) + $"id" * 3600000000L).as("ws"),
+          timestamp_micros(lit(t0) + ($"id" + 2) * 3600000000L).as("we"))
+        .createOrReplaceTempView("rt_windows")
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "7200")
+      try {
+        val df = s.sql(
+          """SELECT w, count(*) AS n, count(DISTINCT user_id) AS n_users
+            |FROM rt_events JOIN rt_windows ON t >= ws AND t < we
+            |GROUP BY w ORDER BY w""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoop") &&
+          !plan.contains("CartesianProduct"),
+          "timestamp range-join rewrite did not fire; plan:\n" + plan)
+        val rows = df.collect() // ≤ 40 aggregated rows
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), df.schema)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }),
+
     // Interval × interval overlap join (RangeJoin.overlapJoin): per
     // (brand, size) retail-price spans against fixed price bands —
     // bucketed equi-join with the first-shared-bucket ownership rule, no
@@ -2173,6 +2205,15 @@ object SparkEntry {
         |SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN bands
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "range_time_windows" ->
+      """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events),
+        |w AS (SELECT i AS w, t0 + to_hours(i) AS ws, t0 + to_hours(i + 2) AS we
+        |      FROM unnest(generate_series(0, 39)) AS t(i), b),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT w, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM e JOIN w ON t >= ws AND t < we
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "overlap_price_spans" ->
