@@ -759,6 +759,39 @@ object SparkEntry {
         .orderBy($"p_brand", $"p_size")
     }),
 
+    // The overlap path of the rewrite rule through PURE SQL: the same
+    // spans×bands intersection as overlap_price_spans, written as the
+    // naive SQL idiom and planned as the double-explode bucketed
+    // equi-join with the first-shared-bucket ownership residual.
+    "overlap_spans_rule" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      tbl(s, dir, "part").select(col("p_brand"), col("p_size"),
+          col("p_retailprice")).createOrReplaceTempView("ov_part")
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "1500")
+      try {
+        val df = s.sql(
+          """WITH spans AS (
+            |  SELECT p_brand, p_size,
+            |         min(p_retailprice) AS lo, max(p_retailprice) AS hi
+            |  FROM ov_part GROUP BY p_brand, p_size),
+            |bands AS (
+            |  SELECT id AS band, id * 1500.0 AS blo, id * 1500.0 + 3000.0 AS bhi
+            |  FROM range(40))
+            |SELECT p_brand, p_size, count(*) AS n_bands,
+            |       min(band) AS first_band
+            |FROM spans JOIN bands ON lo < bhi AND blo < hi
+            |GROUP BY p_brand, p_size
+            |ORDER BY p_brand, p_size""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoop") &&
+          !plan.contains("CartesianProduct"),
+          "overlap rewrite did not fire; plan:\n" + plan)
+        val rows = df.collect() // bounded: one row per (brand, size)
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), df.schema)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }),
+
     // Set operations: nations present in segment A but not B, and in both.
     "q10_setops" -> ((s, dir) => {
       import s.implicits._
@@ -2215,6 +2248,19 @@ object SparkEntry {
         |SELECT w, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM e JOIN w ON t >= ws AND t < we
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "overlap_spans_rule" ->
+      """WITH spans AS (
+        |  SELECT p_brand, p_size,
+        |         min(p_retailprice) AS lo, max(p_retailprice) AS hi
+        |  FROM part GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT i AS band, i * 1500.0 AS blo, i * 1500.0 + 3000.0 AS bhi
+        |  FROM unnest(generate_series(0, 39)) AS t(i))
+        |SELECT p_brand, p_size, count(*) AS n_bands,
+        |       min(band) AS first_band
+        |FROM spans JOIN bands ON lo < bhi AND blo < hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "overlap_price_spans" ->
       """WITH spans AS (

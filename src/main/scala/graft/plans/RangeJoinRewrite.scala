@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampNTZType, TimestampType}
 
-/** Catalyst optimizer rule: rewrite a point-in-interval (range) join into a
-  * bucketed equi-join.
+/** Catalyst optimizer rule: rewrite a point-in-interval (range) join — or
+  * an interval × interval overlap join — into a bucketed equi-join.
   *
   * Spark plans a bare `p >= lo AND p < hi` inner join as a
   * broadcast-nested-loop / cartesian product — O(|points|·|intervals|),
@@ -35,6 +35,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampN
   * comparison semantics), and intervals with `lo > hi` (unsatisfiable,
   * and the one case where the bucket `sequence` would run descending) are
   * filtered before the explode.
+  *
+  * When no point-in-interval pair matches, the rule looks for the SQL
+  * overlap idiom `lLo < rHi AND rLo < lHi` (any operand order or
+  * strictness) and rewrites it as a double-explode bucketed equi-join
+  * with first-shared-bucket pair ownership — see [[rewriteOverlap]];
+  * unlike `RangeJoin.overlapJoin`, the rewrite preserves raw predicate
+  * semantics EXACTLY, including malformed `lo > hi` intervals.
   *
   * Register at session build via `GraftExtensions`
   * (`injectOptimizerRule`) or on a live session through
@@ -78,9 +85,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), _)
           if !j.output.exists(_.name.startsWith(BucketPrefix)) =>
-        rewrite(j, left, right, cond, width).getOrElse(j)
+        rewrite(j, left, right, cond, width)
+          .orElse(rewriteOverlap(j, left, right, cond, width))
+          .getOrElse(j)
     }
   }
+
+  /** `e` as a DoubleType expression. NTZ has no direct numeric cast: go
+    * through TimestampType with the session tz on BOTH sides (monotone,
+    * so bucketing stays sound); TimestampType casts to epoch seconds.
+    */
+  private def asDouble(e: Expression): Expression = e.dataType match {
+    case TimestampNTZType =>
+      Cast(Cast(e, TimestampType, Some(SQLConf.get.sessionLocalTimeZone)),
+        DoubleType)
+    case _ => Cast(e, DoubleType)
+  }
+
+  /** Bucket id of an already-double expression. Floor(double) is LongType. */
+  private def bucketOf(d: Expression, width: Double): Expression =
+    Floor(Divide(d, Literal(width)))
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, width: Double): Option[LogicalPlan] = {
@@ -105,16 +129,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     } yield (p, lo, hi, lower.strict || upper.strict, pointsLeft)).nextOption()
 
     pair.map { case (p, lo, hi, anyStrict, pointsLeft) =>
-      val tz = Some(SQLConf.get.sessionLocalTimeZone)
-      def bucket(e: Expression): Expression = {
-        // NTZ has no direct numeric cast: go through TimestampType with
-        // the session tz on BOTH sides (monotone, so bucketing is sound)
-        val num = e.dataType match {
-          case TimestampNTZType => Cast(Cast(e, TimestampType, tz), DoubleType)
-          case _                => Cast(e, DoubleType) // timestamp = epoch secs
-        }
-        Floor(Divide(num, Literal(width))) // Floor(double) is LongType
-      }
+      def bucket(e: Expression): Expression = bucketOf(asDouble(e), width)
       val (pointChild, intervalChild) = if (pointsLeft) (left, right) else (right, left)
 
       val pBucket = Alias(bucket(p), s"${BucketPrefix}pb")()
@@ -143,6 +158,61 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         if (pointsLeft) Join(pointSide, intervalSide, Inner, Some(newCond), j.hint)
         else Join(intervalSide, pointSide, Inner, Some(newCond), j.hint)
       Project(j.output, joined)
+    }
+  }
+
+  /** Interval × interval overlap: condition contains `lLo (<|<=) rHi` and
+    * `rLo (<|<=) lHi` with lLo/lHi on one side and rLo/rHi on the other
+    * (the SQL intersection idiom). Both sides explode onto
+    * `sequence(bucket(lo), bucket(greatest(lo, hi)))` — the `greatest`
+    * clamp keeps the sequence ascending for malformed `lo > hi` rows
+    * WITHOUT changing semantics: such a row explodes onto the single
+    * bucket(lo), and whenever the raw predicate accepts a (bad, well)
+    * pair the well side's span provably contains that bucket
+    * (`rLo < lHi < lLo < rHi` follows from the predicate), while
+    * (bad, bad) pairs are unsatisfiable. Pair dedup is the
+    * first-shared-bucket ownership rule: emit only at
+    * `bucket(max(lLo, rLo))`, which any accepted pair covers exactly
+    * once on both sides. The full original condition rides along as the
+    * join residual, so extra conjuncts and strictness are preserved
+    * verbatim.
+    */
+  private def rewriteOverlap(j: Join, left: LogicalPlan, right: LogicalPlan,
+                             cond: Expression, width: Double): Option[LogicalPlan] = {
+    val cmps = conjuncts(cond).flatMap(normalize).toIndexedSeq
+    val found = (for {
+      i1 <- cmps.indices.iterator
+      i2 <- cmps.indices.iterator
+      if i1 != i2
+      c1 = cmps(i1); c2 = cmps(i2)
+      if Seq(c1.small, c1.large, c2.small, c2.large)
+        .forall(e => bucketable(e) && e.references.nonEmpty)
+      // c1: lLo < rHi ; c2: rLo < lHi (both orientations covered because
+      // the loop also visits (c2, c1))
+      if c1.small.references.subsetOf(left.outputSet) &&
+         c1.large.references.subsetOf(right.outputSet) &&
+         c2.small.references.subsetOf(right.outputSet) &&
+         c2.large.references.subsetOf(left.outputSet)
+    } yield (c1.small, c2.large, c2.small, c1.large)).nextOption()
+
+    found.map { case (lLo, lHi, rLo, rHi) =>
+      val tzOpt = Some(SQLConf.get.sessionLocalTimeZone)
+      def gen(child: LogicalPlan, lo: Expression, hi: Expression,
+              name: String): (Generate, Attribute) = {
+        val seq = Sequence(bucketOf(asDouble(lo), width),
+          bucketOf(Greatest(Seq(asDouble(lo), asDouble(hi))), width),
+          None, tzOpt)
+        val elem = Explode(seq).elementSchema.head
+        val attr = AttributeReference(name, LongType, elem.nullable)()
+        (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(attr), child), attr)
+      }
+      val (genL, bL) = gen(left, lLo, lHi, s"${BucketPrefix}lb")
+      val (genR, bR) = gen(right, rLo, rHi, s"${BucketPrefix}rb")
+      val ownership = EqualTo(bL,
+        bucketOf(Greatest(Seq(asDouble(lLo), asDouble(rLo))), width))
+      val newCond = And(EqualTo(bL, bR), And(cond, ownership))
+      Project(j.output, Join(genL, genR, Inner, Some(newCond), j.hint))
     }
   }
 }

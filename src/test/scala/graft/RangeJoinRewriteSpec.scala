@@ -81,6 +81,40 @@ class RangeJoinRewriteSpec extends SparkSpec {
     parity(ptsN.join(ivsN, $"t" >= $"ws" && $"t" < $"we"))
   }
 
+  /** Messy interval pair for the overlap rewrite: long/short/degenerate
+    * (lo==hi), malformed (lo>hi — which the rule must keep emitting when
+    * the raw predicate accepts them), null bounds.
+    */
+  private def leftIntervals: DataFrame =
+    spark.range(0, 300).select($"id".as("lid"),
+      when($"id" % 41 === 0, lit(null).cast("double"))
+        .otherwise(($"id" * 3.7) % 120.0).as("llo"))
+      .withColumn("lhi",
+        when($"lid" % 53 === 0, $"llo" - 25.0) // malformed: lo > hi
+          .otherwise($"llo" + ($"lid" % 7) * 4.1))
+
+  private def rightIntervals: DataFrame =
+    spark.range(0, 200).select($"id".as("rid"),
+      (($"id" * 5.3) % 120.0).as("rlo"))
+      .withColumn("rhi",
+        when($"rid" % 29 === 0, $"rlo") // degenerate: lo == hi
+          .otherwise($"rlo" + 9.0))
+
+  test("overlap rewrite: exact raw-predicate parity, incl. malformed intervals") {
+    parity(leftIntervals.join(rightIntervals,
+      $"llo" < $"rhi" && $"rlo" < $"lhi"))
+  }
+
+  test("overlap rewrite: non-strict bounds and extra conjuncts preserved") {
+    parity(leftIntervals.join(rightIntervals,
+      $"llo" <= $"rhi" && $"rlo" <= $"lhi" && ($"lid" % 2 === $"rid" % 2)))
+  }
+
+  test("overlap rewrite: swapped conjunct order and operand direction") {
+    parity(leftIntervals.join(rightIntervals,
+      $"lhi" > $"rlo" && $"rhi" > $"llo"))
+  }
+
   test("naive plan IS a nested-loop join (the rewrite changes something)") {
     val plan = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
       .queryExecution.executedPlan.toString
