@@ -36,6 +36,25 @@ object RangeJoin {
       .drop("_bucket")
   }
 
+  /** Data-driven pick for `bucketWidth`: the median interval length (one
+    * bounded driver-side aggregate over a t-digest sketch). Median — not
+    * mean — so a few giant intervals don't inflate the width and pack the
+    * whole point domain into a handful of buckets; the long tail instead
+    * pays a proportionally larger explode factor, which is the right
+    * trade (explode rows are cheap, hot buckets are not). Returns 1.0 on
+    * empty/degenerate inputs so callers can pass the result straight
+    * through.
+    */
+  def suggestBucketWidth(intervals: DataFrame, loCol: String,
+                         hiCol: String): Double = {
+    val m = intervals
+      .where(col(loCol) < col(hiCol))
+      .select(percentile_approx((col(hiCol) - col(loCol)).cast("double"),
+        lit(0.5), lit(1000)).as("m"))
+      .head()
+    if (m.isNullAt(0) || m.getDouble(0) <= 0) 1.0 else m.getDouble(0)
+  }
+
   /** Interval-overlap (interval × interval) join without a cross product:
     * pairs where `[l_lo, l_hi)` and `[r_lo, r_hi)` intersect.
     *

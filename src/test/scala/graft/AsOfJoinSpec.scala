@@ -93,6 +93,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("suggestBucketWidth: median interval length, robust to outliers and junk") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // 99 width-10 intervals + one width-100000 outlier + malformed + null
+    val iv = ((0 until 99).map(i => (i * 5.0, i * 5.0 + 10.0)) ++
+      Seq((0.0, 100000.0), (50.0, 40.0))).toDF("lo", "hi")
+      .unionByName(Seq((Option.empty[Double], Option(1.0))).toDF("lo", "hi"))
+    val w = RangeJoin.suggestBucketWidth(iv, "lo", "hi")
+    assert(w >= 9.0 && w <= 11.0, s"width $w")
+    assert(RangeJoin.suggestBucketWidth(iv.limit(0), "lo", "hi") == 1.0)
+  }
+
   test("matches brute-force as-of on real events (purchases → prior click)") {
     import spark.implicits._
     val evRaw = sf("events")
