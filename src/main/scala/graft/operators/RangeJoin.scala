@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * matching (point, interval) pair surfaces exactly once — the point's
   * bucket is unique — so no dedup pass is needed.
   *
-  * Pick `bucketWidth` near the typical interval length: wider buckets
-  * shrink the explode factor, narrower buckets shrink the per-bucket
-  * candidate count.
+  * Pick `bucketWidth` near the typical interval length (see
+  * [[suggestBucketWidth]]): wider buckets shrink the explode factor,
+  * narrower buckets shrink the per-bucket candidate count. Numeric
+  * domains only — for timestamps cast to epoch seconds first, or write
+  * the naive SQL and let `plans/RangeJoinRewrite` plan it (it handles
+  * timestamp/NTZ natively).
   */
 object RangeJoin {
 

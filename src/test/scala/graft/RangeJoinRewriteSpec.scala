@@ -151,6 +151,31 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(rewritten == naive)
   }
 
+  test("randomized parity across seeds and widths (point and overlap paths)") {
+    for (seed <- Seq(1, 2); w <- Seq(3.0, 77.0, 5000.0)) {
+      val pts = spark.range(0, 250).select($"id".as("pid"),
+        (rand(seed) * 2000.0 - 500.0).as("p"))
+      val ivs = spark.range(0, 60).select($"id".as("band"),
+        (rand(seed + 100) * 1800.0 - 400.0).as("lo"))
+        .withColumn("hi", $"lo" + rand(seed + 200) * 120.0 - 10.0) // some lo>hi
+      // cache so both the naive and rewritten runs see identical rand draws
+      pts.cache().count(); ivs.cache().count()
+      try {
+        val naiveP = sortedRows(pts.join(ivs, $"p" >= $"lo" && $"p" < $"hi"))
+        val fastP = withWidth(w) {
+          sortedRows(pts.join(ivs, $"p" >= $"lo" && $"p" < $"hi"))
+        }
+        assert(fastP == naiveP, s"point path seed=$seed w=$w")
+        val ivs2 = ivs.select($"band".as("b2"), $"lo".as("lo2"), $"hi".as("hi2"))
+        val naiveO = sortedRows(ivs.join(ivs2, $"lo" < $"hi2" && $"lo2" < $"hi"))
+        val fastO = withWidth(w) {
+          sortedRows(ivs.join(ivs2, $"lo" < $"hi2" && $"lo2" < $"hi"))
+        }
+        assert(fastO == naiveO, s"overlap path seed=$seed w=$w")
+      } finally { pts.unpersist(); ivs.unpersist() }
+    }
+  }
+
   test("inner-join multiplicity: duplicate points and intervals surface once per pair") {
     val dupPoints = points.unionAll(points)
     val dupIntervals = intervals.unionAll(intervals)
