@@ -1744,6 +1744,62 @@ object SparkEntry {
     // features (float32-rounded, then double cosine, same fold order).
     "mm_ann_compose" -> ((s, dir) => mmAnnCompose(s, dir)),
 
+    // Image near-dup via perceptual hash: 40 deterministic image families
+    // (random per-column luminance + row shift = 64 chaotic dHash bits per
+    // family) × 5 variants (clean + 4 noisy copies), rendered to real PNGs
+    // in the executors, hashed with the ImageIO dHash kernel, and paired
+    // through Hamming band blocking. DuckDB can't decode images, so the
+    // oracle checks CERTIFICATE facts (the bpe_segment_cert pattern):
+    // corpus shape constants plus in-query recall/precision bounds over
+    // the known family structure — ≥80% of within-family pairs found,
+    // cross-family pairs under the collision budget.
+    "mm_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = s.range(0, 200).as[Long].mapPartitions { it =>
+        it.map { i =>
+          val fam = (i / 5).toInt
+          val variant = (i % 5).toInt
+          val colProfile = {
+            val r = new scala.util.Random(fam * 2654435761L)
+            Array.fill(32)(r.nextInt(256))
+          }
+          val noise = new scala.util.Random(i * 1299709L + 15485863L)
+          val im = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val base = (colProfile(x) + y * 37) % 256
+              val v0 = if (variant == 0) base else base + noise.nextInt(13) - 6
+              val v = math.max(0, math.min(255, v0))
+              im.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "png", bos)
+          (i, bos.toByteArray)
+        }
+      }.toDF("id", "bytes")
+        .select($"id", graft.multimodal.Multimodal.asMedia($"bytes",
+          lit("image/png")).as("media"))
+      val hashes = graft.multimodal.Multimodal.imageHashes(imgs, "id", "media")
+        .localCheckpoint(true) // render+hash once; both pair sides read this
+      val nDecodable = hashes.where($"dhash".isNotNull).count()
+      val pairs = graft.functions.DedupFunctions
+        .hammingNearDups(hashes, "id", "dhash", maxHamming = 7)
+        .localCheckpoint(true)
+      val within = pairs.where(expr("id_a div 5") === expr("id_b div 5")).count()
+      val cross = pairs.count() - within
+      // 40 families × C(5,2) = 400 possible within-family pairs
+      require(within >= 320, s"within-family recall too low: $within/400")
+      require(cross <= 40, s"cross-family collisions over budget: $cross")
+      Seq((200L, nDecodable, 1L, 1L))
+        .toDF("n_images", "n_decodable", "recall_ok", "precision_ok")
+    }),
+
     // Multimodal feature extraction, oracle-checked: the text/plain stub
     // kernel is a byte histogram, and the corpus is pure ASCII — so each
     // normalized float bucket × byte count recovers the EXACT integer
@@ -3503,6 +3559,10 @@ object SparkEntry {
     // Stub text/plain features rebuilt in SQL: per-bucket byte counts over
     // the ASCII corpus, normalized in float32 exactly as the kernel stores
     // them (::FLOAT), then the shared double-cosine mirror.
+    "mm_image_dedup" ->
+      """SELECT 200::BIGINT AS n_images, 200::BIGINT AS n_decodable,
+        |       1::BIGINT AS recall_ok, 1::BIGINT AS precision_ok""".stripMargin,
+
     "mm_ann_compose" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -456,6 +456,47 @@ object DedupFunctions {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Hamming-radius near-dup pairs over PRECOMPUTED integer signatures —
+    * the same multi-index band blocking as [[simhashNearDups]] but
+    * signature-agnostic, so any 64-bit-or-narrower perceptual key plugs
+    * in (image dHash via
+    * [[graft.multimodal.Multimodal.imageHashes]], audio fingerprints,
+    * rolling hashes). `sigBits` must divide evenly by `maxHamming + 1`
+    * (64-bit keys: radius 0/1/3/7/…); pigeonhole gives exact recall in
+    * the radius with ONE equi-join shuffle. Null signatures (e.g.
+    * undecodable images) are skipped. `maxBandFreq` opt-in as in the
+    * text variants.
+    */
+  def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
+                      sigBits: Int = 64, maxHamming: Int = 3,
+                      maxBandFreq: Int = 0): DataFrame = {
+    val nBands = maxHamming + 1
+    require(sigBits > 0 && sigBits <= 64 && sigBits % nBands == 0,
+      s"maxHamming + 1 = $nBands must divide sigBits = $sigBits")
+    val bandBits = sigBits / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).as("_id"), col(sigCol).cast("long").as("_sig"))
+      .where(col("_sig").isNotNull)
+    val banded = capHotKeys(
+      sigs.select(col("_id"), col("_sig"),
+        explode(array((0 until nBands).map(b => struct(
+          lit(b).as("b"),
+          shiftrightunsigned(col("_sig"), b * bandBits)
+            .bitwiseAND(lit(mask)).as("bits")
+        )): _*)).as("_band")),
+      maxBandFreq, "_band")
+    val a = banded.select(col("_band"), col("_id").as("id_a"),
+      col("_sig").as("_sig_a"))
+    val bb = banded.select(col("_band"), col("_id").as("id_b"),
+      col("_sig").as("_sig_b"))
+    a.join(bb, Seq("_band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("_sig_a"), col("_sig_b")).cast("long").as("hamming"))
+      .distinct() // pairs sharing several bands appear once
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs within blocks: equi-join on the

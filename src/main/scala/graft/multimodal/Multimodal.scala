@@ -78,6 +78,28 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Perceptual hashes over the media column: id + media → id + 64-bit
+    * dHash ([[MediaKernels.dHash]]); null for media that doesn't decode
+    * as an image (caller-visible, and
+    * [[graft.functions.DedupFunctions.hammingNearDups]] skips nulls).
+    * Compose the two for image near-dup pairs at corpus scale — the
+    * binary column never shuffles, only (id, long).
+    */
+  def imageHashes(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("dhash", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getStruct(mIdx).getAs[Array[Byte]]("data")
+        new GenericRowWithSchema(
+          Array[Any](r.get(idIdx), MediaKernels.dHash(bytes).orNull),
+          outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Image resize over the media column: image-typed media resizes for
     * real (ImageIO decode → Graphics2D scale → PNG re-encode, format
     * promoted to image/png); other modalities keep the stub byte-resample
@@ -261,6 +283,42 @@ object MediaKernels {
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
     }
+  }
+
+  /** 64-bit difference hash (dHash) of an image: decode, scale to 9×8
+    * luminance, set one bit per adjacent-pixel comparison per row. The
+    * standard perceptual near-dup key for image corpora — robust to
+    * re-encode/resize/small noise, and two visually-near images differ in
+    * a few bits, so Hamming-radius blocking
+    * ([[graft.functions.DedupFunctions.hammingNearDups]]) finds dup pairs
+    * with one equi-join. Deterministic: fixed bilinear scale, integer
+    * luminance. None when the bytes don't decode as an image.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map { img =>
+    val scaled = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val c = scaled.getRGB(x, y)
+      ((c >> 16) & 0xff) * 299 + ((c >> 8) & 0xff) * 587 + (c & 0xff) * 114
+    }
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x, y) < lum(x + 1, y)) h |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 
   private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =

@@ -1101,6 +1101,57 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** Deterministic gradient PNG with optional per-pixel noise — near-dup
+    * fodder for the perceptual hash: the same gradient ± small noise must
+    * hash within a few bits; a different gradient must not.
+    */
+  private def gradientPng(seed: Int, noise: Int = 0, flip: Boolean = false): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val base = if (flip) (31 - x) * 8 else x * 8
+      val v = math.max(0, math.min(255, base + (if (noise > 0) rnd.nextInt(2 * noise + 1) - noise else 0)))
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: stable under small noise, far for different images, null for junk") {
+    val a = MediaKernels.dHash(gradientPng(1)).get
+    val aNoisy = MediaKernels.dHash(gradientPng(2, noise = 12)).get
+    val flipped = MediaKernels.dHash(gradientPng(3, flip = true)).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, aNoisy) <= 3, s"noisy copy drifted ${ham(a, aNoisy)} bits")
+    assert(ham(a, flipped) > 16, s"flipped gradient too close: ${ham(a, flipped)}")
+    assert(MediaKernels.dHash(a.toString.getBytes).isEmpty)
+    // determinism: same bytes, same hash
+    assert(MediaKernels.dHash(gradientPng(1)).get == a)
+  }
+
+  test("imageHashes + hammingNearDups: dup families found, junk skipped") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    val rows = Seq(
+      (1L, gradientPng(1)), (2L, gradientPng(7, noise = 12)), // near-dups of each other
+      (3L, gradientPng(1)),                                    // exact re-encode of 1
+      (4L, gradientPng(9, flip = true)),                       // different image
+      (5L, "notanimage".getBytes))                             // undecodable → null
+    val df = rows.toDF("id", "bytes")
+      .select($"id", Multimodal.asMedia($"bytes", lit("image/png")).as("media"))
+    val hashes = Multimodal.imageHashes(df, "id", "media")
+    assert(hashes.where($"dhash".isNull).select($"id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val pairs = DedupFunctions.hammingNearDups(hashes, "id", "dhash", maxHamming = 3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    // no cartesian/BNLJ in the pair plan
+    val plan = DedupFunctions.hammingNearDups(hashes, "id", "dhash", maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("image modality decodes for real: histogram features from pixels") {
     import spark.implicits._
     val png = testPng()
