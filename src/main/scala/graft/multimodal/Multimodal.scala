@@ -90,9 +90,15 @@ object Multimodal {
       df.schema(idCol), StructField("dhash", LongType, nullable = true)))
     val idIdx = df.schema.fieldIndex(idCol)
     val mIdx = df.schema.fieldIndex(mediaCol)
+    // accepts the media struct OR a raw binary column (e.g. the `frame`
+    // output of [[sampleFrames]] — video near-dup = frames → hashes →
+    // hammingNearDups)
+    val isBinary = df.schema(mediaCol).dataType == BinaryType
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getStruct(mIdx).getAs[Array[Byte]]("data")
+        val bytes =
+          if (isBinary) r.getAs[Array[Byte]](mIdx)
+          else r.getStruct(mIdx).getAs[Array[Byte]]("data")
         new GenericRowWithSchema(
           Array[Any](r.get(idIdx), MediaKernels.dHash(bytes).orNull),
           outSchema): Row

@@ -1152,6 +1152,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("video near-dup composes: frames -> binary-column hashes -> pairs") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    // two MJPEG streams sharing one (noisy) frame; JPEG re-encode of the
+    // gradient is itself perceptual noise, which is the point of dHash
+    def jpeg(png: Array[Byte]): Array[Byte] = {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val rgb = new java.awt.image.BufferedImage(im.getWidth, im.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      rgb.createGraphics().drawImage(im, 0, 0, null)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "jpg", bos)
+      bos.toByteArray
+    }
+    val videoA = jpeg(gradientPng(1)) ++ jpeg(gradientPng(2, flip = true))
+    val videoB = jpeg(gradientPng(3, noise = 8)) ++ jpeg(testPng())
+    val vids = Seq((1L, videoA), (2L, videoB)).toDF("vid", "bytes")
+      .select($"vid", Multimodal.asMedia($"bytes",
+        lit("video/x-motion-jpeg")).as("media"))
+    val frames = Multimodal.sampleFrames(vids, "vid", "media", everyN = 1)
+      .select(($"vid" * 10 + $"frame_idx").as("fid"), $"frame")
+    val hashes = Multimodal.imageHashes(frames, "fid", "frame") // binary col
+    assert(hashes.where($"dhash".isNull).count() == 0)
+    val pairs = DedupFunctions.hammingNearDups(hashes, "fid", "dhash",
+        maxHamming = 7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // frame 0 of video A ≈ frame 0 of video B; nothing else pairs
+    assert(pairs == Set((10L, 20L)), s"got $pairs")
+  }
+
   test("image modality decodes for real: histogram features from pixels") {
     import spark.implicits._
     val png = testPng()
