@@ -106,6 +106,28 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Audio perceptual hashes over the media column (or a raw binary
+    * column): the audio counterpart of [[imageHashes]], feeding the same
+    * [[graft.functions.DedupFunctions.hammingNearDups]].
+    */
+  def audioHashes(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("ahash", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val isBinary = df.schema(mediaCol).dataType == BinaryType
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          if (isBinary) r.getAs[Array[Byte]](mIdx)
+          else r.getStruct(mIdx).getAs[Array[Byte]]("data")
+        new GenericRowWithSchema(
+          Array[Any](r.get(idIdx), MediaKernels.audioHash(bytes).orNull),
+          outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Image resize over the media column: image-typed media resizes for
     * real (ImageIO decode → Graphics2D scale → PNG re-encode, format
     * promoted to image/png); other modalities keep the stub byte-resample
@@ -290,6 +312,31 @@ object MediaKernels {
       bos.toByteArray
     }
   }
+
+  /** 64-bit perceptual hash of an audio stream: the adjacent-bucket
+    * difference pattern of the 65-bin amplitude histogram
+    * ([[audioFeatures]]) — the audio analogue of the image [[dHash]].
+    * Amplitude-histogram shape survives re-encode and low-level noise
+    * (per-bin mass moves a little, orderings mostly don't), and the
+    * histogram is normalized so gain changes that don't clip are muted.
+    * None when the bytes aren't decodable audio.
+    */
+  def audioHash(bytes: Array[Byte]): Option[Long] =
+    audioFeatures(bytes, 65).map { hist =>
+      // radius-1 box blur first: sharp histogram edges (e.g. a pure
+      // tone's arcsine peaks) otherwise flip several adjacent orderings
+      // under mild noise
+      val s = Array.tabulate(65) { i =>
+        hist(math.max(0, i - 1)) + hist(i) + hist(math.min(64, i + 1))
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (s(i) < s(i + 1)) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
 
   /** 64-bit difference hash (dHash) of an image: decode, scale to 9×8
     * luminance, set one bit per adjacent-pixel comparison per row. The

@@ -1182,6 +1182,41 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((10L, 20L)), s"got $pairs")
   }
 
+  test("audioHash: stable under noise, far for a different signal, via Spark too") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    // two-tone mix: a realistic non-degenerate amplitude histogram (a pure
+    // sine's arcsine density is tie-heavy and flips bits on any noise)
+    def tone(f1: Double, f2: Double, amp: Double, noiseSeed: Int = 0): Array[Short] = {
+      val rnd = new scala.util.Random(noiseSeed)
+      Array.tabulate(8000) { i =>
+        val t = i / 8000.0
+        val noise = if (noiseSeed == 0) 0.0 else rnd.nextGaussian() * 120.0
+        ((math.sin(2 * math.Pi * f1 * t) * 0.62 +
+          math.sin(2 * math.Pi * f2 * t) * 0.38) * amp + noise).toShort
+      }
+    }
+    val a = testWav(tone(440, 313, 14000))
+    val aNoisy = testWav(tone(440, 313, 14000, noiseSeed = 5))
+    val b = testWav(tone(97, 2213, 26000)) // different pitches AND level
+    val ha = MediaKernels.audioHash(a).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, MediaKernels.audioHash(aNoisy).get) <= 7)
+    assert(ham(ha, MediaKernels.audioHash(b).get) > 7)
+    assert(MediaKernels.audioHash("notaudio".getBytes).isEmpty)
+    assert(MediaKernels.audioHash(a).get == ha) // deterministic
+
+    val df = Seq((1L, a), (2L, aNoisy), (3L, b), (4L, "junk".getBytes))
+      .toDF("id", "bytes")
+      .select($"id", Multimodal.asMedia($"bytes", lit("audio/wav")).as("media"))
+    val hashes = Multimodal.audioHashes(df, "id", "media")
+    assert(hashes.where($"ahash".isNull).select($"id").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    val pairs = DedupFunctions.hammingNearDups(hashes, "id", "ahash", maxHamming = 7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("image modality decodes for real: histogram features from pixels") {
     import spark.implicits._
     val png = testPng()
