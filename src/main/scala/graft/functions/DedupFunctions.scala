@@ -409,52 +409,15 @@ object DedupFunctions {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
                       stagingPath: Option[String] = None,
-                      maxBandFreq: Int = 0): DataFrame = {
-    val nBands = maxHamming + 1
-    require(60 % nBands == 0, s"maxHamming + 1 = $nBands must divide 60")
-    val bandBits = 60 / nBands
-    val mask = (1L << bandBits) - 1
-    // both join sides read the signatures. Default: eager local checkpoint
-    // (not persist) — released by the ContextCleaner once the result is no
-    // longer referenced, where a persist would pin one cached copy per
-    // call for the session lifetime. At 100 TB pass `stagingPath`: the
-    // signature table goes to parquet and both sides read the FILE — no
-    // big intermediate in the block manager (same escape hatch as
-    // [[minhashCandidates]]); the banding itself is two integer ops per
-    // row and recomputes for free on each read.
-    val projected = df.select(col(idCol).as("_id"),
-      simhash64(col(textCol)).as("_sig"))
-    val sigs = stagingPath match {
-      case Some(path) =>
-        projected.write.mode("overwrite").parquet(path)
-        df.sparkSession.read.parquet(path)
-      case None => projected.localCheckpoint(true)
-    }
-    // `maxBandFreq` (default OFF): a 15-bit band space holds only 32k
-    // distinct values per band index, so at ≥10⁷ docs large buckets are a
-    // structural property of multi-index Hamming blocking, not skew — the
-    // right lever there is a smaller radius (more bands × fewer bits
-    // inverts the ratio) or pre-dedup of exact copies. Opt in when one
-    // degenerate copy set (all sharing every band) must not explode the
-    // join.
-    val banded = capHotKeys(
-      sigs.select(col("_id"), col("_sig"),
-        explode(array((0 until nBands).map(b => struct(
-          lit(b).as("b"),
-          shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("bits")
-        )): _*)).as("_band")),
-      maxBandFreq, "_band")
-    val a = banded.select(col("_band"), col("_id").as("id_a"),
-      col("_sig").as("_sig_a"))
-    val bb = banded.select(col("_band"), col("_id").as("id_b"),
-      col("_sig").as("_sig_b"))
-    a.join(bb, Seq("_band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("_sig_a"), col("_sig_b")).cast("long").as("hamming"))
-      .distinct() // pairs sharing several bands appear once
-      .where(col("hamming") <= maxHamming)
-  }
+                      maxBandFreq: Int = 0): DataFrame =
+    // one maintained blocking pipeline: signature here, banding/join/
+    // distinct in [[hammingNearDups]] (null signatures previously paired
+    // into null hamming and fell to the radius filter; the shared path
+    // skips them up front — identical output, less work)
+    hammingNearDups(
+      df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sig")),
+      "_id", "_sig", sigBits = 60, maxHamming = maxHamming,
+      maxBandFreq = maxBandFreq, stagingPath = stagingPath)
 
   /** Hamming-radius near-dup pairs over PRECOMPUTED integer signatures —
     * the same multi-index band blocking as [[simhashNearDups]] but
@@ -469,14 +432,30 @@ object DedupFunctions {
     */
   def hammingNearDups(df: DataFrame, idCol: String, sigCol: String,
                       sigBits: Int = 64, maxHamming: Int = 3,
-                      maxBandFreq: Int = 0): DataFrame = {
+                      maxBandFreq: Int = 0,
+                      stagingPath: Option[String] = None): DataFrame = {
     val nBands = maxHamming + 1
     require(sigBits > 0 && sigBits <= 64 && sigBits % nBands == 0,
       s"maxHamming + 1 = $nBands must divide sigBits = $sigBits")
     val bandBits = sigBits / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sigs = df.select(col(idCol).as("_id"), col(sigCol).cast("long").as("_sig"))
-      .where(col("_sig").isNotNull)
+    // both self-join sides read the signatures — materialize once so an
+    // expensive upstream lineage (simhash over text, image decode, frame
+    // demux) doesn't run twice. Default: eager local checkpoint (not
+    // persist) — released by the ContextCleaner once the result is no
+    // longer referenced. At 100 TB pass `stagingPath`: the signature
+    // table goes to parquet and both sides read the FILE — no big
+    // intermediate in the block manager (same escape hatch as
+    // minhashCandidates); banding is two integer ops per row and
+    // recomputes for free on each read.
+    val projected = df.select(col(idCol).as("_id"),
+      col(sigCol).cast("long").as("_sig")).where(col("_sig").isNotNull)
+    val sigs = stagingPath match {
+      case Some(path) =>
+        projected.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => projected.localCheckpoint(true)
+    }
     val banded = capHotKeys(
       sigs.select(col("_id"), col("_sig"),
         explode(array((0 until nBands).map(b => struct(

@@ -85,22 +85,31 @@ object Multimodal {
     * Compose the two for image near-dup pairs at corpus scale — the
     * binary column never shuffles, only (id, long).
     */
-  def imageHashes(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+  def imageHashes(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    perceptualHashes(df, idCol, mediaCol, "dhash", MediaKernels.dHash)
+
+  /** Shared body of [[imageHashes]]/[[audioHashes]]: id + media (struct OR
+    * raw binary column, e.g. the `frame` output of [[sampleFrames]]) →
+    * id + nullable 64-bit hash. Null media/bytes hash to null, same as
+    * undecodable bytes — never an executor NPE.
+    */
+  private def perceptualHashes(df: DataFrame, idCol: String, mediaCol: String,
+                               outName: String,
+                               kernel: Array[Byte] => Option[Long]): DataFrame = {
     val outSchema = StructType(Seq(
-      df.schema(idCol), StructField("dhash", LongType, nullable = true)))
+      df.schema(idCol), StructField(outName, LongType, nullable = true)))
     val idIdx = df.schema.fieldIndex(idCol)
     val mIdx = df.schema.fieldIndex(mediaCol)
-    // accepts the media struct OR a raw binary column (e.g. the `frame`
-    // output of [[sampleFrames]] — video near-dup = frames → hashes →
-    // hammingNearDups)
     val isBinary = df.schema(mediaCol).dataType == BinaryType
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes =
-          if (isBinary) r.getAs[Array[Byte]](mIdx)
+          if (r.isNullAt(mIdx)) null
+          else if (isBinary) r.getAs[Array[Byte]](mIdx)
           else r.getStruct(mIdx).getAs[Array[Byte]]("data")
         new GenericRowWithSchema(
-          Array[Any](r.get(idIdx), MediaKernels.dHash(bytes).orNull),
+          Array[Any](r.get(idIdx),
+            (if (bytes == null) None else kernel(bytes)).orNull),
           outSchema): Row
       }
     }(Encoders.row(outSchema))
@@ -110,23 +119,8 @@ object Multimodal {
     * column): the audio counterpart of [[imageHashes]], feeding the same
     * [[graft.functions.DedupFunctions.hammingNearDups]].
     */
-  def audioHashes(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      df.schema(idCol), StructField("ahash", LongType, nullable = true)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    val isBinary = df.schema(mediaCol).dataType == BinaryType
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes =
-          if (isBinary) r.getAs[Array[Byte]](mIdx)
-          else r.getStruct(mIdx).getAs[Array[Byte]]("data")
-        new GenericRowWithSchema(
-          Array[Any](r.get(idIdx), MediaKernels.audioHash(bytes).orNull),
-          outSchema): Row
-      }
-    }(Encoders.row(outSchema))
-  }
+  def audioHashes(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    perceptualHashes(df, idCol, mediaCol, "ahash", MediaKernels.audioHash)
 
   /** Image resize over the media column: image-typed media resizes for
     * real (ImageIO decode → Graphics2D scale → PNG re-encode, format

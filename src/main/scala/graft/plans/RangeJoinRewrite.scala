@@ -79,27 +79,75 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  val MaxBandsConf = "spark.graft.rangeJoin.maxBandsPerRow"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = SQLConf.get.getConfString(WidthConf, "0").toDouble
+    // malformed conf value = disabled, not a session-wide
+    // NumberFormatException from inside every query's optimization
+    val width = SQLConf.get.getConfString(WidthConf, "0")
+      .trim.toDoubleOption.getOrElse(0.0)
     if (width <= 0) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), _)
-          if !j.output.exists(_.name.startsWith(BucketPrefix)) =>
+          if !j.output.exists(_.name.startsWith(BucketPrefix)) &&
+            !hasCrossSideEquality(left, right, cond) =>
         rewrite(j, left, right, cond, width)
           .orElse(rewriteOverlap(j, left, right, cond, width))
           .getOrElse(j)
     }
   }
 
-  /** `e` as a DoubleType expression. NTZ has no direct numeric cast: go
-    * through TimestampType with the session tz on BOTH sides (monotone,
-    * so bucketing stays sound); TimestampType casts to epoch seconds.
+  /** A cross-side equality conjunct means Catalyst already plans a hash
+    * join on it (the range predicate rides as the residual) — the bucket
+    * rewrite would only add an explode for no planning benefit. This also
+    * keeps the rule off `RangeJoin.rangeJoin`'s own output (its manual
+    * `_bucket` equality is exactly such a conjunct).
+    */
+  private def hasCrossSideEquality(left: LogicalPlan, right: LogicalPlan,
+                                   cond: Expression): Boolean =
+    conjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        (a.references.nonEmpty && b.references.nonEmpty) &&
+          ((a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet)) ||
+           (a.references.subsetOf(right.outputSet) &&
+            b.references.subsetOf(left.outputSet)))
+      case _ => false
+    }
+
+  /** `e` as a DoubleType expression. NTZ has no direct numeric cast: it
+    * routes through TimestampType pinned to UTC — NOT the session tz,
+    * whose DST gaps/overlaps would make the wall-clock→epoch map
+    * non-monotone and silently drop pairs near transitions; UTC has no
+    * DST, so NTZ order is preserved exactly. Both sides of a join use
+    * the same map, and the raw predicate still evaluates in NTZ space.
     */
   private def asDouble(e: Expression): Expression = e.dataType match {
     case TimestampNTZType =>
-      Cast(Cast(e, TimestampType, Some(SQLConf.get.sessionLocalTimeZone)),
-        DoubleType)
+      Cast(Cast(e, TimestampType, Some("UTC")), DoubleType)
     case _ => Cast(e, DoubleType)
+  }
+
+  /** Explode-width guard: a mismatched width (or a join the matcher read
+    * as an interval that is really two unrelated columns) could explode
+    * one row onto millions of buckets and OOM before Spark's own
+    * sequence-length check fires. Filter shape `span <= max OR
+    * raise_error(...)`: free for sane rows, and pathological rows fail
+    * LOUDLY with the conf keys in the message instead of crashing the
+    * executor.
+    */
+  private def bandGuard(start: Expression, stop: Expression): Expression = {
+    val maxBands = SQLConf.get.getConfString(MaxBandsConf, "1048576")
+      .trim.toLongOption.getOrElse(1048576L)
+    val span = Subtract(stop, start)
+    // null span (null bounds) passes: those rows drop at the explode /
+    // the raw predicate, and must not trip the error
+    If(Or(IsNull(span), LessThanOrEqual(span, Literal(maxBands))), Literal(true),
+      Cast(RaiseError(Literal(
+        s"range-join rewrite: an interval spans more than $maxBands buckets; " +
+          s"raise $WidthConf (bucket width) or $MaxBandsConf, or unset " +
+          s"$WidthConf to disable the rewrite for this query")),
+        org.apache.spark.sql.types.BooleanType))
   }
 
   /** Bucket id of an already-double expression. Floor(double) is LongType. */
@@ -148,7 +196,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         AttributeReference(s"${BucketPrefix}ib", LongType, elem.nullable)()
       val intervalSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(iBucket),
-        child = Filter(satisfiable, intervalChild))
+        child = Filter(And(satisfiable, bandGuard(bucket(lo), bucket(hi))),
+          intervalChild))
 
       // Keep the FULL original condition: the equi-key extractor picks up
       // the bucket equality (plus any original equality conjuncts) and the
@@ -199,13 +248,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val tzOpt = Some(SQLConf.get.sessionLocalTimeZone)
       def gen(child: LogicalPlan, lo: Expression, hi: Expression,
               name: String): (Generate, Attribute) = {
-        val seq = Sequence(bucketOf(asDouble(lo), width),
-          bucketOf(Greatest(Seq(asDouble(lo), asDouble(hi))), width),
-          None, tzOpt)
+        val start = bucketOf(asDouble(lo), width)
+        val stop = bucketOf(Greatest(Seq(asDouble(lo), asDouble(hi))), width)
+        val seq = Sequence(start, stop, None, tzOpt)
         val elem = Explode(seq).elementSchema.head
         val attr = AttributeReference(name, LongType, elem.nullable)()
         (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-          qualifier = None, generatorOutput = Seq(attr), child), attr)
+          qualifier = None, generatorOutput = Seq(attr),
+          child = Filter(bandGuard(start, stop), child)), attr)
       }
       val (genL, bL) = gen(left, lLo, lHi, s"${BucketPrefix}lb")
       val (genR, bR) = gen(right, rLo, rHi, s"${BucketPrefix}rb")

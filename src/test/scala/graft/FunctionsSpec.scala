@@ -1141,8 +1141,12 @@ class MultimodalSpec extends SparkSpec {
       (5L, "notanimage".getBytes))                             // undecodable → null
     val df = rows.toDF("id", "bytes")
       .select($"id", Multimodal.asMedia($"bytes", lit("image/png")).as("media"))
+      // a NULL media struct (e.g. from a left join) must hash to null, not NPE
+      .unionByName(Seq(6L).toDF("id")
+        .select($"id", lit(null).cast(Multimodal.MediaType).as("media")))
     val hashes = Multimodal.imageHashes(df, "id", "media")
-    assert(hashes.where($"dhash".isNull).select($"id").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(hashes.where($"dhash".isNull).select($"id").collect()
+      .map(_.getLong(0)).toSet == Set(5L, 6L))
     val pairs = DedupFunctions.hammingNearDups(hashes, "id", "dhash", maxHamming = 3)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")

@@ -176,6 +176,75 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("skips joins that already carry a cross-side equality (existing hash join)") {
+    // Catalyst already plans `key = key AND range` as a hash join with the
+    // range as residual — the rewrite would only add an explode
+    val before = points.join(intervals,
+        $"pid" % 7 === $"band" % 7 && $"p" >= $"lo" && $"p" < $"hi")
+      .queryExecution.optimizedPlan.canonicalized.toString
+    val after = withWidth(300.0) {
+      points.join(intervals,
+          $"pid" % 7 === $"band" % 7 && $"p" >= $"lo" && $"p" < $"hi")
+        .queryExecution.optimizedPlan.canonicalized.toString
+    }
+    assert(before == after)
+    // ... which also keeps it off RangeJoin.rangeJoin's own bucketed output
+    val manual = withWidth(300.0) {
+      graft.operators.RangeJoin.rangeJoin(points, "p", intervals, "lo", "hi", 300.0)
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(!manual.contains("_graft_rj_"), manual)
+  }
+
+  test("malformed width conf disables the rule instead of breaking the session") {
+    spark.conf.set(RangeJoinRewrite.WidthConf, "1,500")
+    try {
+      val naive = sortedRows(points.join(intervals, $"p" >= $"lo" && $"p" < $"hi"))
+      assert(naive.nonEmpty) // optimization didn't throw
+      val plan = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_graft_rj_"), plan)
+    } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
+  }
+
+  test("NTZ bucketing is DST-safe: parity under a DST-gapped session timezone") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // NTZ wall-clock times spanning the 2026-03-08 02:00 spring-forward
+      // gap; a session-tz epoch map is non-monotone here, UTC is not
+      val base = java.time.LocalDateTime.of(2026, 3, 8, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      val pts = spark.range(0, 60).select($"id".as("pid"),
+        timestamp_micros(lit(base) + $"id" * 300000000L) // 5-min steps
+          .cast("timestamp_ntz").as("t"))
+      val ivs = spark.range(0, 8).select($"id".as("w"),
+        timestamp_micros(lit(base) + $"id" * 3600000000L).cast("timestamp_ntz").as("ws"),
+        timestamp_micros(lit(base) + ($"id" * 3600L + 5400L) * 1000000L)
+          .cast("timestamp_ntz").as("we")) // 1.5h windows, 1h step
+      val naive = sortedRows(pts.join(ivs, $"t" >= $"ws" && $"t" < $"we"))
+      val fast = withWidth(900.0) {
+        sortedRows(pts.join(ivs, $"t" >= $"ws" && $"t" < $"we"))
+      }
+      assert(fast == naive && naive.nonEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("pathological interval spans fail loudly with the conf key, not an OOM") {
+    val pts = spark.range(0, 10).select($"id".as("pid"), ($"id" * 1.0).as("p"))
+    val ivs = spark.range(0, 3).select($"id".as("band"),
+      ($"id" * 1.0).as("lo"), ($"id" * 1.0 + 1.0e12).as("hi"))
+    val e = intercept[Exception] {
+      withWidth(0.001) {
+        pts.join(ivs, $"p" >= $"lo" && $"p" < $"hi").collect()
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains(RangeJoinRewrite.MaxBandsConf)),
+      messages(e).mkString(" | "))
+  }
+
   test("inner-join multiplicity: duplicate points and intervals surface once per pair") {
     val dupPoints = points.unionAll(points)
     val dupIntervals = intervals.unionAll(intervals)
