@@ -59,7 +59,12 @@ object AvroIngest {
   def collectionFromKey(key: String, sep: Char): Option[CollectionId] = {
     val i = key.indexOf(sep)
     if (i <= 0 || i >= key.length - 1) None
-    else Some(CollectionId.normalize(key.substring(0, i), key.substring(i + 1)))
+    else {
+      val (p, c) = (key.substring(0, i), key.substring(i + 1))
+      // invalid names skip the record (S5 demux treats it as unroutable)
+      // instead of throwing: names become sink path segments
+      if (CollectionId.isValid(p, c)) Some(CollectionId.normalize(p, c)) else None
+    }
   }
 
   // ------------------------------------------------------------ schema map

@@ -166,8 +166,7 @@ object JsonEventParser {
           case Some(data: JObj) =>
             (data.toMap.get("_project"), data.toMap.get("_collection")) match {
               case (Some(JStr(proj)), Some(JStr(coll)))
-                  if proj.nonEmpty && coll.nonEmpty &&
-                     coll.length <= CollectionId.MaxCollectionLength =>
+                  if CollectionId.isValid(proj, coll) =>
                 Some((CollectionId.normalize(proj, coll), data))
               case _ => None
             }
@@ -180,8 +179,7 @@ object JsonEventParser {
         (root.toMap.get("project"), root.toMap.get("collection"),
          root.toMap.get("properties")) match {
           case (Some(JStr(proj)), Some(JStr(coll)), Some(props: JObj))
-              if proj.nonEmpty && coll.nonEmpty &&
-                 coll.length <= CollectionId.MaxCollectionLength =>
+              if CollectionId.isValid(proj, coll) =>
             Some((CollectionId.normalize(proj, coll), props))
           case _ => None
         }
@@ -227,8 +225,7 @@ object JsonEventParser {
             else p.skipChildren()
           }
         }
-        if (proj != null && coll != null && coll.nonEmpty &&
-            coll.length <= CollectionId.MaxCollectionLength)
+        if (proj != null && coll != null && CollectionId.isValid(proj, coll))
           Some(CollectionId.normalize(proj, coll))
         else None
       } finally p.close()
@@ -290,8 +287,7 @@ object JsonEventParser {
               else p.skipChildren()
             }
         }
-        if (proj != null && coll != null && coll.nonEmpty &&
-            coll.length <= CollectionId.MaxCollectionLength)
+        if (proj != null && coll != null && CollectionId.isValid(proj, coll))
           Some((CollectionId.normalize(proj, coll), time))
         else None
       } finally p.close()

@@ -41,7 +41,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampN
   * strictness) and rewrites it as a double-explode bucketed equi-join
   * with first-shared-bucket pair ownership — see [[rewriteOverlap]];
   * unlike `RangeJoin.overlapJoin`, the rewrite preserves raw predicate
-  * semantics EXACTLY, including malformed `lo > hi` intervals.
+  * semantics EXACTLY, including malformed `lo > hi` intervals. Note the
+  * matcher is structural: ANY two opposing cross-side inequalities read
+  * as an interval pair (which is semantically sound — the rewrite is
+  * exactly the predicate's interval-intersection reading), so with the
+  * conf set, an unrelated-inequality join whose implied "interval" spans
+  * a huge value range stops at the `maxBandsPerRow` guard rather than
+  * exploding. Prefer setting the width only around the intended query.
   *
   * Register at session build via `GraftExtensions`
   * (`injectOptimizerRule`) or on a live session through

@@ -90,15 +90,39 @@ final case class CollectionId(project: String, collection: String) {
 object CollectionId {
   val MaxCollectionLength = 100
 
+  /** Routing names become FILESYSTEM PATH SEGMENTS in every sink
+    * (`basePath/project/collection/...`), so beyond the reference's rules
+    * they must not smuggle separators or traversal ("a/b" would write
+    * outside the collection dir, ".." escapes basePath) and must not
+    * collide with the reserved '_'-prefixed control dirs (`_staging`,
+    * `_epochs`, `_graft_commits` — a project named "_staging" would be
+    * invisible to the v2 scan and deletable by its cleanup).
+    */
+  private def validName(s: String): Boolean =
+    s != null && s.nonEmpty && s.head != '_' && s.head != '.' &&
+      !s.exists(c => c == '/' || c == '\\' || c.isControl)
+
+  /** True when both routing fields are ingestible — the malformed-record
+    * guard (F3) used by the parse paths so a bad name skips the record
+    * instead of aborting the batch.
+    */
+  def isValid(project: String, collection: String): Boolean =
+    validName(project) && validName(collection) &&
+      collection.length <= MaxCollectionLength
+
   /** Validates + normalizes routing fields exactly like the reference:
     * project lowercased; collection non-empty, ≤100 chars, must not start
-    * with '_' (reserved), lowercased.
+    * with '_' (reserved), lowercased — plus the path-safety rules of
+    * [[isValid]].
     */
   def normalize(project: String, collection: String): CollectionId = {
     require(project != null && project.nonEmpty, "project is empty")
     require(collection != null && collection.nonEmpty, "collection is empty")
     require(collection.length <= MaxCollectionLength,
       s"collection name too long (${collection.length} > $MaxCollectionLength)")
+    require(isValid(project, collection),
+      s"invalid routing name '$project'/'$collection': names are path " +
+        "segments and must not start with '_' or '.' or contain separators")
     CollectionId(project.toLowerCase(java.util.Locale.ROOT),
                  collection.toLowerCase(java.util.Locale.ROOT))
   }

@@ -145,7 +145,7 @@ class NdjsonScan(path: String, required: StructType, routing: Array[sources.Filt
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val base = new Path(path)
-    val filesystem = base.getFileSystem(new Configuration())
+    val filesystem = base.getFileSystem(NdjsonHadoopConf.driverConf())
     if (!filesystem.exists(base)) return Array.empty
     val out = mutable.Buffer[NdjsonFilePartition]()
     // prune at the directory level: list projects, then collections, and
@@ -173,10 +173,11 @@ class NdjsonScan(path: String, required: StructType, routing: Array[sources.Filt
   }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    new NdjsonReaderFactory(required)
+    new NdjsonReaderFactory(required, NdjsonHadoopConf.snapshot())
 }
 
-class NdjsonReaderFactory(required: StructType)
+class NdjsonReaderFactory(required: StructType,
+                          confProps: Array[(String, String)])
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
@@ -186,7 +187,7 @@ class NdjsonReaderFactory(required: StructType)
         val fp = new Path(p.file)
         new java.io.BufferedReader(new java.io.InputStreamReader(
           new java.util.zip.GZIPInputStream(
-            fp.getFileSystem(new Configuration()).open(fp)),
+            fp.getFileSystem(NdjsonHadoopConf.rebuild(confProps)).open(fp)),
           StandardCharsets.UTF_8))
       }
       private var line: String = _
@@ -208,9 +209,38 @@ class NdjsonReaderFactory(required: StructType)
 /** Commit message: staged file → final relative path. */
 final case class StagedFiles(files: Seq[(String, String)]) extends WriterCommitMessage
 
+/** Session Hadoop conf plumbing: a bare `new Configuration()` drops every
+  * `spark.hadoop.*` setting (S3 credentials/endpoints, HDFS nameservices),
+  * so driver-side sites read the active session's conf and executor-side
+  * sites rebuild it from a shipped snapshot of the non-default entries
+  * (the HadoopObjectFetcher pattern in AvroIngest).
+  */
+object NdjsonHadoopConf {
+  def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def snapshot(): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = driverConf()
+    val defaults = new Configuration()
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter { case (k, v) => defaults.getRaw(k) != v }.toArray
+  }
+
+  def rebuild(props: Array[(String, String)]): Configuration = {
+    val c = new Configuration()
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
 class NdjsonBatchWrite(path: String, queryId: String, maxBytes: Long) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
+    new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L,
+      NdjsonHadoopConf.snapshot())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     NdjsonCommit.rename(path, queryId, messages, streaming = false)
@@ -221,7 +251,8 @@ class NdjsonBatchWrite(path: String, queryId: String, maxBytes: Long) extends Ba
 
 class NdjsonStreamingWrite(path: String, queryId: String, maxBytes: Long) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L)
+    new NdjsonWriterFactory(path, queryId, maxBytes, epoch = -1L,
+      NdjsonHadoopConf.snapshot())
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     NdjsonCommit.rename(path, queryId, messages, streaming = true,
@@ -234,7 +265,7 @@ class NdjsonStreamingWrite(path: String, queryId: String, maxBytes: Long) extend
 object NdjsonCommit {
   private def fs(base: String): (FileSystem, Path) = {
     val p = new Path(base)
-    (p.getFileSystem(new Configuration()), p)
+    (p.getFileSystem(NdjsonHadoopConf.driverConf()), p)
   }
 
   /** Driver-side commit barrier: every staged file renamed into place;
@@ -332,12 +363,13 @@ object NdjsonCommit {
   }
 }
 
-class NdjsonWriterFactory(path: String, queryId: String, maxBytes: Long, epoch: Long)
+class NdjsonWriterFactory(path: String, queryId: String, maxBytes: Long,
+                          epoch: Long, confProps: Array[(String, String)])
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NdjsonDataWriter(path, queryId, maxBytes, partitionId, epoch)
+    new NdjsonDataWriter(path, queryId, maxBytes, partitionId, epoch, confProps)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new NdjsonDataWriter(path, queryId, maxBytes, partitionId, epochId)
+    new NdjsonDataWriter(path, queryId, maxBytes, partitionId, epochId, confProps)
 }
 
 /** Per-task writer: one rolling gzip stream per (project, collection) seen
@@ -345,13 +377,14 @@ class NdjsonWriterFactory(path: String, queryId: String, maxBytes: Long, epoch: 
   * the commit message carries their final destinations.
   */
 class NdjsonDataWriter(base: String, queryId: String, maxBytes: Long,
-                       partitionId: Int, epoch: Long)
+                       partitionId: Int, epoch: Long,
+                       confProps: Array[(String, String)] = Array.empty)
     extends DataWriter[InternalRow] {
 
   private val taskDir = s"$base/_staging/$queryId/task-${UUID.randomUUID()}"
   private val (filesystem, _) = {
     val p = new Path(base)
-    (p.getFileSystem(new Configuration()), p)
+    (p.getFileSystem(NdjsonHadoopConf.rebuild(confProps)), p)
   }
 
   private final class Roller(project: String, collection: String) {

@@ -125,7 +125,10 @@ object IngestStream {
       catch {
         case e: Throwable if attempt < maxRetries =>
           val delay = math.min(maxDelayMillis, baseDelayMillis << attempt)
-          val jitter = (delay * 0.1 * (attempt % 3 - 1)).toLong
+          // ±10% RANDOM jitter: a sink outage fails every in-flight write
+          // at once, and deterministic jitter would retry them in lockstep
+          val jitter = (delay * 0.1 *
+            (java.util.concurrent.ThreadLocalRandom.current().nextDouble() * 2 - 1)).toLong
           Thread.sleep(math.max(0, delay + jitter))
           attempt += 1
       }
@@ -173,10 +176,21 @@ object IngestStream {
     * records instead and still let the stream advance (SURVEY §7.4.4).
     */
   final class DeadLetter(path: String) extends Serializable {
-    def handle(id: graft.schema.CollectionId, raw: DataFrame, cause: Throwable): Unit = {
+    /** Batch-keyed and overwriting, like every other write in the barrier:
+      * a replayed micro-batch rewrites the same `batch=N` directory
+      * instead of appending duplicates (the one path that exists to
+      * PRESERVE data must itself be exactly-once under replay). The
+      * batch-less overload keeps the old appending layout for callers
+      * outside a streaming batch.
+      */
+    def handle(id: graft.schema.CollectionId, raw: DataFrame, cause: Throwable,
+               batchId: Long): Unit =
+      raw.select(col("value")).write.mode("overwrite")
+        .text(s"$path/${id.project}/${id.collection}/batch=$batchId")
+
+    def handle(id: graft.schema.CollectionId, raw: DataFrame, cause: Throwable): Unit =
       raw.select(col("value"))
         .write.mode("append").text(s"$path/${id.project}/${id.collection}")
-    }
   }
 
   /** F2 exact-parity flavor — keyed dedup state with PROCESSING-time TTL,
@@ -203,7 +217,10 @@ object IngestStream {
     val keyed = tagged
       .filter(col("_dedup_user").isNotNull && col("_time").isNotNull)
       .select(
-        concat_ws("|", col("_dedup_user"), col("_time").cast("long")).as("_key"),
+        // millisecond key, NOT cast("long") (= whole seconds): the
+        // reference dedups on the event's exact millis, and a seconds key
+        // silently drops distinct same-user events inside one second
+        concat_ws("|", col("_dedup_user"), unix_millis(col("_time"))).as("_key"),
         col("value"))
       .as[(String, String)]
     keyed.groupByKey(_._1)
@@ -228,14 +245,18 @@ object IngestStream {
                    registry: EventSchema.Registry, sink: EventSink,
                    historical: Option[HistoricalHandler], cfg: IngestConfig,
                    deadLetter: Option[DeadLetter] = None,
-                   batchId: Long = -1L)
+                   batchId: Long = -1L,
+                   decoupledIn: Option[DataFrame] = None)
       : Map[graft.schema.CollectionId, Long] = {
     import spark.implicits._
 
     // pre-parse decouple (D-split reads only _time/_collection, ref
-    // KafkaDecoupleMessage) + whitelist
-    val decoupled0 = EventOps.decouple(raw, cfg.dialect, cfg.names)
-      .filter(col("_project").isNotNull)
+    // KafkaDecoupleMessage) + whitelist. A caller that already decoupled
+    // (the dedup query feeds routing columns through the state op) passes
+    // the frame in so the hot path pays the Jackson scan ONCE per record.
+    val decoupled0 = decoupledIn.getOrElse(
+      EventOps.decouple(raw, cfg.dialect, cfg.names)
+        .filter(col("_project").isNotNull))
     val decoupled = EventOps.whitelist(decoupled0, cfg.collectionWhitelist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -272,7 +293,12 @@ object IngestStream {
             .collect()
             .map(r => graft.schema.CollectionId(r.getString(0), r.getString(1)) ->
               r.getLong(2)).toMap
-          (registry.all, sizes)
+          // only collections PRESENT in this batch get a write job — with
+          // 10k registered, mostly-idle collections on a 15 s trigger the
+          // unfiltered registry would schedule 10k empty jobs (and grow an
+          // empty batch=N dir per collection per trigger); the Avro twin
+          // already filters the same way (AvroIngest.processBatch)
+          (registry.all.filter { case (id, _) => sizes.contains(id) }, sizes)
         } else {
           val (observed, counts) = JsonIngest.inferSchemasWithCounts(
             routed.select(col("value")).as(Encoders.STRING),
@@ -297,9 +323,16 @@ object IngestStream {
           : Seq[(graft.schema.CollectionId, Long)] =
         deadLetter match {
           case Some(dl) => // C7: preserve + advance instead of skip/abort
-            ids.foreach(id => dl.handle(id, routed.filter(
-              col("_project") === id.project &&
-                col("_collection") === id.collection), e))
+            ids.foreach { id =>
+              val rows = routed.filter(
+                col("_project") === id.project &&
+                  col("_collection") === id.collection)
+              // batch-keyed when inside a streaming batch: replay after a
+              // crash between dead-letter and offset commit must not
+              // duplicate the preserved records
+              if (batchId >= 0) dl.handle(id, rows, e, batchId)
+              else dl.handle(id, rows, e)
+            }
             ids.map(_ -> 0L)
           case None => throw e // abort the batch: offsets never commit
         }
@@ -440,9 +473,10 @@ object IngestStream {
       case Some(ttl) =>
         val dec = EventOps.decouple(source.select(col("value")).as(Encoders.STRING),
                                     cfg.dialect, cfg.names)
+        // keep the routing columns: the batch function reuses them instead
+        // of re-running the per-record decouple scan
         deduplicated(dec.filter(col("_project").isNotNull), ttl, cfg.names,
                      cfg.dialect)
-          .select("value")
       case None => source.select("value")
     }
     base.writeStream
@@ -450,8 +484,11 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        val preDecoupled =
+          if (batch.columns.contains("_project")) Some(batch) else None
         processBatch(s, batch.select(col("value")).as(Encoders.STRING),
-                     registry, sink, historical, cfg, batchId = batchId)
+                     registry, sink, historical, cfg, batchId = batchId,
+                     decoupledIn = preDecoupled)
         // K4: persist schema evolution alongside the offset checkpoint,
         // INSIDE the barrier — offsets only commit once the registry that
         // produced this batch's tables is durable

@@ -62,11 +62,19 @@ final class IngestMetricsListener(
     */
   def recordErrors(n: Long): Unit = { record(errorEvents, n); checkBreaker() }
 
-  private def record(q: ConcurrentLinkedDeque[(Long, Long)], n: Long): Unit = {
-    val now = System.currentTimeMillis()
-    q.addLast((now, n))
-    while (!q.isEmpty && q.peekFirst()._1 < now - windowMillis) q.pollFirst()
-  }
+  // synchronized: recordErrors runs on the writer pool while the listener
+  // bus trims the same deque — an unsynchronized peek/poll pair can NPE
+  // (peekFirst after a concurrent poll) or drop a fresh in-window entry
+  private def record(q: ConcurrentLinkedDeque[(Long, Long)], n: Long): Unit =
+    q.synchronized {
+      val now = System.currentTimeMillis()
+      q.addLast((now, n))
+      var head = q.peekFirst()
+      while (head != null && head._1 < now - windowMillis) {
+        q.pollFirst()
+        head = q.peekFirst()
+      }
+    }
 
   private def sum(q: ConcurrentLinkedDeque[(Long, Long)]): Long = {
     val cutoff = System.currentTimeMillis() - windowMillis
@@ -82,7 +90,11 @@ final class IngestMetricsListener(
     */
   private def checkBreaker(): Unit = {
     val errs = sum(errorEvents)
-    val recs = sum(recordEvents) + errs
+    // numInputRows already INCLUDES the rows that later fail, so adding
+    // errs would double-count the denominator (a true 50% failure rate
+    // would read as 33% and the breaker would only trip above ~67%);
+    // max() keeps the errors-only batch path (no progress events) working
+    val recs = math.max(sum(recordEvents), errs)
     if (recs > minRecords && errs.toDouble / recs > errorRateThreshold)
       onTrip(f"error rate ${errs.toDouble / recs}%.2f over last ${windowMillis / 60000} min " +
         s"($errs/$recs records) exceeds $errorRateThreshold")

@@ -220,10 +220,19 @@ class ConsolidatedWriteSpec extends SparkSpec {
         commitRetryBaseMillis = 1),
       deadLetter = Some(new IngestStream.DeadLetter(dlDir)), batchId = 4)
     // every member reports 0 inserted and its raw records are preserved
+    // under the batch-keyed layout (replay overwrites, never duplicates)
     assert(counts.size == nColl && counts.values.forall(_ == 0L))
-    val preserved = spark.read.text(s"$dlDir/demo/*").count()
+    val preserved = spark.read.text(s"$dlDir/demo/*/batch=4").count()
     assert(preserved == nColl.toLong * rowsPer,
       s"dead letter preserved $preserved of ${nColl * rowsPer} raw records")
+    // and a REPLAY of the same failing batch leaves counts unchanged
+    IngestStream.processBatch(spark, raw(now),
+      new EventSchema.Registry(), sink, None,
+      IngestConfig(consolidateThreshold = 64, commitRetries = 0,
+        commitRetryBaseMillis = 1),
+      deadLetter = Some(new IngestStream.DeadLetter(dlDir)), batchId = 4)
+    assert(spark.read.text(s"$dlDir/demo/*/batch=4").count() ==
+      nColl.toLong * rowsPer)
   }
 
   test("below the threshold nothing consolidates; MemorySink never does") {

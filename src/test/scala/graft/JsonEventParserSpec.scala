@@ -43,6 +43,31 @@ class JsonEventParserSpec extends AnyFunSuite {
     assert(!fields.contains("_project") && !fields.contains("_collection"))
   }
 
+  test("routing names are path segments: separators/traversal/reserved skip the record") {
+    def route(proj: String, coll: String) = JsonEventParser.routing(
+      s"""{"data":{"_project":"$proj","_collection":"$coll","v":1}}""",
+      JsonDialect.Fabric)
+    assert(route("demo", "clicks").isDefined)
+    // each of these would land bytes outside basePath/<project>/<collection>
+    // (or inside the reserved '_'-prefixed control dirs) if allowed through
+    assert(route("demo", "a/b").isEmpty)
+    assert(route("demo", "..").isEmpty)
+    assert(route("a\\\\b", "c").isEmpty)
+    assert(route("_staging", "c").isEmpty) // v2 scan skips + cleanup deletes
+    assert(route("demo", "_reserved").isEmpty)
+    assert(route(".hidden", "c").isEmpty)
+    assert(!graft.schema.CollectionId.isValid("demo", "a/b"))
+    intercept[IllegalArgumentException] {
+      graft.schema.CollectionId.normalize("demo", "a/b")
+    }
+    // decouple (the streaming pre-parse) routes them to the malformed lane
+    assert(JsonEventParser.decouple(
+      """{"data":{"_project":"_staging","_collection":"c","_time":1}}""",
+      JsonDialect.Fabric, names).isEmpty)
+    // Avro key framing skips them too
+    assert(graft.ingest.AvroIngest.collectionFromKey("demo.a/b", '.').isEmpty)
+  }
+
   test("_time is always TIMESTAMP; Fabric accepts epoch millis") {
     val json = """{"data":{"_project":"p","_collection":"c","_time":1754956800000}}"""
     val (_, fields) = infer(json)
