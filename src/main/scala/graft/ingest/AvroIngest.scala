@@ -397,7 +397,11 @@ object AvroIngest {
         if (!consolidate) (Nil, candidates)
         else {
           val groups = candidates.groupBy(id => schemaPairs(id)._2.json).values.toSeq
-          val (multi, lone) = groups.partition(_.size >= 2)
+          // a schema carrying a project/collection/batch DATA column can't
+          // ride the partitioned cohort write (EventSink.consolidatable)
+          val (multi, lone) = groups.partition(g =>
+            g.size >= 2 &&
+              graft.sinks.EventSink.consolidatable(schemaPairs(g.head)._2))
           (multi, lone.flatten)
         }
       // writes submit from a bounded pool (ParallelWrites — the
@@ -589,14 +593,26 @@ object AvroIngest {
       val collection = dec.readString()
       val colCount = dec.readInt()
       val recCount = dec.readInt()
-      val id = CollectionId.normalize(project, collection)
+      // F3 record-skip, not object-abort: an INVALID routing name (e.g. a
+      // '_'-prefixed collection) must not lose the object's other, valid
+      // collections. The stream is sequential, so its frames still have to
+      // be DECODED to reach the next collection — decode via the registry
+      // schema (legacy registries can hold such names) and drop the rows.
+      // Only a collection the registry doesn't know at all aborts the
+      // object: without a schema the stream can't be resumed past it.
+      val valid = CollectionId.isValid(project, collection)
+      val id =
+        if (valid) CollectionId.normalize(project, collection)
+        else CollectionId(project.toLowerCase(java.util.Locale.ROOT),
+                          collection.toLowerCase(java.util.Locale.ROOT))
       val (reader, rowSchema) = schemaFor(id)
       val writer = if (colCount < reader.getFields.size) truncatedSchema(reader, colCount)
                    else reader
       val datum = new GenericDatumReader[GenericRecord](writer, reader)
       var i = 0
       while (i < recCount) {
-        out += id -> toRow(datum.read(null, dec), rowSchema, names)
+        val rec = datum.read(null, dec)
+        if (valid) out += id -> toRow(rec, rowSchema, names)
         i += 1
       }
     }

@@ -421,33 +421,71 @@ object MediaKernels {
 
   /** REAL video demux for Motion-JPEG streams — the classic MJPEG wire
     * format is literally concatenated JPEG images, so a pure-JVM demux is
-    * a byte scan: split on SOI (FFD8) / EOI (FFD9) marker pairs, tracking
-    * nesting depth so an embedded EXIF thumbnail (its own SOI..EOI inside
-    * the outer frame) never splits a frame early. Entropy-coded JPEG data
-    * escapes 0xFF as FF00 and restart markers are FFD0-D7, so FFD9 only
-    * appears as a real EOI — the scan is exact, and each returned frame is
-    * the original JPEG byte-for-byte (decodable by the `javax.imageio`
-    * image kernel). Empty result = the bytes are not an MJPEG stream.
+    * a byte-level SEGMENT WALK of each JPEG in turn: after SOI (FFD8),
+    * every marker segment is skipped by its declared 2-byte length
+    * (metadata payloads — EXIF thumbnails, ICC profiles, XMP, comments —
+    * are NOT entropy-escaped and may legally contain FFD8/FFD9 bytes, so
+    * a naive marker scan would split frames early; the length walk never
+    * looks inside a payload). After an SOS header the entropy-coded data
+    * IS escaped (0xFF00 stuffing, FFD0-D7 restarts), so scanning it for
+    * the next true marker is exact. Each returned frame is the original
+    * JPEG byte-for-byte (decodable by the `javax.imageio` image kernel);
+    * a malformed frame resyncs to the next SOI instead of desyncing the
+    * rest of the stream. Empty result = the bytes are not an MJPEG stream.
     */
   def mjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
     if (bytes == null || bytes.length < 4) return Seq.empty
+    val n = bytes.length
+    @inline def u(i: Int): Int = bytes(i) & 0xff
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var i = 0
-    var start = -1
-    var depth = 0
-    while (i + 1 < bytes.length) {
-      val m = (bytes(i) & 0xff, bytes(i + 1) & 0xff)
-      if (m == (0xff, 0xd8)) {
-        if (depth == 0) start = i
-        depth += 1
-        i += 2
-      } else if (m == (0xff, 0xd9) && depth > 0) {
-        depth -= 1
-        if (depth == 0) {
-          frames += java.util.Arrays.copyOfRange(bytes, start, i + 2)
-          start = -1
+    while (i + 1 < n) {
+      if (u(i) == 0xff && u(i + 1) == 0xd8) {
+        val start = i
+        var p = i + 2
+        var end = -1
+        var bad = false
+        while (end < 0 && !bad) {
+          if (p + 1 >= n) bad = true // truncated frame
+          else if (u(p) != 0xff) bad = true // marker expected at segment level
+          else {
+            while (p + 1 < n && u(p + 1) == 0xff) p += 1 // fill bytes
+            if (p + 1 >= n) bad = true
+            else u(p + 1) match {
+              case 0xd9 => end = p + 2 // EOI — frame complete
+              case 0x01 => p += 2 // TEM: no payload
+              case m if m >= 0xd0 && m <= 0xd7 => p += 2 // RSTn: no payload
+              case 0xd8 | 0x00 => bad = true // SOI/stuffing illegal here
+              case m =>
+                if (p + 3 >= n) bad = true
+                else {
+                  val len = (u(p + 2) << 8) | u(p + 3) // includes its own 2 bytes
+                  val next = p + 2 + len
+                  if (len < 2 || next > n) bad = true
+                  else if (m != 0xda) p = next // skip payload by length
+                  else {
+                    // SOS: entropy-coded data until the next true marker
+                    // (FF00 = stuffed data byte, FFD0-D7 = restart)
+                    var q = next
+                    var found = -1
+                    while (found < 0 && q + 1 < n) {
+                      if (u(q) != 0xff) q += 1
+                      else {
+                        val mm = u(q + 1)
+                        if (mm == 0x00 || (mm >= 0xd0 && mm <= 0xd7)) q += 2
+                        else found = q
+                      }
+                    }
+                    if (found < 0) bad = true else p = found
+                  }
+                }
+            }
+          }
         }
-        i += 2
+        if (end > 0) {
+          frames += java.util.Arrays.copyOfRange(bytes, start, end)
+          i = end
+        } else i = start + 2 // malformed: resync at the next SOI
       } else i += 1
     }
     frames.toSeq

@@ -76,13 +76,34 @@ object AsOfJoin {
         // range (one 2-value aggregate — cheap, and monotone casts keep
         // ordering), window per (key, bucket), then fill bucket-local
         // misses from the carry-in of preceding buckets.
-        val tNum = col("_t").cast("double") // monotone for numeric + timestamp
-        val Array(mn, mx) = union
+        //
+        // The union feeds three consumers (the min/max aggregate, the
+        // per-bucket window, the carry seed) — materialize it once so an
+        // expensive upstream lineage is not re-executed per consumer (the
+        // localCheckpoint pattern the dedup pair generators use for their
+        // self-joins).
+        val mat = union.localCheckpoint(true)
+        // Monotone numeric image of _t. Plain cast("double") covers
+        // numerics (identity) and TimestampType (epoch seconds — tz-free).
+        // TimestampNTZ has no numeric cast and a session-tz round-trip
+        // would be non-monotone across DST gaps, so NTZ maps through
+        // wall-clock FIELD extraction (day number + time of day), which is
+        // monotone on NTZ by construction and touches no timezone.
+        val tNum: Column = mat.schema("_t").dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            datediff(col("_t").cast("date"), lit("1970-01-01")).cast("double") * 86400d +
+              hour(col("_t")) * 3600d + minute(col("_t")) * 60d +
+              date_part(lit("SECOND"), col("_t")).cast("double")
+          case _ => col("_t").cast("double")
+        }
+        val Array(mn, mx) = mat
           .agg(min(tNum), max(tNum)).head().toSeq.toArray
         val (lo, hi) = (Option(mn).map(_.asInstanceOf[Double]).getOrElse(0.0),
                         Option(mx).map(_.asInstanceOf[Double]).getOrElse(0.0))
         val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-        val bucketed = union.withColumn("_b",
+        // null _t never reaches floor (greatest skips nulls → bucket 0),
+        // matching the single-window plan where asc-sort puts nulls FIRST
+        val bucketed = mat.withColumn("_b",
           least(lit(skewBuckets - 1), greatest(lit(0),
             floor((tNum - lit(lo)) / lit(span) * skewBuckets).cast("int"))))
         val w = Window.partitionBy((on :+ "_b").map(col): _*)
@@ -94,11 +115,15 @@ object AsOfJoin {
         // last right payload per (key, bucket): keys × buckets rows max.
         // Seeded from EVERY populated (key, bucket) — a bucket holding
         // only left rows still needs the carry from earlier buckets —
-        // with the right side's last payload where one exists.
+        // with the right side's last payload where one exists. A null-_t
+        // right row sorts FIRST under the single-window plan, so it is
+        // still matchable: coalesce its ordering key to -inf instead of
+        // letting max_by ignore the null.
         val bucketLast = bucketed
           .groupBy((on :+ "_b").map(col): _*)
           .agg(max_by(col("_rpay"),
-            when(col("_src") === 0, col("_t"))).as("_blast"))
+            when(col("_src") === 0,
+              coalesce(tNum, lit(Double.NegativeInfinity)))).as("_blast"))
         // carry-in for bucket b = last right payload over buckets < b
         // (tiny per-key window: at most `skewBuckets` rows per key)
         val cw = Window.partitionBy(on.map(col): _*).orderBy(col("_b").asc)
@@ -106,9 +131,19 @@ object AsOfJoin {
         val carry = bucketLast
           .withColumn("_carry", last(col("_blast"), ignoreNulls = true).over(cw))
           .select((on :+ "_b").map(col) :+ col("_carry"): _*)
-        local.join(carry, on :+ "_b", "left")
+        // NULL-SAFE key equality: the single-window plan groups null keys
+        // into their own window partition (they match each other), so the
+        // carry attach must not drop them — a plain equi-join would.
+        val ckeys = on.indices.map(i => s"_ck$i")
+        val carryRenamed = carry.select(
+          on.zip(ckeys).map { case (k, ck) => col(k).as(ck) } ++
+            Seq(col("_b").as("_cb"), col("_carry")): _*)
+        val joinCond = on.zip(ckeys)
+          .map { case (k, ck) => local(k) <=> carryRenamed(ck) }
+          .foldLeft(local("_b") === carryRenamed("_cb"))(_ && _)
+        local.join(carryRenamed, joinCond, "left")
           .withColumn("_match", coalesce(col("_match"), col("_carry")))
-          .drop("_b", "_carry")
+          .drop(ckeys ++ Seq("_b", "_cb", "_carry"): _*)
       }
 
     // tolerance: an interval (timestamp times) or numeric delta — the match

@@ -37,10 +37,32 @@ trait EventSink extends Serializable {
   /** Consolidated multi-collection insert: `rows` carry the cohort's
     * shared data schema plus `_project`/`_collection` routing columns.
     * Must be idempotent under micro-batch replay like `insert(_, _, batchId)`.
+    * Only called for schemas that pass [[EventSink.consolidatable]] —
+    * cohort writes partition by `project`/`collection`/`batch` directory
+    * columns, so a DATA column with one of those names cannot ride the
+    * consolidated path (the per-collection path carries it fine).
     */
   def insertConsolidated(rows: DataFrame, batchId: Long): Unit =
     throw new UnsupportedOperationException(
       s"${getClass.getName} does not support consolidated inserts")
+}
+
+object EventSink {
+  /** Directory-column names the consolidated write consumes. Partition
+    * columns are matched case-insensitively by the file-source layer, so
+    * the collision check is case-insensitive too.
+    */
+  val ReservedPartitionNames: Set[String] = Set("project", "collection", "batch")
+
+  /** Whether a cohort with this DATA schema may use
+    * [[EventSink.insertConsolidated]]: a user column named `project` /
+    * `collection` / `batch` would be consumed (or clobbered) by the
+    * partitioned write while the per-collection path preserves it — such
+    * schemas must stay on the per-collection path.
+    */
+  def consolidatable(schema: StructType): Boolean =
+    !schema.fieldNames.exists(f =>
+      ReservedPartitionNames.contains(f.toLowerCase(java.util.Locale.ROOT)))
 }
 
 /** K1 (modernized) — columnar table sink. The reference's Raptor/ORC path
@@ -59,13 +81,54 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
                          maxRecordsPerFile: Long = 5000000)
     extends EventSink {
 
+  /** Hive-style partition-value escaping (':' → %3A etc.) — the SAME
+    * escaping Spark's dynamic `partitionBy` writer applies, so the
+    * per-collection and consolidated write paths land a collection whose
+    * name carries a special character in ONE directory, and partition
+    * pruning/inference reads the logical name back out. Plain
+    * alphanumeric names are untouched.
+    */
+  private def esc(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
   def path(id: CollectionId): String =
-    s"$basePath/project=${id.project}/collection=${id.collection}"
+    s"$basePath/project=${esc(id.project)}/collection=${esc(id.collection)}"
 
   override def getColumns(id: CollectionId): Option[StructType] = None // resolved from files on read
 
+  /** The batch directory key (`batch=N`) is a graft-internal layout
+    * detail, but partition inference folds it into the read schema — and
+    * when a DATA column shadows a partition directory column, Spark keeps
+    * one column whose VALUES come from the directory, silently replacing
+    * the user's data (verified behavior). So a user event property named
+    * `batch` (any case) is escaped to `__data_batch` at rest and renamed
+    * back on [[read]]/[[readAll]] — round-trip exact, no silent loss.
+    * (`project`/`collection` data columns are safe on this path: [[read]]
+    * loads below those directories so nothing shadows them; [[readAll]]
+    * surfaces the ROUTING values under those names — its documented
+    * partition columns.)
+    */
+  private def escapeReserved(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      if (c.toLowerCase(java.util.Locale.ROOT) == "batch") {
+        require(!df.columns.contains(s"__data_$c"),
+          s"column __data_$c already exists; cannot escape reserved column $c")
+        d.withColumnRenamed(c, s"__data_$c")
+      } else d
+    }
+
+  private def unescapeReserved(df: DataFrame): DataFrame =
+    df.columns.filter(_.startsWith("__data_")).foldLeft(df) { (d, c) =>
+      val orig = c.stripPrefix("__data_")
+      // the same-named survivor is the inferred partition column (its
+      // values are the directory's, not the user's) — drop it in favor
+      // of the restored data column
+      val dropped = if (d.columns.contains(orig)) d.drop(orig) else d
+      dropped.withColumnRenamed(c, orig)
+    }
+
   override def insert(id: CollectionId, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append)
+    escapeReserved(df).write.mode(SaveMode.Append)
       .format(format)
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -87,12 +150,14 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     // writes already do — so idempotence holds on file:/hdfs:/s3a: alike.
     // One directory level per component keeps the layout unambiguous for
     // names containing underscores.
+    // escaped like the data layout: injective, and keeps characters Hadoop
+    // Path/URI parsing treats specially (':', '%') out of raw components
     val marker = new org.apache.hadoop.fs.Path(
-      s"$basePath/_graft_commits/${id.project}/${id.collection}/$batchId")
+      s"$basePath/_graft_commits/${esc(id.project)}/${esc(id.collection)}/$batchId")
     val fs = marker.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return // replay: already committed
-    df.write.mode(SaveMode.Overwrite)
+    escapeReserved(df).write.mode(SaveMode.Overwrite)
       .format(format)
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -116,6 +181,20 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
   override def supportsConsolidated: Boolean = true
 
   override def insertConsolidated(rows: DataFrame, batchId: Long): Unit = {
+    // defense for the [[EventSink.consolidatable]] contract: a data
+    // column colliding with the project/collection routing rename must
+    // fail loudly, not corrupt data (`batch` collisions escape below,
+    // same as the per-collection path)
+    val clash = rows.columns
+      .filterNot(c => c == "_project" || c == "_collection")
+      .filter(c => Set("project", "collection")
+        .contains(c.toLowerCase(java.util.Locale.ROOT)))
+    if (clash.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"consolidated insert: data column(s) [${clash.mkString(", ")}] " +
+          "collide with the project/collection partition layout — " +
+          "route this cohort through per-collection inserts " +
+          "(EventSink.consolidatable gates this)")
     // cluster by the partition key BEFORE the write: without this every
     // task holds rows of every collection and opens one file per (task,
     // collection) pair — measured 32 tasks × 1k collections = 32k files
@@ -123,7 +202,7 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     // in one task → ~C files total and the commit moves C objects. The
     // extra exchange is one shuffle of the (cached, already-parsed) batch
     // — trivial next to the file-creation fan-out it removes.
-    val tagged = rows
+    val tagged = escapeReserved(rows)
       .withColumnRenamed("_project", "project")
       .withColumnRenamed("_collection", "collection")
       .repartition(col("project"), col("collection"))
@@ -142,8 +221,17 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .save(basePath)
   }
 
-  /** Read a collection back with schema evolution across appended batches. */
+  /** Read a collection back with schema evolution across appended batches.
+    * Escaped reserved columns (`__data_batch`) are restored to their user
+    * names, superseding the inferred `batch` directory column.
+    */
   def read(spark: SparkSession, id: CollectionId): DataFrame =
+    unescapeReserved(readRaw(spark, id))
+
+  /** At-rest view (no reserved-column restore) — compaction rewrites the
+    * escaped layout as-is.
+    */
+  private def readRaw(spark: SparkSession, id: CollectionId): DataFrame =
     spark.read.option("mergeSchema", "true").format(format).load(path(id))
 
   /** B3 at rest — small-file compaction. A 15 s trigger cadence writes many
@@ -167,7 +255,10 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     while (files.hasNext) bytes += files.next().getLen
     val nFiles = math.max(1, (bytes / targetBytes).toInt)
     val df = {
-      val raw = read(spark, id)
+      // at-rest view: the inferred `batch` DIRECTORY column goes away with
+      // the rewrite; an escaped user `__data_batch` column stays escaped
+      // (read() keeps restoring it after compaction)
+      val raw = readRaw(spark, id)
       if (raw.columns.contains("batch")) raw.drop("batch") else raw
     }
     df.repartition(nFiles).write.mode(SaveMode.Overwrite)
@@ -177,11 +268,14 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
   }
 
   /** Read the whole sink (all projects/collections) with partition pruning
-    * on the (project, collection) directory columns.
+    * on the (project, collection) directory columns. Those two names are
+    * the ROUTING values here (this view's documented partition columns);
+    * escaped `__data_batch` columns restore like [[read]].
     */
   def readAll(spark: SparkSession): DataFrame =
-    spark.read.option("mergeSchema", "true").option("basePath", basePath)
-      .format(format).load(basePath)
+    unescapeReserved(
+      spark.read.option("mergeSchema", "true").option("basePath", basePath)
+        .format(format).load(basePath))
 }
 
 /** K2 — NDJSON-gzip object sink (S3DatabaseHandler.java:141-299). The

@@ -371,10 +371,14 @@ object IngestStream {
           cfg.names)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val counts = cohortDf
-            .groupBy(col("_project"), col("_collection")).count().collect()
-            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          // the counts job is the cohort's first materialization of the
+          // parse — it sits INSIDE the failAll scope so a poisoned record
+          // dead-letters + advances exactly like the single-collection
+          // path (whose parse materializes inside the wrapped write job)
           try {
+            val counts = cohortDf
+              .groupBy(col("_project"), col("_collection")).count().collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
             withRetry(cfg.commitRetries, cfg.commitRetryBaseMillis)(
               sink.insertConsolidated(cohortDf, batchId))
             ids.map(id => id -> counts.getOrElse((id.project, id.collection), 0L))
@@ -394,7 +398,10 @@ object IngestStream {
         else {
           val (withRows, empty) = ordered.partition { case (id, _) => sizeOf(id) > 0 }
           val groups = withRows.groupBy { case (_, st) => st.json }.values.toSeq
-          val (multi, lone) = groups.partition(_.size >= 2)
+          // a schema carrying a project/collection/batch DATA column can't
+          // ride the partitioned cohort write (EventSink.consolidatable)
+          val (multi, lone) = groups.partition(g =>
+            g.size >= 2 && EventSink.consolidatable(g.head._2))
           (multi, empty ++ lone.flatten)
         }
       // largest-first over BOTH shapes (B3 flush order), through the

@@ -67,7 +67,11 @@ object MicroBench {
       banded.write.mode("overwrite").format("noop").save()
     }
     time("full minhashCandidates") {
-      DedupFunctions.minhashCandidates(docs, "doc_id", "text", 12, 4, 3)
+      // explicit hot-band cap: the library default became opt-in (0) for
+      // oracle parity, but the bench must stay bounded on corpora with a
+      // giant exact-copy family — and comparable to pre-change timings
+      DedupFunctions.minhashCandidates(docs, "doc_id", "text", 12, 4, 3,
+        maxBandFreq = 1000)
         .write.mode("overwrite").format("noop").save()
     }
 

@@ -201,4 +201,61 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("segmented mode: null keys, null right times, NTZ domain all match single-window") {
+    import spark.implicits._
+    // Null join keys form their own window partition under the
+    // single-window plan (they match each other); null right times sort
+    // FIRST under ascending order (matchable by every later left row).
+    // Both must survive the segmented carry join — a plain equi-join on
+    // the key would drop null-key carries, and max_by over a null
+    // ordering key would drop null-time right rows from the carry seed.
+    val l = Seq(
+      (Option(1L), 10L, 1L),
+      (Option.empty[Long], 90L, 2L), // null key, LATE bucket: carry must attach
+      (Option.empty[Long], 5L, 3L),  // null key, before the only null-key right
+      (Option(5L), 95L, 4L))         // key whose only right row has a null time
+      .toDF("user_id", "t", "event_id")
+    val r = Seq(
+      (Option(1L), Option(8L), 10L),
+      (Option.empty[Long], Option(7L), 20L),
+      (Option(5L), Option.empty[Long], 50L))
+      .toDF("user_id", "click_t", "click_id")
+
+    def result(buckets: Int) = AsOfJoin.asOfJoin(l, r, Seq("user_id"), "t",
+        "click_t", skewBuckets = buckets)
+      .collect()
+      .map(row => row.getLong(row.fieldIndex("event_id")) ->
+        Option(row.getAs[java.lang.Long]("click_id")).map(_.longValue))
+      .toMap
+
+    val single = result(1)
+    assert(single == Map(1L -> Some(10L), 2L -> Some(20L), 3L -> None,
+      4L -> Some(50L)))
+    assert(result(8) == single)
+    assert(result(32) == single)
+
+    // TimestampNTZ time domain: NTZ has no numeric cast — the segmented
+    // bucketing must route through the wall-clock field extraction
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:05"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 99.0),
+      ("B", ts("2024-01-01 10:00:01"), 50.0),
+      ("C", ts("2024-01-01 10:00:01"), 10.0))
+      .toDF("sym", "trade_ts", "price")
+      .withColumn("trade_ts", $"trade_ts".cast("timestamp_ntz"))
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 98.5),
+      ("A", ts("2024-01-01 10:00:03"), 98.9),
+      ("A", ts("2024-01-01 10:00:06"), 99.9),
+      ("B", ts("2024-01-01 09:59:00"), 49.5))
+      .toDF("sym", "quote_ts", "bid")
+      .withColumn("quote_ts", $"quote_ts".cast("timestamp_ntz"))
+    val a = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "trade_ts", "quote_ts")
+      .collect().map(_.toSeq).toSet
+    val b = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "trade_ts", "quote_ts",
+        skewBuckets = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -122,4 +122,28 @@ class AvroIngestSpec extends AnyFunSuite {
     val last = rows.last._2
     assert(last.getAs[String]("_user") == "u3" && last.isNullAt(rowSchema.fieldIndex("n")))
   }
+
+  test("bulk object: an invalid collection name drops its rows, not the object") {
+    // ["ok", "_tmp", "ok2"] in ONE object: the reserved '_'-prefixed name
+    // must skip ONLY its own frame (decoded via the registry schema to
+    // keep the stream aligned) — F3 record-skip, not whole-object loss
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().directBinaryEncoder(out, null)
+    enc.writeString("proj")
+    val w = new GenericDatumWriter[GenericRecord](avro)
+    def frame(coll: String, user: String): Unit = {
+      enc.writeString(coll); enc.writeInt(4); enc.writeInt(1)
+      val r = new GenericData.Record(avro)
+      r.put("_time", 1700000000000L); r.put("_user", user); r.put("n", 1.0)
+      w.write(r, enc)
+    }
+    frame("ok", "u1"); frame("_tmp", "ghost"); frame("ok2", "u2")
+    enc.flush()
+
+    val rows = AvroIngest.readBulkObject(out.toByteArray,
+      _ => (avro, rowSchema), names)
+    assert(rows.map(_._1).distinct ==
+      Seq(CollectionId("proj", "ok"), CollectionId("proj", "ok2")))
+    assert(rows.map(_._2.getAs[String]("_user")).toSet == Set("u1", "u2"))
+  }
 }

@@ -235,6 +235,82 @@ class ConsolidatedWriteSpec extends SparkSpec {
       nColl.toLong * rowsPer)
   }
 
+  test("a user `batch` property survives both write shapes exactly") {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    // every event carries a DATA property named `batch` — it collides with
+    // the sink's batch=N directory key, where partition inference would
+    // silently substitute the directory value for the user's data
+    def rawWithBatch = spark.range(nColl.toLong * rowsPer).select(
+      concat(
+        lit("""{"data":{"_project":"demo","_collection":"b"""),
+        ($"id" % nColl), lit("\","),
+        lit(""""_time":"""), lit(now), lit(","),
+        lit(""""batch":"""), $"id" * 10, lit(","),
+        lit(""""n":"""), $"id", lit("}}")).as("value")).as[String]
+
+    val dir = java.nio.file.Files.createTempDirectory("cons_resv").toString
+    val sink = new ColumnarSink(dir)
+    val counts = IngestStream.processBatch(spark, rawWithBatch,
+      new EventSchema.Registry(), sink, None,
+      IngestConfig(consolidateThreshold = 64), batchId = 11)
+    assert(counts.size == nColl && counts.values.forall(_ == rowsPer))
+    // the colliding schema stays on the per-collection (marker) path —
+    // EventSink.consolidatable keeps it off the partitioned cohort write
+    val markers = new org.apache.hadoop.fs.Path(s"$dir/_graft_commits/demo")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(markers), "reserved-name schema must use per-collection inserts")
+    // and the USER's batch values round-trip (not the directory's 11s)
+    val back = sink.read(spark, CollectionId("demo", "b5"))
+    assert(back.columns.contains("batch"))
+    val vals = back.select($"n", $"batch").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(vals.forall { case (n, b) => b == n * 10 },
+      s"user batch values clobbered: ${vals.take(3)}")
+    // the cohort write itself also escapes `batch` when called directly
+    val coDir = java.nio.file.Files.createTempDirectory("cons_resv_co").toString
+    val coSink = new ColumnarSink(coDir)
+    val rows = back.withColumn("_project", lit("demo"))
+      .withColumn("_collection", lit("b5"))
+    coSink.insertConsolidated(rows, 11L)
+    val back2 = coSink.read(spark, CollectionId("demo", "b5"))
+    val vals2 = back2.select($"n", $"batch").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(vals2 == vals, "consolidated path lost the user batch column")
+  }
+
+  test("special characters in collection names land both write shapes in ONE directory") {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    // ':' passes name validation but Spark's dynamic partition writer
+    // escapes it (%3A) — per-collection writes must use the SAME escaped
+    // directory or cohort-written batches become invisible to read()
+    def rawColon = spark.range(nColl.toLong * rowsPer).select(
+      concat(
+        lit("""{"data":{"_project":"demo","_collection":"s:"""),
+        ($"id" % nColl), lit("\","),
+        lit(""""_time":"""), lit(now), lit(","),
+        lit(""""n":"""), $"id", lit("}}")).as("value")).as[String]
+
+    val perDir = java.nio.file.Files.createTempDirectory("cons_esc_per").toString
+    val coDir = java.nio.file.Files.createTempDirectory("cons_esc_co").toString
+    IngestStream.processBatch(spark, rawColon, new EventSchema.Registry(),
+      new ColumnarSink(perDir), None, IngestConfig(consolidateThreshold = 0),
+      batchId = 2)
+    IngestStream.processBatch(spark, rawColon, new EventSchema.Registry(),
+      new ColumnarSink(coDir), None, IngestConfig(consolidateThreshold = 64),
+      batchId = 2)
+    val fs = new org.apache.hadoop.fs.Path(perDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (base <- Seq(perDir, coDir)) {
+      val escaped = new org.apache.hadoop.fs.Path(
+        s"$base/project=demo/collection=s%3A7/batch=2")
+      assert(fs.exists(escaped), s"$base: expected the escaped layout")
+      val n = new ColumnarSink(base).read(spark, CollectionId("demo", "s:7")).count()
+      assert(n == rowsPer, s"$base: read() found $n of $rowsPer rows")
+    }
+  }
+
   test("below the threshold nothing consolidates; MemorySink never does") {
     val now = System.currentTimeMillis()
     import spark.implicits._

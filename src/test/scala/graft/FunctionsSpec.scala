@@ -1352,13 +1352,22 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaKernels.decodeFeatures(stream, "video/x-motion-jpeg", 16).toSeq ==
       vf.toSeq)
 
-    // nested SOI/EOI (EXIF-thumbnail shape) does not split a frame early:
-    // frame = SOI + [embedded full JPEG] + EOI must come back whole
-    val nested = Array[Byte](0xff.toByte, 0xd8.toByte) ++ f1 ++
-      Array[Byte](0xff.toByte, 0xd9.toByte)
-    val nf = MediaKernels.mjpegFrames(nested ++ f0)
+    // metadata payloads are NOT entropy-escaped: a COM segment carrying a
+    // full JPEG as its payload (the EXIF-thumbnail shape — raw FFD8/FFD9
+    // bytes inside a header segment) must not split the frame early. The
+    // demux walks segments by their declared length, never inside payloads.
+    val payload = f1
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte)
+    val withThumb = f0.take(2) ++ com ++ payload ++ f0.drop(2)
+    // still one well-formed JPEG — ImageIO decodes it
+    val tim = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(withThumb))
+    assert(tim != null && tim.getWidth == 16)
+    val nf = MediaKernels.mjpegFrames(withThumb ++ f2)
     assert(nf.length == 2)
-    assert(nf(0).toSeq == nested.toSeq && nf(1).toSeq == f0.toSeq)
+    assert(nf(0).toSeq == withThumb.toSeq && nf(1).toSeq == f2.toSeq)
 
     // non-MJPEG video bytes fall back to the deterministic stubs
     val junk = "definitely not a jpeg stream".getBytes
