@@ -599,6 +599,29 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    // Z-order layout cells: the exact Morton arithmetic `layout/ZOrder`
+    // range-partitions files by at rewrite time — integer-exact equi-width
+    // bucketize (8 bits per dim) + bit interleave over (user_id, event
+    // time), replayed cross-engine so the oracle hash-pins the cell math
+    // a 100 TB OPTIMIZE-style rewrite would cluster on. (The pruning
+    // effect itself is pinned in ZOrderSpec via scan metrics — an x-only
+    // box scans 8.8× fewer rows than the time-sorted layout.)
+    "layout_zorder_cells" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+      val ms = tsMillis(ev)
+      val r = ev.agg(
+        min($"user_id".cast("long")), max($"user_id".cast("long")),
+        min(ms), max(ms)).head()
+      val z = graft.layout.ZOrder.zValue(Seq(
+        graft.layout.ZOrder.bucketize($"user_id".cast("long"),
+          r.getLong(0), r.getLong(1), 8),
+        graft.layout.ZOrder.bucketize(ms, r.getLong(2), r.getLong(3), 8)), 8)
+      ev.select(z.as("z"))
+        .groupBy($"z").agg(count(lit(1)).as("n_rows"))
+        .orderBy($"z").limit(100)
+    }),
+
     // K2: NDJSON-gzip sink roundtrip (file rolling + serialization), read
     // back per collection.
     "k2_ndjson_roundtrip" -> ((s, dir) => {
@@ -2437,6 +2460,27 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
         |       max(n) AS max_session_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "layout_zorder_cells" -> {
+      // same Morton math as layout/ZOrder in ANSI SQL: integer floor
+      // division (//) reproduces bucketize (exact within the documented
+      // < 2^53 numerator bound), the interleave is 16 shift/mask terms
+      val interleave = (0 until 8).flatMap(i => Seq(
+        s"(((ub >> $i) & 1) << ${2 * i})",
+        s"(((tb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT CAST(user_id AS BIGINT) AS u,
+         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+         |r AS (SELECT min(u) AS ulo, max(u) AS uhi,
+         |             min(ms) AS tlo, max(ms) AS thi FROM b),
+         |k AS (
+         |  SELECT ((u - ulo) * 255) // GREATEST(1, uhi - ulo) AS ub,
+         |         ((ms - tlo) * 255) // GREATEST(1, thi - tlo) AS tb
+         |  FROM b, r),
+         |c AS (SELECT ($interleave) AS z FROM k)
+         |SELECT z, count(*) AS n_rows FROM c
+         |GROUP BY 1 ORDER BY z LIMIT 100""".stripMargin
+    },
 
     "k2_ndjson_roundtrip" ->
       """SELECT event_type AS collection, count(*) AS n,
