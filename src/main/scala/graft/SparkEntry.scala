@@ -57,13 +57,23 @@ object SparkEntry {
     val ev = graft.schema.TableContract.check("events",
         spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(spark.sparkContext.defaultParallelism)
+    // NULL-SAFE per field: concat() nulls the WHOLE line if any argument
+    // is null, which would silently drop the event engine-side while the
+    // oracles still count the row. Null columns serialize as JSON nulls
+    // (null collection → empty name → routing validity drops it on both
+    // sides; null ts → "_time":null → historical split on both sides).
     ev.select(concat(
-      lit("""{"id":""""), col("event_id"), lit("""","metadata":{},"data":{"""),
-      lit(""""_project":"demo","_collection":""""), col("event_type"), lit("\","),
-      lit(""""_time":"""), tsMillis(ev), lit(","),
-      lit(""""_user":"u"""), col("user_id"), lit("\","),
-      lit(""""value":"""), col("value"), lit(","),
-      lit(""""props":"""), col("props"),
+      lit("""{"id":""""), coalesce(col("event_id").cast("string"), lit("")),
+      lit("""","metadata":{},"data":{"""),
+      lit(""""_project":"demo","_collection":""""),
+      coalesce(col("event_type"), lit("")), lit("\","),
+      lit(""""_time":"""), coalesce(tsMillis(ev).cast("string"), lit("null")),
+      lit(","),
+      when(col("user_id").isNull, lit(""""_user":null,"""))
+        .otherwise(concat(lit(""""_user":"u"""), col("user_id"), lit("\","))),
+      lit(""""value":"""), coalesce(col("value").cast("string"), lit("null")),
+      lit(","),
+      lit(""""props":"""), coalesce(col("props"), lit("null")),
       lit("}}")).as("value")).as(Encoders.STRING)
   }
 
@@ -118,6 +128,22 @@ object SparkEntry {
       }))
       p.toString
     })
+  /** Engine-portable fixed-point rounding, SHADOWING functions.round for
+    * every query in this object: `floor(x·10^s + 0.5) / 10^s` evaluated
+    * in IEEE doubles produces bit-identical results in Spark and DuckDB,
+    * while the engines' native round() disagree on decimal-half doubles
+    * (Spark: HALF_UP on the shortest decimal representation — 0.145→0.15;
+    * DuckDB: scaled-binary rounding — 0.145::DOUBLE→0.14). A single
+    * aggregate landing on such a value would flip the driver's hash
+    * compare. The oracle SQL uses the same floor form. (TextFunctions
+    * .basisPoints documents the same rule at scale 4.)
+    */
+  private def round(c: org.apache.spark.sql.Column, scale: Int)
+      : org.apache.spark.sql.Column = {
+    val f = math.pow(10, scale)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     // contract check is schema-metadata only (no job) — see TableContract
     graft.schema.TableContract.check(name,
@@ -220,7 +246,15 @@ object SparkEntry {
     "f2_dedup_exact" -> ((s, dir) => {
       import s.implicits._
       val all = ingestedUnion(s, dir)
-      EventOps.dedupExact(all, names)
+      // `collection` leads the non-key columns so dedupExact's
+      // deterministic lexicographic-min keeper resolves cross-collection
+      // (user, time) collisions to min(collection) — which the oracle
+      // reproduces exactly (an arbitrary dropDuplicates keeper wouldn't
+      // even be stable across Spark reruns)
+      val ordered = all.select(
+        (Seq("collection") ++ all.columns.filterNot(_ == "collection"))
+          .map(col): _*)
+      EventOps.dedupExact(ordered, names)
         .groupBy($"collection").agg(count(lit(1)).as("n_distinct"))
         .orderBy($"collection")
     }),
@@ -240,16 +274,24 @@ object SparkEntry {
       import s.implicits._
       val ev = tbl(s, dir, "events")
         .repartition(s.sparkContext.defaultParallelism)
+      // null-safe like eventsAsFabricJson: one null column must not null
+      // the whole wire line (the oracle still counts the row)
       val wire = ev.select(concat(
-        lit("""{"project":"demo","collection":""""), $"event_type", lit("\","),
-        lit(""""properties":{"_time":"""), tsMillis(ev), lit(","),
-        lit(""""_user":"u"""), $"user_id", lit("\","),
-        lit(""""value":"""), $"value", lit(","),
+        lit("""{"project":"demo","collection":""""),
+        coalesce($"event_type", lit("")), lit("\","),
+        lit(""""properties":{"_time":"""),
+        coalesce(tsMillis(ev).cast("string"), lit("null")), lit(","),
+        when($"user_id".isNull, lit(""""_user":null,"""))
+          .otherwise(concat(lit(""""_user":"u"""), $"user_id", lit("\","))),
+        lit(""""value":"""), coalesce($"value".cast("string"), lit("null")),
+        lit(","),
         lit(""""seen_at":"""),
-        when($"event_id" % 10 === 0, tsMillis(ev).cast("string"))
-          .otherwise(concat(lit("\""),
-            date_format(timestamp_millis(tsMillis(ev)),
-                        "yyyy-MM-dd'T'HH:mm:ss"), lit("\""))),
+        coalesce(
+          when($"event_id" % 10 === 0, tsMillis(ev).cast("string"))
+            .otherwise(concat(lit("\""),
+              date_format(timestamp_millis(tsMillis(ev)),
+                          "yyyy-MM-dd'T'HH:mm:ss"), lit("\""))),
+          lit("null")),
         lit("}}")).as("value")).as(Encoders.STRING)
       // Schema-fixed parse against a metastore-declared TIMESTAMP column —
       // the reference's shape: column types never change once created
@@ -263,7 +305,13 @@ object SparkEntry {
       val routed = JsonIngest.withRouting(wire, JsonDialect.Rakam)
         .filter($"_project".isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = ev.select($"event_type").distinct().as[String].collect().sorted
+      // iterate the NORMALIZED routing names (withRouting lowercases and
+      // drops invalid ones) — a raw mixed-case name would probe an empty
+      // collection and surface a zero group the oracle doesn't have
+      val out = ev.select($"event_type").distinct().as[String].collect()
+        .filter(t => t != null && CollectionId.isValid("demo", t))
+        .map(t => CollectionId.normalize("demo", t).collection)
+        .distinct.sorted
         .map { t =>
           JsonIngest.parseCollection(routed, CollectionId("demo", t), schema,
               JsonDialect.Rakam)
@@ -273,7 +321,9 @@ object SparkEntry {
         .groupBy($"collection").agg(
           count(lit(1)).as("n_events"),
           count($"seen_at").as("n_seen"),                     // numeric → null
-          sum(unix_timestamp($"_time")).as("sum_time_s"),     // numeric accepted
+          // `div` truncates toward zero like the oracle's `//` — exact
+          // for pre-1970 timestamps where unix_timestamp (floor) differs
+          sum(expr("unix_millis(_time) div 1000")).as("sum_time_s"),
           round(sum($"value"), 2).as("sum_value"))
         .orderBy($"collection")
       out.collect() // materialize before unpersist
@@ -296,15 +346,27 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism)
       // exact-decimal string assembled from integers (double formatting is
       // not engine-stable) + base64 payload of a deterministic string
+      // null-safe per field (one null column must not null the whole
+      // line); composite fields go JSON-null when ANY part is null, the
+      // same null-propagation the oracle's `||` concatenation has
       val wire = ev.select(concat(
-        lit("""{"id":""""), $"event_id", lit("""","metadata":{},"data":{"""),
-        lit(""""_project":"demo","_collection":"dbin","_time":"""), tsMillis(ev), lit(","),
-        lit(""""eid":"""), $"event_id", lit(","),
-        lit("\"amount\":\""), $"event_id", lit("."),
-        lpad(($"user_id" % 1000).cast("string"), 3, "0"), lit("\","),
-        lit("\"payload\":\""),
-        base64(concat($"event_type", lit(":"), $"event_id").cast("binary")),
-        lit("\"}}")).as("value")).as(Encoders.STRING)
+        lit("""{"id":""""), coalesce($"event_id".cast("string"), lit("")),
+        lit("""","metadata":{},"data":{"""),
+        lit(""""_project":"demo","_collection":"dbin","_time":"""),
+        coalesce(tsMillis(ev).cast("string"), lit("null")), lit(","),
+        lit(""""eid":"""), coalesce($"event_id".cast("string"), lit("null")),
+        lit(","),
+        lit("\"amount\":"),
+        when($"event_id".isNull || $"user_id".isNull, lit("null"))
+          .otherwise(concat(lit("\""), $"event_id", lit("."),
+            lpad(($"user_id" % 1000).cast("string"), 3, "0"), lit("\""))),
+        lit(","),
+        lit("\"payload\":"),
+        when($"event_type".isNull || $"event_id".isNull, lit("null"))
+          .otherwise(concat(lit("\""),
+            base64(concat($"event_type", lit(":"), $"event_id").cast("binary")),
+            lit("\""))),
+        lit("}}")).as("value")).as(Encoders.STRING)
       // schema-fixed parse against metastore-DECLARED column types (the
       // d2 pattern): inference would type the JSON string values as
       // STRING; a pre-created DECIMAL/BINARY column coerces instead
@@ -356,12 +418,18 @@ object SparkEntry {
       import s.implicits._
       val ev = tbl(s, dir, "events")
         .repartition(s.sparkContext.defaultParallelism)
+      // null-safe: a null event_type or user_id empties the collection
+      // name, which routing validity then drops — mirrored by the
+      // oracle's user_id IS NOT NULL filter on top of the ing CTE
       val wire = ev.select(concat(
         lit("""{"data":{"_project":"demo","_collection":""""),
-        $"event_type", lit("_c"), ($"user_id" % 20), lit("\","),
-        lit(""""_time":"""), tsMillis(ev), lit(","),
-        lit(""""_user":"u"""), $"user_id", lit("\","),
-        lit(""""value":"""), $"value",
+        coalesce(concat($"event_type", lit("_c"), ($"user_id" % 20)), lit("")),
+        lit("\","),
+        lit(""""_time":"""), coalesce(tsMillis(ev).cast("string"), lit("null")),
+        lit(","),
+        when($"user_id".isNull, lit(""""_user":null,"""))
+          .otherwise(concat(lit(""""_user":"u"""), $"user_id", lit("\","))),
+        lit(""""value":"""), coalesce($"value".cast("string"), lit("null")),
         lit("}}")).as("value")).as(Encoders.STRING)
       val base = java.nio.file.Files.createTempDirectory("graft_cons").toString
       val sink = new ColumnarSink(base)
@@ -474,8 +542,14 @@ object SparkEntry {
     // Pricing-summary style aggregate over lineitem.
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
-      tbl(s, dir, "lineitem")
-        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      val li = tbl(s, dir, "lineitem")
+      li
+        // string literal cast to the COLUMN's own type — not
+        // java.sql.Timestamp.valueOf, which builds the instant in the JVM
+        // DEFAULT timezone and shifts the boundary on any driver whose
+        // default tz isn't the session's UTC
+        .filter($"l_shipdate" <=
+          lit("1998-09-01 00:00:00").cast(li.schema("l_shipdate").dataType))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
@@ -675,8 +749,14 @@ object SparkEntry {
         tsTimestamp(evRaw).as("ts"), $"event_type")
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"event_id")
+      // one click per (user, ts), max click_id as the tiebreak: two clicks
+      // at the same microsecond would otherwise resolve arbitrarily in
+      // BOTH engines (the window's last() and DuckDB's ASOF alike),
+      // flipping the hash run-to-run
       val clicks = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("click_id"))
+        .withColumnRenamed("ts", "click_ts")
       graft.operators.AsOfJoin.asOfJoin(
           purchases, clicks, Seq("user_id"), "ts", "click_ts",
           skewBuckets = 8)
@@ -718,7 +798,7 @@ object SparkEntry {
             |         n_nationkey * 1200.0 + 2600.0 AS hi
             |  FROM rj_nation)
             |SELECT band, count(*) AS n,
-            |       round(sum(l_extendedprice), 2) AS sum_price
+            |       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
             |FROM rj_lineitem JOIN bands
             |  ON l_extendedprice >= lo AND l_extendedprice < hi
             |GROUP BY band ORDER BY band""".stripMargin)
@@ -1830,18 +1910,24 @@ object SparkEntry {
     // image/* kernel path (real ImageIO decode) is pinned by MultimodalSpec.
     "mm_features" -> ((s, dir) => {
       import s.implicits._
-      val media = docs(s, dir).select($"doc_id",
+      // text IS NOT NULL on both sides: a null document would DROP from
+      // the kernel pass (no media bytes) while the oracle emits a
+      // null-count row. Exact-count recovery also assumes docs small
+      // enough for float32 ratios to resolve single characters (< ~4 MB;
+      // the synthetic corpus is orders of magnitude under that).
+      val base = docs(s, dir).where($"text".isNotNull)
+      val media = base.select($"doc_id",
         graft.multimodal.Multimodal.asMedia(encode($"text", "utf-8"),
           lit("text/plain")).as("media"))
       val feats = graft.multimodal.Multimodal
         .extractFeatures(media, "doc_id", "media", 16)
-      feats.join(docs(s, dir).select($"doc_id", length($"text").as("n_chars")),
+      feats.join(base.select($"doc_id", length($"text").as("n_chars")),
           "doc_id")
         .select($"doc_id", $"n_chars",
-          round(element_at($"features", 1) * $"n_chars").cast("long").as("b0_cnt"),
-          round(element_at($"features", 6) * $"n_chars").cast("long").as("b5_cnt"),
-          round(element_at($"features", 11) * $"n_chars").cast("long").as("b10_cnt"),
-          round(element_at($"features", 16) * $"n_chars").cast("long").as("b15_cnt"))
+          org.apache.spark.sql.functions.round(element_at($"features", 1) * $"n_chars").cast("long").as("b0_cnt"),
+          org.apache.spark.sql.functions.round(element_at($"features", 6) * $"n_chars").cast("long").as("b5_cnt"),
+          org.apache.spark.sql.functions.round(element_at($"features", 11) * $"n_chars").cast("long").as("b10_cnt"),
+          org.apache.spark.sql.functions.round(element_at($"features", 16) * $"n_chars").cast("long").as("b15_cnt"))
         .orderBy($"doc_id")
     }),
   )
@@ -1851,9 +1937,14 @@ object SparkEntry {
     */
   private def mmAnnCompose(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = docs(s, dir).select($"doc_id",
-      graft.multimodal.Multimodal.asMedia(encode($"text", "utf-8"),
-        lit("text/plain")).as("media"))
+    // null/empty docs are excluded on BOTH sides: the oracle's
+    // count/length(text) feature divides by zero for an empty doc (NULL
+    // in DuckDB) while the kernel guard yields a zero vector
+    val media = docs(s, dir)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id",
+        graft.multimodal.Multimodal.asMedia(encode($"text", "utf-8"),
+          lit("text/plain")).as("media"))
     val feats = graft.multimodal.Multimodal
       .extractFeatures(media, "doc_id", "media", 16)
       .persist()
@@ -2159,25 +2250,46 @@ object SparkEntry {
        |          HAVING count(*) <= 1000),
        |bands AS (SELECT bands0.* FROM bands0 JOIN stopb USING (band))""".stripMargin
 
+  /** Shared oracle CTE mirroring the engine's ingest ROUTING rules
+    * (`CollectionId.isValid` + `normalize`, FieldType.scala): records with
+    * an invalid collection name (empty, >100 chars, leading '_'/'.', path
+    * separators, control chars) are dropped by the parse path, and valid
+    * names are lowercased. Every oracle over INGESTED data must apply the
+    * same rules or mixed-case / reserved-prefix event types diverge.
+    * Exposes the full events row plus `coll` (the normalized collection).
+    */
+  private def ingestedEventsCte: String =
+    """ing AS (
+      |  SELECT lower(event_type) AS coll, * FROM events
+      |  WHERE event_type IS NOT NULL AND event_type <> ''
+      |    AND length(event_type) <= 100
+      |    AND substr(event_type, 1, 1) NOT IN ('_', '.')
+      |    AND position('/' IN event_type) = 0
+      |    AND position('\' IN event_type) = 0
+      |    AND NOT regexp_matches(event_type, '[\x00-\x1f\x7f-\x9f]'))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "d7_ingest_route" ->
-      """SELECT event_type AS collection,
+      s"""WITH $ingestedEventsCte
+        |SELECT coll AS collection,
         |       count(*) AS n_events,
-        |       round(sum(value), 2) AS sum_value,
-        |       round(sum(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS sum_props_k,
+        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
+        |       floor((sum(CAST(json_extract(props, '$$.k') AS DOUBLE))) * 100 + 0.5) / 100 AS sum_props_k,
         |       count(*) AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f1_whitelist" ->
-      """SELECT event_type AS collection, count(*) AS count
-        |FROM events WHERE event_type IN ('purchase','view','click')
+      s"""WITH $ingestedEventsCte
+        |SELECT coll AS collection, count(*) AS count
+        |FROM ing WHERE coll IN ('purchase','view','click')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f4_day_split" ->
-      """WITH t AS (
+      s"""WITH $ingestedEventsCte,
+        |t AS (
         |  SELECT date_diff('day', CAST(ts AS DATE),
-        |                   (SELECT max(CAST(ts AS DATE)) FROM events)) AS di
-        |  FROM events),
+        |                   (SELECT max(CAST(ts AS DATE)) FROM ing)) AS di
+        |  FROM ing),
         |tot AS (SELECT count(*) AS n FROM t),
         |hist AS (SELECT di, count(*) AS c FROM t WHERE di > 1 GROUP BY di),
         |promoted AS (SELECT di FROM hist, tot WHERE c > 1000 AND c > 0.25 * n)
@@ -2186,66 +2298,98 @@ object SparkEntry {
         |       count(*) AS n
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Deterministic keeper: the engine's dedupExact keeps the row whose
+    // remaining-column struct is the lexicographic MINIMUM — the query
+    // orders `collection` first, so the survivor's collection is
+    // min(coll) per key. Null-key rows pass through undeduplicated
+    // (reference isUnique semantics) instead of collapsing via DISTINCT.
     "f2_dedup_exact" ->
-      """SELECT event_type AS collection, count(*) AS n_distinct FROM (
-        |  SELECT DISTINCT event_type, user_id, epoch_ms(CAST(ts AS TIMESTAMP))
-        |  FROM events)
-        |t(event_type, user_id, ms) GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $ingestedEventsCte,
+        |t AS (SELECT coll, user_id,
+        |             epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM ing),
+        |keyed AS (
+        |  SELECT min(coll) AS collection FROM t
+        |  WHERE user_id IS NOT NULL AND ms IS NOT NULL
+        |  GROUP BY user_id, ms),
+        |nulls AS (
+        |  SELECT coll AS collection FROM t
+        |  WHERE user_id IS NULL OR ms IS NULL),
+        |u AS (SELECT collection FROM keyed
+        |      UNION ALL SELECT collection FROM nulls)
+        |SELECT collection, count(*) AS n_distinct
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d5_avro_roundtrip" ->
-      """SELECT count(*) AS n,
-        |       round(sum(value), 2) AS sum_value,
-        |       round(sum(CASE WHEN event_id % 10 = 0 THEN NULL
-        |                 ELSE CAST(json_extract(props, '$.k') AS DOUBLE) END), 2) AS sum_k,
-        |       count(CASE WHEN event_id % 10 = 0 THEN NULL ELSE 1 END) AS n_k,
+      s"""WITH $ingestedEventsCte
+        |SELECT count(*) AS n,
+        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
+        |       floor(sum(CASE WHEN event_id % 10 = 0 THEN NULL
+        |                 ELSE CAST(json_extract(props, '$$.k') AS DOUBLE) END)
+        |             * 100 + 0.5) / 100 AS sum_k,
+        |       count(CASE WHEN event_id % 10 = 0 THEN NULL
+        |             ELSE CAST(json_extract(props, '$$.k') AS DOUBLE) END) AS n_k,
         |       max(make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000)) AS max_time
-        |FROM events""".stripMargin,
+        |FROM ing""".stripMargin,
 
     // Rakam numeric-timestamp rule: seen_at is numeric (→ null) for
     // event_id % 10 = 0, an ISO second-precision string otherwise; the
     // canonical _time accepts numeric millis in both dialects.
+    // sum_time_s divides with // (truncation toward zero) — the engine
+    // mirrors it with `div`, exact for pre-1970 timestamps too.
     "d2_rakam_ingest" ->
-      """SELECT event_type AS collection,
+      s"""WITH $ingestedEventsCte
+        |SELECT coll AS collection,
         |       count(*) AS n_events,
-        |       count(CASE WHEN event_id % 10 = 0 THEN NULL ELSE 1 END) AS n_seen,
+        |       count(CASE WHEN event_id % 10 = 0 OR ts IS NULL
+        |             THEN NULL ELSE 1 END) AS n_seen,
         |       sum(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000)::BIGINT AS sum_time_s,
-        |       round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DECIMAL(38,18) prints at full scale in both engines; the binary
     // payload compares as md5-of-bytes + byte length (blob values do not
-    // hash-compare portably across parquet readers).
+    // hash-compare portably across parquet readers). Payload bytes carry
+    // the RAW event_type (content, not routing) — only the validity
+    // filter applies, not the lowercase.
     "d_decimal_binary_roundtrip" ->
-      """SELECT event_id AS eid,
+      s"""WITH $ingestedEventsCte
+        |SELECT event_id AS eid,
         |       CAST(CAST(event_id || '.' || lpad((user_id % 1000)::VARCHAR, 3, '0')
         |                 AS DECIMAL(38,18)) AS VARCHAR) AS amount_str,
         |       md5(event_type || ':' || event_id) AS payload_md5,
         |       length(event_type || ':' || event_id)::BIGINT AS payload_len
-        |FROM events ORDER BY 1""".stripMargin,
+        |FROM ing ORDER BY 1""".stripMargin,
 
     "k1_sink_roundtrip" ->
-      """SELECT event_type AS collection, count(*) AS n,
-        |       round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $ingestedEventsCte
+        |SELECT coll AS collection, count(*) AS n,
+        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "k1_consolidated_roundtrip" ->
-      """SELECT event_type || '_c' || CAST(user_id % 20 AS VARCHAR) AS collection,
-        |       count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $ingestedEventsCte
+        |SELECT coll || '_c' || CAST(user_id % 20 AS VARCHAR) AS collection,
+        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM ing WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e2e_pipeline" ->
-      """WITH t AS (
-        |  SELECT event_type, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+      s"""WITH $ingestedEventsCte,
+        |t AS (
+        |  SELECT coll, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
         |         date_diff('day', CAST(ts AS DATE),
-        |                   (SELECT max(CAST(ts AS DATE)) FROM events)) AS di
-        |  FROM events),
+        |                   (SELECT max(CAST(ts AS DATE)) FROM ing)) AS di
+        |  FROM ing),
         |tot AS (SELECT count(*) AS n FROM t),
         |hist AS (SELECT di, count(*) AS c FROM t WHERE di > 1 GROUP BY di),
         |promoted AS (SELECT di FROM hist, tot WHERE c > 1000 AND c > 0.25 * n),
         |rt AS (SELECT * FROM t WHERE di <= 1 OR di IN (SELECT di FROM promoted)),
-        |d AS (SELECT DISTINCT event_type, user_id, ms FROM rt)
-        |SELECT event_type AS collection, count(*) AS n
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+        |d AS (SELECT DISTINCT coll, user_id, ms FROM rt
+        |      WHERE user_id IS NOT NULL AND ms IS NOT NULL),
+        |nl AS (SELECT coll FROM rt WHERE user_id IS NULL OR ms IS NULL),
+        |u AS (SELECT coll FROM d UNION ALL SELECT coll FROM nl)
+        |SELECT coll AS collection, count(*) AS n
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q4_semi_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
@@ -2262,13 +2406,13 @@ object SparkEntry {
 
     "q7_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q8_below_avg_qty" ->
-      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      """SELECT count(*) AS n, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
         |FROM lineitem l
         |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
         |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.p_key
@@ -2304,7 +2448,7 @@ object SparkEntry {
       """WITH bands AS (
         |  SELECT i AS band, i * 1500.0 AS lo, i * 1500.0 + 3000.0 AS hi
         |  FROM unnest(generate_series(0, 39)) AS t(i))
-        |SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |SELECT band, count(*) AS n, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
         |FROM lineitem JOIN bands
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2314,7 +2458,7 @@ object SparkEntry {
         |  SELECT n_nationkey AS band, n_nationkey * 1200.0 AS lo,
         |         n_nationkey * 1200.0 + 2600.0 AS hi
         |  FROM nation)
-        |SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |SELECT band, count(*) AS n, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
         |FROM lineitem JOIN bands
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2357,8 +2501,9 @@ object SparkEntry {
     "asof_purchase_click" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-        |      FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, c.click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
@@ -2373,10 +2518,10 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+        |       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -2384,7 +2529,7 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2395,7 +2540,7 @@ object SparkEntry {
 
     "q5_region_revenue" ->
       """SELECT r_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2405,7 +2550,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w1_top_order_per_customer" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+      """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS top_price
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey
         |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -2414,7 +2559,7 @@ object SparkEntry {
 
     "w2_tumbling_window" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
-        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q11_retention" ->
@@ -2483,9 +2628,10 @@ object SparkEntry {
     },
 
     "k2_ndjson_roundtrip" ->
-      """SELECT event_type AS collection, count(*) AS n,
-        |       round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $ingestedEventsCte
+        |SELECT coll AS collection, count(*) AS n,
+        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_stats" ->
       s"""WITH ${docAnnotateCte()}
@@ -3172,7 +3318,7 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 5)) AS b5_cnt,
         |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 10)) AS b10_cnt,
         |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 15)) AS b15_cnt
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "text_strip_markup" ->
       """SELECT doc_id,
@@ -3250,8 +3396,9 @@ object SparkEntry {
         |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents),
         |fresh AS (
-        |  SELECT * FROM fps WHERE source <> 'src0'
-        |    AND fp NOT IN (SELECT fp FROM fps WHERE source = 'src0')),
+        |  SELECT * FROM fps b WHERE source <> 'src0'
+        |    AND NOT EXISTS (SELECT 1 FROM fps c
+        |                    WHERE c.source = 'src0' AND c.fp = b.fp)),
         |win AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
         |SELECT f.source, count(*) AS n_kept, sum(f.doc_id)::BIGINT AS id_sum
         |FROM fresh f JOIN win w ON f.doc_id = w.doc_id
@@ -3264,8 +3411,9 @@ object SparkEntry {
         |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents),
         |fresh AS (
-        |  SELECT * FROM fps WHERE source <> 'src0'
-        |    AND fp NOT IN (SELECT fp FROM fps WHERE source = 'src0')),
+        |  SELECT * FROM fps b WHERE source <> 'src0'
+        |    AND NOT EXISTS (SELECT 1 FROM fps c
+        |                    WHERE c.source = 'src0' AND c.fp = b.fp)),
         |win AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
         |SELECT f.source, count(*) AS n_kept, sum(f.doc_id)::BIGINT AS id_sum
         |FROM fresh f JOIN win w ON f.doc_id = w.doc_id
@@ -3613,7 +3761,7 @@ object SparkEntry {
          |    list_transform(generate_series(0, 15), k ->
          |      ((len(list_filter(string_split(text, ''), ch -> ord(ch) % 16 = k))::DOUBLE
          |        / length(text))::FLOAT)::DOUBLE) AS fv
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
          |q AS (SELECT doc_id AS query_id, fv AS qv FROM f WHERE doc_id < 5),
          |c AS (SELECT doc_id AS neighbor_id, fv AS cv FROM f),
          |s AS (SELECT query_id, neighbor_id,

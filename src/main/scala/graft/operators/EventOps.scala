@@ -34,15 +34,35 @@ object EventOps {
     * Rows with a null user or time pass through UNdeduplicated — the
     * reference only drops on a PRESENT key (isUnique), and a plain
     * `dropDuplicates` over the whole frame would silently collapse all
-    * null-key rows. The split is fully deterministic (no synthetic ids in
-    * shuffle keys — a recomputed stage after shuffle-fetch failure must
-    * reproduce identical partitioning); only the keyed branch shuffles.
+    * null-key rows.
+    *
+    * The KEPT row is deterministic: the lexicographic minimum of the
+    * remaining columns (in frame order) wins, via a `min(struct(...))`
+    * aggregate — same single shuffle as `dropDuplicates`, but a stage
+    * recomputed after a shuffle-fetch failure (or a rerun of the query)
+    * reproduces the identical survivor, where `dropDuplicates` keeps an
+    * arbitrary first row per key. Frames carrying a non-orderable column
+    * (e.g. a map) fall back to the arbitrary-keeper `dropDuplicates`.
     */
   def dedupExact(df: DataFrame, names: FieldNames = FieldNames()): DataFrame = {
+    val keyCols = Seq(names.userField, names.timeField)
+    val rest = df.columns.filterNot(keyCols.contains).toSeq
     val hasKey =
       col(names.userField).isNotNull && col(names.timeField).isNotNull
-    df.where(hasKey).dropDuplicates(Seq(names.userField, names.timeField))
-      .unionByName(df.where(!hasKey))
+    val orderable = rest.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(df.schema(c).dataType))
+    val keyed =
+      if (rest.isEmpty || !orderable)
+        df.where(hasKey).dropDuplicates(keyCols)
+      else
+        df.where(hasKey)
+          .groupBy(keyCols.map(col): _*)
+          .agg(min(struct(rest.map(col): _*)).as("_graft_rest"))
+          .select(df.columns.toSeq.map(c =>
+            if (keyCols.contains(c)) col(c)
+            else col("_graft_rest").getField(c).as(c)): _*)
+    keyed.unionByName(df.where(!hasKey))
   }
 
   /** Result of the real-time/historical split (F4). */

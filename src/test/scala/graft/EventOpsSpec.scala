@@ -73,6 +73,26 @@ class EventOpsSpec extends SparkSpec {
     assert(EventOps.dedupExact(withNulls).count() == 3)
   }
 
+  test("dedupExact keeps a DETERMINISTIC row: lexicographic min of the rest") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // same (user, time) key across different collections/values: the
+    // survivor must be the smallest remaining tuple — stable across
+    // reruns and recomputed stages, where dropDuplicates keeps whichever
+    // row a partition happens to deliver first
+    val df = Seq(
+      ("views", "u1", t, 9.0), ("clicks", "u1", t, 5.0),
+      ("clicks", "u1", t, 2.0), ("buys", "u2", t, 1.0))
+      .toDF("collection", "_user", "_time", "v")
+      .repartition(8)
+    (1 to 3).foreach { _ =>
+      val out = EventOps.dedupExact(df).orderBy("_user")
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+      assert(out == Seq(("clicks", 2.0), ("buys", 1.0)),
+        s"nondeterministic or wrong keeper: $out")
+    }
+  }
+
   test("concatBatches aligns evolving schemas by name") {
     import spark.implicits._
     val a = Seq((1.0, "x")).toDF("v", "s")
