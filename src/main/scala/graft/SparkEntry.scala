@@ -362,9 +362,14 @@ object SparkEntry {
             lpad(($"user_id" % 1000).cast("string"), 3, "0"), lit("\""))),
         lit(","),
         lit("\"payload\":"),
+        // payload source truncated to 40 chars so the base64 stays under
+        // 76 chars: Spark's base64() MIME-chunks longer output with CRLF,
+        // which is invalid inside a JSON string (the parser rightly
+        // drops such a record — found by the hostile-regeneration drill)
         when($"event_type".isNull || $"event_id".isNull, lit("null"))
           .otherwise(concat(lit("\""),
-            base64(concat($"event_type", lit(":"), $"event_id").cast("binary")),
+            base64(concat(substring($"event_type", 1, 40), lit(":"),
+              $"event_id").cast("binary")),
             lit("\""))),
         lit("}}")).as("value")).as(Encoders.STRING)
       // schema-fixed parse against metastore-DECLARED column types (the
@@ -664,6 +669,9 @@ object SparkEntry {
       import s.implicits._
       val ev = tbl(s, dir, "events")
       ev.select($"user_id", timestamp_millis(tsMillis(ev)).as("t"))
+        // session_window silently drops null-timestamp rows; make the
+        // exclusion explicit so the oracle mirrors it
+        .where($"t".isNotNull)
         .groupBy($"user_id", session_window($"t", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .groupBy($"user_id").agg(
@@ -691,7 +699,11 @@ object SparkEntry {
         graft.layout.ZOrder.bucketize($"user_id".cast("long"),
           r.getLong(0), r.getLong(1), 8),
         graft.layout.ZOrder.bucketize(ms, r.getLong(2), r.getLong(3), 8)), 8)
+      // null user/ts rows have no z-cell; drop them explicitly — under
+      // LIMIT the engines' opposite NULL sort defaults (Spark first,
+      // DuckDB last) would otherwise select different top-100 sets
       ev.select(z.as("z"))
+        .where($"z".isNotNull)
         .groupBy($"z").agg(count(lit(1)).as("n_rows"))
         .orderBy($"z").limit(100)
     }),
@@ -1984,13 +1996,19 @@ object SparkEntry {
       val wTrunc = new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](trunc)
       rows.map { r =>
-        val truncated = r.getLong(0) % 10 == 0
+        // null event_id writes the FULL schema (the oracle's CASE on a
+        // null id also falls through to non-truncated); every field is
+        // null-tolerant — the avro columns are nullable unions
+        val truncated = !r.isNullAt(0) && r.getLong(0) % 10 == 0
         val schema = if (truncated) trunc else full
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
-        rec.put("_time", r.getLong(1))
+        rec.put("_time",
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
         rec.put("_user", r.getString(2))
-        rec.put("value", r.getDouble(3))
-        if (!truncated) rec.put("k", if (r.isNullAt(4)) null else r.getDouble(4))
+        rec.put("value",
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))
+        if (!truncated) rec.put("k",
+          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)))
         val out = new java.io.ByteArrayOutputStream()
         val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(out, null)
         (if (truncated) wTrunc else wFull).write(rec, enc)
@@ -2275,7 +2293,7 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
         |       floor((sum(CAST(json_extract(props, '$$.k') AS DOUBLE))) * 100 + 0.5) / 100 AS sum_props_k,
-        |       count(*) AS n_users
+        |       count(user_id) AS n_users
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f1_whitelist" ->
@@ -2319,17 +2337,18 @@ object SparkEntry {
         |SELECT collection, count(*) AS n_distinct
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // no routing here: the avro roundtrip encodes EVERY row under one
+    // fixed record name, so no validity filter applies
     "d5_avro_roundtrip" ->
-      s"""WITH $ingestedEventsCte
-        |SELECT count(*) AS n,
+      """SELECT count(*) AS n,
         |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
         |       floor(sum(CASE WHEN event_id % 10 = 0 THEN NULL
-        |                 ELSE CAST(json_extract(props, '$$.k') AS DOUBLE) END)
+        |                 ELSE CAST(json_extract(props, '$.k') AS DOUBLE) END)
         |             * 100 + 0.5) / 100 AS sum_k,
         |       count(CASE WHEN event_id % 10 = 0 THEN NULL
-        |             ELSE CAST(json_extract(props, '$$.k') AS DOUBLE) END) AS n_k,
+        |             ELSE CAST(json_extract(props, '$.k') AS DOUBLE) END) AS n_k,
         |       max(make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000)) AS max_time
-        |FROM ing""".stripMargin,
+        |FROM events""".stripMargin,
 
     // Rakam numeric-timestamp rule: seen_at is numeric (→ null) for
     // event_id % 10 = 0, an ISO second-precision string otherwise; the
@@ -2348,17 +2367,17 @@ object SparkEntry {
 
     // DECIMAL(38,18) prints at full scale in both engines; the binary
     // payload compares as md5-of-bytes + byte length (blob values do not
-    // hash-compare portably across parquet readers). Payload bytes carry
-    // the RAW event_type (content, not routing) — only the validity
-    // filter applies, not the lowercase.
+    // hash-compare portably across parquet readers). The collection is
+    // the FIXED "dbin" — event_type is payload CONTENT, so no routing
+    // filter applies; the 40-char truncation mirrors the builder (which
+    // caps the base64 under Spark's 76-char MIME-chunking threshold).
     "d_decimal_binary_roundtrip" ->
-      s"""WITH $ingestedEventsCte
-        |SELECT event_id AS eid,
+      """SELECT event_id AS eid,
         |       CAST(CAST(event_id || '.' || lpad((user_id % 1000)::VARCHAR, 3, '0')
         |                 AS DECIMAL(38,18)) AS VARCHAR) AS amount_str,
-        |       md5(event_type || ':' || event_id) AS payload_md5,
-        |       length(event_type || ':' || event_id)::BIGINT AS payload_len
-        |FROM ing ORDER BY 1""".stripMargin,
+        |       md5(substr(event_type, 1, 40) || ':' || event_id) AS payload_md5,
+        |       strlen(substr(event_type, 1, 40) || ':' || event_id)::BIGINT AS payload_len
+        |FROM events ORDER BY 1""".stripMargin,
 
     "k1_sink_roundtrip" ->
       s"""WITH $ingestedEventsCte
@@ -2557,10 +2576,11 @@ object SparkEntry {
         |      FROM orders WHERE o_custkey < 500)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
+    // ts IS NOT NULL: Spark's window() silently drops null-timestamp rows
     "w2_tumbling_window" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
         |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q11_retention" ->
       """WITH u AS (
@@ -2589,7 +2609,8 @@ object SparkEntry {
     // intervals).
     "w3_sessions" ->
       """WITH t AS (
-        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events
+        |  WHERE ts IS NOT NULL),
         |o AS (
         |  SELECT user_id, ms,
         |         lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
@@ -2623,7 +2644,7 @@ object SparkEntry {
          |         ((ms - tlo) * 255) // GREATEST(1, thi - tlo) AS tb
          |  FROM b, r),
          |c AS (SELECT ($interleave) AS z FROM k)
-         |SELECT z, count(*) AS n_rows FROM c
+         |SELECT z, count(*) AS n_rows FROM c WHERE z IS NOT NULL
          |GROUP BY 1 ORDER BY z LIMIT 100""".stripMargin
     },
 

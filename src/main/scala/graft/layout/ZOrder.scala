@@ -59,7 +59,12 @@ object ZOrder {
       s"bucketize: span $span × $maxB exceeds the exact-division bound; " +
         "use fewer bits or pre-scale the column")
     val clamped = least(lit(hi), greatest(lit(lo), c.cast("long")))
-    floor((clamped - lit(lo)) * lit(maxB) / lit(span.toDouble)).cast("long")
+    // greatest/least SKIP nulls (a null input would silently land in
+    // bucket 0) — propagate null instead: a row without a value has no
+    // cell on this dimension
+    when(c.isNull, lit(null).cast("long"))
+      .otherwise(
+        floor((clamped - lit(lo)) * lit(maxB) / lit(span.toDouble)).cast("long"))
   }
 
   /** Rewrite `df` into z-order on `cols` (numeric/timestamp-free long
