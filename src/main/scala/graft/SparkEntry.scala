@@ -1633,8 +1633,12 @@ object SparkEntry {
     // SimHash (60-bit, token multiset) per document.
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
+      // tokenless documents (null/empty/whitespace text) have NULL
+      // signatures and no row — the oracle's unnest-based replay drops
+      // them the same way
       docs(s, dir).select($"doc_id",
           DedupFunctions.simhash64($"text").as("simhash"))
+        .where($"simhash".isNotNull)
         .orderBy($"doc_id")
     }),
 
@@ -1933,13 +1937,16 @@ object SparkEntry {
           lit("text/plain")).as("media"))
       val feats = graft.multimodal.Multimodal
         .extractFeatures(media, "doc_id", "media", 16)
-      feats.join(base.select($"doc_id", length($"text").as("n_chars")),
+      // the kernel normalizes by BYTE count (the media payload is the
+      // UTF-8 encoding), so the exact-count recovery multiplies by the
+      // OCTET length — length() counts chars and diverges on multibyte
+      feats.join(base.select($"doc_id", octet_length($"text").as("n_bytes")),
           "doc_id")
-        .select($"doc_id", $"n_chars",
-          org.apache.spark.sql.functions.round(element_at($"features", 1) * $"n_chars").cast("long").as("b0_cnt"),
-          org.apache.spark.sql.functions.round(element_at($"features", 6) * $"n_chars").cast("long").as("b5_cnt"),
-          org.apache.spark.sql.functions.round(element_at($"features", 11) * $"n_chars").cast("long").as("b10_cnt"),
-          org.apache.spark.sql.functions.round(element_at($"features", 16) * $"n_chars").cast("long").as("b15_cnt"))
+        .select($"doc_id", $"n_bytes",
+          org.apache.spark.sql.functions.round(element_at($"features", 1) * $"n_bytes").cast("long").as("b0_cnt"),
+          org.apache.spark.sql.functions.round(element_at($"features", 6) * $"n_bytes").cast("long").as("b5_cnt"),
+          org.apache.spark.sql.functions.round(element_at($"features", 11) * $"n_bytes").cast("long").as("b10_cnt"),
+          org.apache.spark.sql.functions.round(element_at($"features", 16) * $"n_bytes").cast("long").as("b15_cnt"))
         .orderBy($"doc_id")
     }),
   )
@@ -2082,7 +2089,12 @@ object SparkEntry {
       |  regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM a)""".stripMargin
 
   private val shinglesSql = // word 3-shingles with the short-text fallback
-    """CASE WHEN len(toks) >= 3
+    // mirrors WordShingles.compute exactly: null text → NULL, zero
+    // tokens → ZERO shingles (not one empty shingle), short text → one
+    // all-tokens shingle
+    """CASE WHEN toks IS NULL THEN NULL
+      |  WHEN len(toks) = 0 THEN []::VARCHAR[]
+      |  WHEN len(toks) >= 3
       |  THEN list_transform(generate_series(1, len(toks) - 2),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
@@ -2160,12 +2172,14 @@ object SparkEntry {
     * lines + tokens per doc, then the per-row duplicate fractions.
     */
   private def repetitionCte(src: String = "documents"): String =
+    // NULL text behaves as empty (all signals zero, one row per doc) —
+    // the engine's Repetition.profile coalesces the same way
     s"""pr AS (
        |  SELECT doc_id,
        |    list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
        |                x -> trim(x)), x -> len(x) > 0) AS ls,
        |    $tokensSql AS toks
-       |  FROM $src),
+       |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM $src)),
        |row_sig AS (
        |  SELECT doc_id, len(ls)::INT AS n_lines,
        |    CASE WHEN len(ls) = 0 THEN 0 ELSE
@@ -2185,7 +2199,10 @@ object SparkEntry {
     s"""g$n AS (
        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $n
        |    THEN list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $concat)
-       |    ELSE [array_to_string(toks, ' ')] END) AS gram
+       |    -- coalesce: array_to_string([]) is NULL; the zero-token doc
+       |    -- must keep its one (zero-weight) gram row, like the engine's
+       |    -- explode_outer
+       |    ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS gram
        |  FROM pr),
        |gc$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g$n GROUP BY 1, 2),
        |tg$n AS (
@@ -2945,8 +2962,12 @@ object SparkEntry {
       val stop = sqlList(TextFunctions.LangMarkers.toMap.apply("en"))
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
          |SELECT doc_id,
-         |  array_to_string(list_filter(toks, x -> NOT list_contains($stop, x)), ' ')
-         |    AS normalized
+         |  CASE WHEN toks IS NULL THEN NULL
+         |       -- array_to_string of an EMPTY list is NULL in DuckDB;
+         |       -- the engine returns '' for a fully-filtered doc
+         |       ELSE coalesce(array_to_string(
+         |         list_filter(toks, x -> NOT list_contains($stop, x)), ' '), '')
+         |  END AS normalized
          |FROM t ORDER BY doc_id""".stripMargin
     },
 
@@ -3088,15 +3109,18 @@ object SparkEntry {
          |          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
          |      FROM g),
          |w AS (SELECT doc_id, len(gs)::BIGINT AS n_grams,
-         |        list_distinct(CASE WHEN len(hs) >= 8
-         |          THEN list_transform(generate_series(1, len(hs) - 7),
-         |                 i -> list_min(hs[i:i+7]))
-         |          ELSE [list_min(hs)] END) AS fp
+         |        CASE WHEN hs IS NULL THEN NULL
+         |             WHEN len(hs) = 0 THEN []::BIGINT[]
+         |             WHEN len(hs) >= 8 THEN list_distinct(
+         |               list_transform(generate_series(1, len(hs) - 7),
+         |                 i -> list_min(hs[i:i+7])))
+         |             ELSE list_distinct([list_min(hs)]) END AS fp
          |      FROM h)
          |SELECT doc_id, n_grams, len(fp)::BIGINT AS n_fp,
-         |  list_reduce(list_prepend(0,
-         |    list_transform(fp, x -> x % 1000000007)),
-         |    (a, b) -> (a + b) % 1000000007)::BIGINT AS fp_checksum
+         |  CASE WHEN fp IS NULL THEN NULL
+         |       ELSE list_reduce(list_prepend(0,
+         |         list_transform(fp, x -> x % 1000000007)),
+         |         (a, b) -> (a + b) % 1000000007)::BIGINT END AS fp_checksum
          |FROM w ORDER BY doc_id""".stripMargin,
 
     // per-source cap replay: quality annotation CTE + a per-source
@@ -3333,13 +3357,23 @@ object SparkEntry {
 
     // Stub text/plain kernel = byte histogram; pure-ASCII corpus makes
     // bucket counts exactly the per-character-class counts below.
+    // the kernel histograms UTF-8 BYTES — replay bytes via hex(encode()),
+    // not ord(char) codepoints, so multibyte text matches exactly
     "mm_features" ->
-      """SELECT doc_id, length(text) AS n_chars,
-        |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 0)) AS b0_cnt,
-        |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 5)) AS b5_cnt,
-        |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 10)) AS b10_cnt,
-        |  len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 15)) AS b15_cnt
-        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n_bytes
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, n_bytes,
+        |    list_transform(generate_series(1, n_bytes),
+        |      i -> ('0x' || substr(hx, 2*i-1, 2))::BIGINT % 16) AS bs
+        |  FROM b)
+        |SELECT doc_id, n_bytes,
+        |  len(list_filter(bs, x -> x = 0)) AS b0_cnt,
+        |  len(list_filter(bs, x -> x = 5)) AS b5_cnt,
+        |  len(list_filter(bs, x -> x = 10)) AS b10_cnt,
+        |  len(list_filter(bs, x -> x = 15)) AS b15_cnt
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_strip_markup" ->
       """SELECT doc_id,
@@ -3364,7 +3398,8 @@ object SparkEntry {
         |            ' row ', '.' || chr(10)), ' value ', '.' || chr(10))
         |      || CASE WHEN contains(text, 'vector vector') THEN ' {'
         |              ELSE '' END AS text
-        |  FROM documents),
+        |  -- null text behaves as empty, matching the engine coalesce
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
         |l AS (
         |  SELECT doc_id, text,
         |    list_filter(list_transform(string_split_regex(text, '\r?\n'),
@@ -3448,7 +3483,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id,
         |    replace(replace(text, ' row ', chr(10)), ' value ', chr(10)) AS t
-        |  FROM documents),
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
         |ls AS (
         |  SELECT doc_id,
         |    list_filter(list_transform(string_split_regex(t, '\r?\n'),
@@ -3729,21 +3764,22 @@ object SparkEntry {
     "ann_ivfpq_topk" -> annRecallOracleSql(3000),
     "ann_lsh_topk" -> annRecallOracleSql(5000),
 
-    // Double Rabin-Karp over the normalized text's bytes, mirrored with
-    // two list_reduce folds (the corpus is pure ASCII: ord(char) = byte —
-    // the same property the mm_features oracle leans on). Empty text folds
-    // to 0 on both sides; NULL text stays NULL.
+    // Double Rabin-Karp over the normalized text's UTF-8 BYTES — the
+    // byte stream comes back through hex(encode(t)) so multibyte text
+    // replays exactly (ord(char) would walk codepoints and diverge).
+    // Empty text folds to 0 on both sides; NULL text stays NULL.
     "text_rolling_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id,
         |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, t,
-        |         list_transform(string_split(t, ''), ch -> ord(ch)::BIGINT) AS cs
+        |  SELECT doc_id, t, hex(encode(t)) AS hx,
+        |         list_transform(generate_series(1, strlen(t)),
+        |           i -> ('0x' || substr(hx, 2*i-1, 2))::BIGINT) AS cs
         |  FROM n)
         |SELECT doc_id,
-        |  CASE WHEN t IS NULL THEN NULL
+        |  CASE WHEN t IS NULL THEN NULL -- (rolling-fp null-text guard)
         |       WHEN length(t) = 0 THEN 0
         |       ELSE (list_reduce(list_prepend(0::BIGINT, cs),
         |               (h, c) -> (h * 257 + c) % 2147483647) << 31)
@@ -3777,12 +3813,18 @@ object SparkEntry {
         |       1::BIGINT AS recall_ok, 1::BIGINT AS precision_ok""".stripMargin,
 
     "mm_ann_compose" ->
-      s"""WITH f AS (
+      s"""WITH b AS (
+         |  SELECT doc_id, strlen(text) AS n_bytes,
+         |    list_transform(generate_series(1, strlen(text)),
+         |      i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT % 16)
+         |      AS bs
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |f AS (
          |  SELECT doc_id,
          |    list_transform(generate_series(0, 15), k ->
-         |      ((len(list_filter(string_split(text, ''), ch -> ord(ch) % 16 = k))::DOUBLE
-         |        / length(text))::FLOAT)::DOUBLE) AS fv
-         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |      ((len(list_filter(bs, x -> x = k))::DOUBLE
+         |        / n_bytes)::FLOAT)::DOUBLE) AS fv
+         |  FROM b),
          |q AS (SELECT doc_id AS query_id, fv AS qv FROM f WHERE doc_id < 5),
          |c AS (SELECT doc_id AS neighbor_id, fv AS cv FROM f),
          |s AS (SELECT query_id, neighbor_id,

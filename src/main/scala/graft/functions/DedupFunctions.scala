@@ -241,6 +241,10 @@ object DedupFunctions {
         col(idCol).as("_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"),
         minhashSignature(col(textCol), k, shingleSize).as("_sig"))
+      // null-signature skip (tokenless docs): bandKeys' concat_ws would
+      // otherwise fold the null signature into one shared band key and
+      // pair every blank document with every other
+      .where(col("_sig").isNotNull)
       .withColumn("_band", explode(bandKeys(col("_sig"), nBands, rowsPerBand)))
       .select(col("_id"), col("_toks"), col("_band")),
       maxBandFreq, "_band")

@@ -142,7 +142,10 @@ object SimilarityFunctions {
       */
     def assign(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
       import org.apache.spark.ml.functions.array_to_vector
-      val c = corpus.select(col(idCol).as("neighbor_id"),
+      // null vectors carry no signal and crash array_to_vector — skipped,
+      // like null-signature rows in the hash-dedup family
+      val c = corpus.where(col(vecCol).isNotNull)
+        .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
       model.transform(c.withColumn("features", array_to_vector(col("_cv"))))
         .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
@@ -162,7 +165,8 @@ object SimilarityFunctions {
       */
     def assignProbes(corpus: DataFrame, idCol: String, vecCol: String,
                      probes: Int): DataFrame = {
-      val c = corpus.select(col(idCol).as("neighbor_id"),
+      val c = corpus.where(col(vecCol).isNotNull) // null vectors: no cell
+        .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
       val ranked = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
         val cent = typedlit(v.toArray.toSeq)
@@ -201,6 +205,7 @@ object SimilarityFunctions {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val all = corpus
+      .where(col(vecCol).isNotNull) // null vectors train nothing
       .select(col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("features", array_to_vector(col("_cv")))
     val n = all.count()
@@ -471,7 +476,7 @@ object SimilarityFunctions {
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8, codes: Int = 16,
               seed: Long = 42L, maxTrainRows: Long = 100000L): PqIndex = {
     // train on NORMALIZED vectors — encode/search normalize the same way
-    val all = corpus.select(
+    val all = corpus.where(col(vecCol).isNotNull).select(
       l2Normalize(col(vecCol).cast("array<double>")).as("_cv"))
     val n = all.count()
     val train = if (n <= maxTrainRows) all

@@ -25,6 +25,19 @@ import java.security.MessageDigest
 object Hash60 {
   val M61 = 2305843009213693951L // 2^61 - 1
 
+  /** True when the token array carries nothing hashable (empty or
+    * all-null) — signature kernels return NULL for such inputs.
+    */
+  def noTokens(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
@@ -57,15 +70,26 @@ object Hash60 {
   */
 case class MinHash60(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty (or all-null) shingle sets have NO signature: min over nothing
+  // is undefined, and a constant placeholder would make every empty
+  // document collide in every band. NULL follows the family's
+  // null-signature-skip convention (and the SQL oracles' list semantics).
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"minhash60 needs array<string>, got $other")
   }
-  override protected def nullSafeEval(input: Any): Any =
-    MinHash60.compute(input.asInstanceOf[ArrayData], k)
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (Hash60.noTokens(a)) null else MinHash60.compute(a, k)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.expressions.MinHash60.compute($c, $k)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (graft.functions.expressions.Hash60.noTokens($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.expressions.MinHash60.compute($c, $k);
+      }""")
   override protected def withNewChildInternal(newChild: Expression): MinHash60 =
     copy(child = newChild)
 }
@@ -100,15 +124,25 @@ object MinHash60 {
   */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  // empty/all-null token sets: NULL, not an all-zero hash — a zero
+  // placeholder would pair every empty document with every other at
+  // Hamming distance 0 (see MinHash60's identical rule).
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"simhash60 needs array<string>, got $other")
   }
-  override protected def nullSafeEval(input: Any): Any =
-    SimHash60.compute(input.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (Hash60.noTokens(a)) null else SimHash60.compute(a)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.expressions.SimHash60.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (graft.functions.expressions.Hash60.noTokens($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.expressions.SimHash60.compute($c);
+      }""")
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
@@ -176,7 +210,12 @@ object WordShingles {
 
   def compute(s: UTF8String, n: Int): ArrayData = {
     val toks = tokenize(s)
-    if (toks.length < n) {
+    if (toks.isEmpty) {
+      // zero tokens → zero shingles (NOT one empty shingle, which would
+      // give every blank document the same signature); the SQL replays
+      // agree — their token lists are empty here
+      new GenericArrayData(Array.empty[Any])
+    } else if (toks.length < n) {
       new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
     } else {
       val out = new Array[Any](toks.length - n + 1)

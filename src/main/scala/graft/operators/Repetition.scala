@@ -52,13 +52,17 @@ object Repetition {
                            n: Int, outName: String): DataFrame =
     docs
       .select(col(idCol),
-        explode(TextFunctions.shingles(coalesce(col(textCol), lit("")), n)).as("gram"))
+        // explode_OUTER: a zero-token document has ZERO shingles now and
+        // must still emit its one profile row (all-zero signals), not
+        // vanish from the inner joins in profile()
+        explode_outer(TextFunctions.shingles(coalesce(col(textCol), lit("")), n))
+          .as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
       .agg(
-        min_by(col("cnt") * length(col("gram")),
+        min_by(coalesce(col("cnt") * length(col("gram")), lit(0L)),
           struct((-col("cnt")).as("nc"), col("gram"))).as("gram_chars"),
-        sum(col("cnt") * length(col("gram"))).as("total_chars"))
+        sum(coalesce(col("cnt") * length(col("gram")), lit(0L))).as("total_chars"))
       .select(col(idCol), bpShare(col("gram_chars"), col("total_chars")).as(outName))
 
   /** Per-document repetition profile:

@@ -15,6 +15,9 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0).getAs[Int]("n") == 4)
     assert(out(0).getSeq[String](1).toSeq == Seq("the quick", "quick brown", "brown fox"))
     assert(out(1).getAs[Int]("n") == 0)
+    // zero tokens → ZERO shingles (an '' shingle would give every blank
+    // doc the same signature; found by the hostile-regeneration drill)
+    assert(out(1).getSeq[String](1).isEmpty)
     assert(out(2).getSeq[String](1).toSeq == Seq("one")) // short text → whole text
   }
 
@@ -482,6 +485,23 @@ class TextFunctionsSpec extends SparkSpec {
 }
 
 class DedupFunctionsSpec extends SparkSpec {
+
+  test("tokenless docs get NULL signatures and never pair with each other") {
+    import spark.implicits._
+    val df = Seq((1L, Option("")), (2L, Option("  \t ")), (3L, Option.empty[String]),
+        (4L, Option("real text content here for hashing")))
+      .toDF("doc_id", "text")
+    val sigs = df.select(
+      DedupFunctions.minhashSignature($"text", 12).as("sig"),
+      DedupFunctions.simhash64($"text").as("sh")).collect()
+    assert(sigs.take(3).forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      "blank docs must have NULL signatures")
+    assert(!sigs(3).isNullAt(0) && !sigs(3).isNullAt(1))
+    // and the pair generator emits nothing for them (a constant placeholder
+    // signature would pair every blank doc with every other blank doc)
+    val pairs = DedupFunctions.minhashCandidates(df, "doc_id", "text")
+    assert(pairs.where($"id_a" <= 3 || $"id_b" <= 3).count() == 0)
+  }
 
   test("hash60 is deterministic and 60-bit") {
     import spark.implicits._
