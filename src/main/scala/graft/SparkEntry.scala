@@ -499,7 +499,11 @@ object SparkEntry {
         expr("percentile(l_extendedprice, 0.85)").as("p85"),
         expr("percentile(l_extendedprice, 0.95)").as("p95"))
       // Exact distinct via two-stage hash agg — no Expand, pure codegen.
-      val ex = li.select($"l_returnflag", $"l_orderkey").distinct()
+      // null keys excluded: count(DISTINCT x) skips nulls (and so does
+      // the HLL sketch) — the unfiltered distinct would count the NULL
+      // group as one extra "order"
+      val ex = li.select($"l_returnflag", $"l_orderkey")
+        .where($"l_orderkey".isNotNull).distinct()
         .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_orders"))
       sk.join(broadcast(ex), "l_returnflag")
         .select(
