@@ -335,6 +335,51 @@ object StressBench {
       }
     }
 
+    if (want("layout")) {
+      // ---- Z-order + stats manifest at 10×: rewrite cost is ONE range
+      // shuffle; the payoff is measured directly as scan-vs-scan latency
+      // and files kept for a 2-D box on the non-sorted dimension.
+      import graft.layout.{StatsIndex, ZOrder}
+      val n = 200000L * factor
+      val files = 512
+      val data = spark.range(n).select(
+        col("id").as("y"),
+        pmod(hash(col("id")), lit(500000)).cast("long").as("x"),
+        (col("id") * 7 % 997).as("payload"))
+      val natDir = s"$tmp/layout_nat"
+      val zDir = s"$tmp/layout_z"
+      timed("layout_natural_write_sec") {
+        data.repartitionByRange(files, col("y")).sortWithinPartitions("y")
+          .write.mode("overwrite").parquet(natDir)
+      }
+      timed("layout_zorder_write_sec") {
+        ZOrder.zorder(data, Seq("x", "y"), bits = 14, numPartitions = files)
+          .write.mode("overwrite").parquet(zDir)
+      }
+      val nIdx = timed("layout_index_build_sec") {
+        StatsIndex.build(spark, zDir, Seq("x", "y"))
+      }
+      out("layout_index_files") = nIdx.toString
+      val pred = col("x").between(10000L, 19999L) &&
+        col("y").between(n / 4, n / 4 + n / 20)
+      val full = timed("layout_fullscan_filter_sec") {
+        spark.read.parquet(natDir).filter(pred).count()
+      }
+      val zScan = timed("layout_zscan_filter_sec") {
+        spark.read.parquet(zDir).filter(pred).count()
+      }
+      val prunedDf = StatsIndex.prunedRead(spark, zDir,
+        Seq(("x", 10000L, 19999L), ("y", n / 4, n / 4 + n / 20)))
+      val pruned = timed("layout_manifest_pruned_sec") {
+        prunedDf.filter(pred).count()
+      }
+      out("layout_files_kept") = prunedDf
+        .select(input_file_name()).distinct().count().toString
+      require(full == zScan && zScan == pruned,
+        s"layout results diverged: $full/$zScan/$pruned")
+      out("layout_rows_matched") = full.toString
+    }
+
     println(out.map { case (k, v) =>
       val quoted = if (v.matches("-?[0-9.]+|true|false")) v else "\"" + v + "\""
       "\"" + k + "\":" + quoted
