@@ -66,14 +66,14 @@ object SparkEntry {
       lit("""{"id":""""), coalesce(col("event_id").cast("string"), lit("")),
       lit("""","metadata":{},"data":{"""),
       lit(""""_project":"demo","_collection":""""),
-      coalesce(col("event_type"), lit("")), lit("\","),
+      coalesce(jsonEsc(col("event_type")), lit("")), lit("\","),
       lit(""""_time":"""), coalesce(tsMillis(ev).cast("string"), lit("null")),
       lit(","),
       when(col("user_id").isNull, lit(""""_user":null,"""))
         .otherwise(concat(lit(""""_user":"u"""), col("user_id"), lit("\","))),
       lit(""""value":"""), coalesce(col("value").cast("string"), lit("null")),
       lit(","),
-      lit(""""props":"""), coalesce(col("props"), lit("null")),
+      lit(""""props":"""), propsOrNull(col("props")),
       lit("}}")).as("value")).as(Encoders.STRING)
   }
 
@@ -144,6 +144,22 @@ object SparkEntry {
     floor(c * lit(f) + lit(0.5)) / lit(f)
   }
 
+  /** JSON string-escape for values interpolated into synthesized wire
+    * lines: backslash first, then quote — a routing name like `say "hi"`
+    * is VALID (no separators/control chars) and must survive the JSON
+    * round-trip instead of corrupting the whole line.
+    */
+  private def jsonEsc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
+  /** Raw `props` JSON embedded into a wire line, or JSON null when the
+    * stored string is not valid JSON (a malformed props value must not
+    * take the whole EVENT down — the row survives with null props on
+    * both engines; oracles guard with json_valid the same way).
+    */
+  private def propsOrNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(get_json_object(c, "$").isNotNull, c).otherwise(lit("null"))
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     // contract check is schema-metadata only (no job) — see TableContract
     graft.schema.TableContract.check(name,
@@ -181,10 +197,25 @@ object SparkEntry {
     parsed
   }
 
-  /** Stable union of the per-collection frames with a collection column. */
+  /** Stable union of the per-collection frames with a collection column.
+    * MAP columns are normalized to their JSON encoding first: collections
+    * can legitimately infer DIFFERENT map value types for the same nested
+    * field (numeric k in one collection, string k in another), and the
+    * union's type coercion would insert a runtime-failing cast — as a
+    * JSON string the column unions losslessly, stays orderable (the
+    * deterministic dedup keeper needs that), and consumers extract with
+    * get_json_object + try_cast.
+    */
   private def ingestedUnion(s: SparkSession, dir: String): DataFrame =
     ingested(s, dir).toSeq.sortBy(_._1.collection).map { case (id, df) =>
-      df.withColumn("collection", lit(id.collection))
+      val jsonSafe = df.columns.foldLeft(df) { (d, c) =>
+        d.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            d.withColumn(c, to_json(col(c)))
+          case _ => d
+        }
+      }
+      jsonSafe.withColumn("collection", lit(id.collection))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -211,7 +242,11 @@ object SparkEntry {
       ingestedUnion(s, dir).groupBy($"collection").agg(
           count(lit(1)).as("n_events"),
           round(sum($"value"), 2).as("sum_value"),
-          round(sum(element_at($"props", "k")), 2).as("sum_props_k"),
+          // props is JSON-normalized by ingestedUnion; try_cast: a
+          // non-numeric k contributes NULL (D3 mismatch-skip semantics),
+          // never an ANSI cast failure
+          round(sum(expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)")), 2)
+            .as("sum_props_k"),
           count($"_user").as("n_users"))
         .orderBy($"collection")
     }),
@@ -278,7 +313,7 @@ object SparkEntry {
       // the whole wire line (the oracle still counts the row)
       val wire = ev.select(concat(
         lit("""{"project":"demo","collection":""""),
-        coalesce($"event_type", lit("")), lit("\","),
+        coalesce(jsonEsc($"event_type"), lit("")), lit("\","),
         lit(""""properties":{"_time":"""),
         coalesce(tsMillis(ev).cast("string"), lit("null")), lit(","),
         when($"user_id".isNull, lit(""""_user":null,"""))
@@ -402,13 +437,18 @@ object SparkEntry {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
       val sink = new ColumnarSink(base)
-      ingested(s, dir).foreach { case (id, df) => sink.insert(id, df) }
-      val back = s.read.option("mergeSchema", "true")
-        .parquet(s"$base/project=demo")
-      back.groupBy($"collection").agg(
-          count(lit(1)).as("n"),
-          round(sum($"value"), 2).as("sum_value"))
-        .orderBy($"collection")
+      val parsed = ingested(s, dir)
+      parsed.foreach { case (id, df) => sink.insert(id, df) }
+      // read back PER COLLECTION (the reference's access pattern — one
+      // table per collection): a cross-collection mergeSchema read can
+      // legitimately fail when two collections infer incompatible nested
+      // types for the same field name
+      parsed.keys.toSeq.sortBy(_.collection).map { id =>
+        sink.read(s, id).agg(
+            count(lit(1)).as("n"),
+            round(sum($"value"), 2).as("sum_value"))
+          .select(lit(id.collection).as("collection"), $"n", $"sum_value")
+      }.reduce(_.unionByName(_)).orderBy($"collection")
     }),
 
     // K1 at collection CARDINALITY: 100 same-schema collections through
@@ -428,7 +468,7 @@ object SparkEntry {
       // oracle's user_id IS NOT NULL filter on top of the ing CTE
       val wire = ev.select(concat(
         lit("""{"data":{"_project":"demo","_collection":""""),
-        coalesce(concat($"event_type", lit("_c"), ($"user_id" % 20)), lit("")),
+        coalesce(concat(jsonEsc($"event_type"), lit("_c"), ($"user_id" % 20)), lit("")),
         lit("\","),
         lit(""""_time":"""), coalesce(tsMillis(ev).cast("string"), lit("null")),
         lit(","),
@@ -469,9 +509,12 @@ object SparkEntry {
         sink.insert(id, EventOps.withShardTime(EventOps.dedupExact(df, names)))
       }
       routed.unpersist(); dec.unpersist()
-      s.read.option("mergeSchema", "true").parquet(s"$base/project=demo")
-        .groupBy($"collection").agg(count(lit(1)).as("n"))
-        .orderBy($"collection")
+      // per-collection read-back (see k1_sink_roundtrip): incompatible
+      // nested types across collections must not fail the whole read
+      parsed.keys.toSeq.sortBy(_.collection).map { id =>
+        sink.read(s, id).agg(count(lit(1)).as("n"))
+          .select(lit(id.collection).as("collection"), $"n")
+      }.reduce(_.unionByName(_)).orderBy($"collection")
     }),
 
     // Approximate sketches (HLL++ cardinality, t-digest-style quantiles).
@@ -1997,7 +2040,7 @@ object SparkEntry {
       tsMillis(evRaw).as("ms"),
       concat(lit("u"), $"user_id").as("_user"),
       $"value",
-      get_json_object($"props", "$.k").cast("double").as("k"))
+      expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)").as("k"))
 
     val decoded = src.mapPartitions { rows =>
       // writer/reader hoisted per partition (reference reuses decoders the
@@ -2313,7 +2356,9 @@ object SparkEntry {
         |SELECT coll AS collection,
         |       count(*) AS n_events,
         |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
-        |       floor((sum(CAST(json_extract(props, '$$.k') AS DOUBLE))) * 100 + 0.5) / 100 AS sum_props_k,
+        |       floor((sum(CASE WHEN props IS NOT NULL AND json_valid(props)
+        |                    THEN TRY_CAST(json_extract(props, '$$.k') AS DOUBLE)
+        |                    END)) * 100 + 0.5) / 100 AS sum_props_k,
         |       count(user_id) AS n_users
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2363,11 +2408,15 @@ object SparkEntry {
     "d5_avro_roundtrip" ->
       """SELECT count(*) AS n,
         |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
-        |       floor(sum(CASE WHEN event_id % 10 = 0 THEN NULL
-        |                 ELSE CAST(json_extract(props, '$.k') AS DOUBLE) END)
+        |       floor(sum(CASE WHEN event_id % 10 = 0
+        |                      OR props IS NULL OR NOT json_valid(props)
+        |                 THEN NULL
+        |                 ELSE TRY_CAST(json_extract(props, '$.k') AS DOUBLE) END)
         |             * 100 + 0.5) / 100 AS sum_k,
-        |       count(CASE WHEN event_id % 10 = 0 THEN NULL
-        |             ELSE CAST(json_extract(props, '$.k') AS DOUBLE) END) AS n_k,
+        |       count(CASE WHEN event_id % 10 = 0
+        |                  OR props IS NULL OR NOT json_valid(props)
+        |             THEN NULL
+        |             ELSE TRY_CAST(json_extract(props, '$.k') AS DOUBLE) END) AS n_k,
         |       max(make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000)) AS max_time
         |FROM events""".stripMargin,
 

@@ -76,6 +76,14 @@ def main(out_dir):
     add(t0, 8, "", 8.0)                  # empty -> dropped
     add(t0, 9, "tab\tname", 9.0)         # control char -> dropped
 
+    # JSON-breaking content in STRING values: quotes/backslashes in a
+    # (valid) routing name, and malformed props JSON
+    add(t0, 20, 'say "hi"', 20.0)        # quote inside event_type
+    add(t0, 21, "back\\slash", 21.0)     # backslash inside event_type
+    add(t0, 22, "view", 22.0, '{"k":')   # truncated props JSON
+    add(t0, 23, "view", 23.0, "not json at all")
+    add(t0, 24, "view", 24.0, '{"k": "quoted \\" inner"}')
+
     # NULLs in every column
     add(None, 10, "view", 10.0)          # null ts -> historical split
     add(t0, None, "view", 11.0)          # null user -> dedup passthrough
