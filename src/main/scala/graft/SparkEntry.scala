@@ -397,14 +397,15 @@ object SparkEntry {
             lpad(($"user_id" % 1000).cast("string"), 3, "0"), lit("\""))),
         lit(","),
         lit("\"payload\":"),
-        // payload source truncated to 40 chars so the base64 stays under
-        // 76 chars: Spark's base64() MIME-chunks longer output with CRLF,
-        // which is invalid inside a JSON string (the parser rightly
-        // drops such a record — found by the hostile-regeneration drill)
+        // payload source bounded in BYTES (12 chars x <=4 UTF-8 bytes +
+        // ':' + <=5 digits = 54 <= 57) so the base64 NEVER crosses the
+        // 76-char threshold where Spark MIME-chunks with CRLF — invalid
+        // inside a JSON string (found by the hostile drill; a chars-only
+        // cap was still breakable by CJK names or 19-digit ids)
         when($"event_type".isNull || $"event_id".isNull, lit("null"))
           .otherwise(concat(lit("\""),
-            base64(concat(substring($"event_type", 1, 40), lit(":"),
-              $"event_id").cast("binary")),
+            base64(concat(substring($"event_type", 1, 12), lit(":"),
+              pmod($"event_id", lit(100000L))).cast("binary")),
             lit("\""))),
         lit("}}")).as("value")).as(Encoders.STRING)
       // schema-fixed parse against metastore-DECLARED column types (the
@@ -742,15 +743,20 @@ object SparkEntry {
       val r = ev.agg(
         min($"user_id".cast("long")), max($"user_id".cast("long")),
         min(ms), max(ms)).head()
+      // an all-null dimension (null min/max) means every row's z is null
+      // — the oracle's NULL arithmetic reaches the same empty result;
+      // degrade the bounds like ZOrder.zorder does instead of NPE-ing
+      def bound(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      val anyAllNull = (0 to 3).exists(r.isNullAt)
       val z = graft.layout.ZOrder.zValue(Seq(
         graft.layout.ZOrder.bucketize($"user_id".cast("long"),
-          r.getLong(0), r.getLong(1), 8),
-        graft.layout.ZOrder.bucketize(ms, r.getLong(2), r.getLong(3), 8)), 8)
+          bound(0), bound(1), 8),
+        graft.layout.ZOrder.bucketize(ms, bound(2), bound(3), 8)), 8)
       // null user/ts rows have no z-cell; drop them explicitly — under
       // LIMIT the engines' opposite NULL sort defaults (Spark first,
       // DuckDB last) would otherwise select different top-100 sets
       ev.select(z.as("z"))
-        .where($"z".isNotNull)
+        .where($"z".isNotNull && lit(!anyAllNull))
         .groupBy($"z").agg(count(lit(1)).as("n_rows"))
         .orderBy($"z").limit(100)
     }),
@@ -2346,9 +2352,14 @@ object SparkEntry {
       |  WHERE event_type IS NOT NULL AND event_type <> ''
       |    AND length(event_type) <= 100
       |    AND substr(event_type, 1, 1) NOT IN ('_', '.')
+      |    -- printable ASCII only (CollectionId.validName): wider
+      |    -- charsets have locale-dependent filesystem path behavior and
+      |    -- are rejected at ingest; ASCII also keeps length() semantics
+      |    -- identical across engines (separators fall in the range, so
+      |    -- '/' and '\' stay explicitly rejected)
       |    AND position('/' IN event_type) = 0
       |    AND position('\' IN event_type) = 0
-      |    AND NOT regexp_matches(event_type, '[\x00-\x1f\x7f-\x9f]'))""".stripMargin
+      |    AND NOT regexp_matches(event_type, '[^ -~]'))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d7_ingest_route" ->
@@ -2439,14 +2450,16 @@ object SparkEntry {
     // payload compares as md5-of-bytes + byte length (blob values do not
     // hash-compare portably across parquet readers). The collection is
     // the FIXED "dbin" — event_type is payload CONTENT, so no routing
-    // filter applies; the 40-char truncation mirrors the builder (which
-    // caps the base64 under Spark's 76-char MIME-chunking threshold).
+    // filter applies; the 12-char/%100000 truncation mirrors the builder
+    // (which byte-bounds the base64 under Spark's MIME-chunk threshold).
     "d_decimal_binary_roundtrip" ->
       """SELECT event_id AS eid,
         |       CAST(CAST(event_id || '.' || lpad((user_id % 1000)::VARCHAR, 3, '0')
         |                 AS DECIMAL(38,18)) AS VARCHAR) AS amount_str,
-        |       md5(substr(event_type, 1, 40) || ':' || event_id) AS payload_md5,
-        |       strlen(substr(event_type, 1, 40) || ':' || event_id)::BIGINT AS payload_len
+        |       md5(substr(event_type, 1, 12) || ':' ||
+        |           ((event_id % 100000) + 100000) % 100000) AS payload_md5,
+        |       strlen(substr(event_type, 1, 12) || ':' ||
+        |              ((event_id % 100000) + 100000) % 100000)::BIGINT AS payload_len
         |FROM events ORDER BY 1""".stripMargin,
 
     "k1_sink_roundtrip" ->

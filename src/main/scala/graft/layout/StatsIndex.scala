@@ -72,22 +72,30 @@ object StatsIndex {
     val matching = idx.filter(keep).select(col("_file")).collect()
       .map(_.getString(0))
 
-    // conservative staleness sweep: files unknown to the index ride along
+    // conservative two-way staleness sweep against ONE directory listing:
+    // files unknown to the index ride along unpruned, and index entries
+    // whose file no longer exists (compaction, overwrite) are skipped
+    // instead of crashing the read
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(root, true)
     val unknown = scala.collection.mutable.ArrayBuffer.empty[String]
+    val present = scala.collection.mutable.HashSet.empty[String]
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
       val partOfIndex = normalize(p.toString).contains(s"/$IndexDirName/")
       val hiddenName = p.getName.startsWith("_") || p.getName.startsWith(".")
-      if (st.isFile && !partOfIndex && !hiddenName &&
-          !indexedKeys.contains(normalize(p.toString)))
-        unknown += p.toString
+      if (st.isFile && !partOfIndex && !hiddenName) {
+        present += normalize(p.toString)
+        if (!indexedKeys.contains(normalize(p.toString)))
+          unknown += p.toString
+      }
     }
-    val files = matching ++ unknown
+    val files = matching.filter(p => present.contains(normalize(p))) ++ unknown
     if (files.isEmpty) spark.read.parquet(dir).limit(0) // schema-preserving
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    // basePath keeps directory-derived (Hive partition) columns in the
+    // schema, identical to a whole-directory read
+    else spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
   }
 }

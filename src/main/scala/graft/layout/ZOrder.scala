@@ -53,6 +53,12 @@ object ZOrder {
     * oracle engine's integer `//` division reproduces it bit-for-bit.
     */
   def bucketize(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    // a domain wider than Long range overflows hi-lo to a NEGATIVE span,
+    // which would silently pass the exactness guard below and interleave
+    // garbage — fail loudly; pre-scale such columns (e.g. >> 16) first
+    require(hi >= lo, s"bucketize: hi $hi < lo $lo")
+    require(hi - lo >= 0,
+      s"bucketize: domain [$lo, $hi] wider than Long range — pre-scale the column")
     val span = math.max(1L, hi - lo)
     val maxB = (1L << bits) - 1
     require(span <= (1L << 53) / math.max(1L, maxB),

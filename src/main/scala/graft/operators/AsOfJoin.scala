@@ -78,11 +78,14 @@ object AsOfJoin {
         // misses from the carry-in of preceding buckets.
         //
         // The union feeds three consumers (the min/max aggregate, the
-        // per-bucket window, the carry seed) — materialize it once so an
-        // expensive upstream lineage is not re-executed per consumer (the
-        // localCheckpoint pattern the dedup pair generators use for their
-        // self-joins).
-        val mat = union.localCheckpoint(true)
+        // per-bucket window, the carry seed) — cache it so an expensive
+        // upstream lineage is not re-executed per consumer. persist (NOT
+        // localCheckpoint): lineage survives, so a lost executor's blocks
+        // recompute instead of failing the job — the property that
+        // matters on a large cluster with preemptible executors; the
+        // min/max aggregate below materializes the cache.
+        val mat = union.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Monotone numeric image of _t. Plain cast("double") covers
         // numerics (identity) and TimestampType (epoch seconds — tz-free).
         // TimestampNTZ has no numeric cast and a session-tz round-trip

@@ -92,15 +92,20 @@ object CollectionId {
 
   /** Routing names become FILESYSTEM PATH SEGMENTS in every sink
     * (`basePath/project/collection/...`), so beyond the reference's rules
-    * they must not smuggle separators or traversal ("a/b" would write
-    * outside the collection dir, ".." escapes basePath) and must not
-    * collide with the reserved '_'-prefixed control dirs (`_staging`,
-    * `_epochs`, `_graft_commits` — a project named "_staging" would be
-    * invisible to the v2 scan and deletable by its cleanup).
+    * (null/empty/≤100 — FabricJsonDeserializer.checkCollectionValid:95-102
+    * imposes no charset) they must not smuggle separators or traversal
+    * ("a/b" would write outside the collection dir, ".." escapes
+    * basePath) and must not collide with the reserved '_'-prefixed
+    * control dirs (`_staging`, `_epochs`, `_graft_commits`). Names are
+    * further restricted to PRINTABLE ASCII: path behavior for wider
+    * charsets is locale-dependent (a JVM under a POSIX locale cannot
+    * even create the directory), and a table name that works on one
+    * executor's filesystem config and fails on another is an operational
+    * hazard at fleet scale — a documented narrowing of the reference.
     */
   private def validName(s: String): Boolean =
     s != null && s.nonEmpty && s.head != '_' && s.head != '.' &&
-      !s.exists(c => c == '/' || c == '\\' || c.isControl)
+      s.forall(c => c >= 0x20 && c <= 0x7e && c != '/' && c != '\\')
 
   /** True when both routing fields are ingestible — the malformed-record
     * guard (F3) used by the parse paths so a bad name skips the record

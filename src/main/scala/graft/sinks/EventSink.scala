@@ -122,8 +122,12 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       val orig = c.stripPrefix("__data_")
       // the same-named survivor is the inferred partition column (its
       // values are the directory's, not the user's) — drop it in favor
-      // of the restored data column
-      val dropped = if (d.columns.contains(orig)) d.drop(orig) else d
+      // of the restored data column. CASE-INSENSITIVE: the escape
+      // matched any case ('Batch'), the inferred directory column is
+      // lowercase 'batch', and leaving both would make every reference
+      // ambiguous under default resolution.
+      val clash = d.columns.filter(x => x != c && x.equalsIgnoreCase(orig))
+      val dropped = clash.foldLeft(d)(_ drop _)
       dropped.withColumnRenamed(c, orig)
     }
 

@@ -60,6 +60,13 @@ class JsonEventParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.schema.CollectionId.normalize("demo", "a/b")
     }
+    // printable ASCII only: non-ASCII names have locale-dependent
+    // filesystem path behavior (a POSIX-locale JVM cannot even create
+    // the directory) — rejected at ingest, documented narrowing
+    assert(!graft.schema.CollectionId.isValid("demo", "中文"))
+    assert(!graft.schema.CollectionId.isValid("demo", "café"))
+    assert(!graft.schema.CollectionId.isValid("demo", "tab\tname"))
+    assert(graft.schema.CollectionId.isValid("demo", """say "hi"""")) // quotes OK
     // decouple (the streaming pre-parse) routes them to the malformed lane
     assert(JsonEventParser.decouple(
       """{"data":{"_project":"_staging","_collection":"c","_time":1}}""",

@@ -84,6 +84,17 @@ def main(out_dir):
     add(t0, 23, "view", 23.0, "not json at all")
     add(t0, 24, "view", 24.0, '{"k": "quoted \\" inner"}')
 
+    # UTF-16 vs codepoint length: 60 astral chars = 60 codepoints but 120
+    # Java chars -> the engine's 100-unit limit drops it; 45 astral chars
+    # (90 units) passes. CJK name: byte-heavy payload source.
+    add(t0, 25, "\U0001F600" * 60, 25.0)   # dropped (120 UTF-16 units)
+    add(t0, 26, "\U0001F600" * 45, 26.0)   # kept (90 UTF-16 units)
+    add(t0, 27, "中文" * 20, 27.0) # 40 CJK chars = 120 UTF-8 bytes
+    # extreme event ids: 19 digits and negative
+    rows.append((9_223_372_036_854_775_000, t0, 28, "view", 28.0, '{"k":3.5}'))
+    rows.append((-12345, t0, 29, "view", 29.0, '{"k":4.5}'))
+    eid += 2
+
     # NULLs in every column
     add(None, 10, "view", 10.0)          # null ts -> historical split
     add(t0, None, "view", 11.0)          # null user -> dedup passthrough
