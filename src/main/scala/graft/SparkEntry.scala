@@ -71,7 +71,7 @@ object SparkEntry {
       lit(","),
       when(col("user_id").isNull, lit(""""_user":null,"""))
         .otherwise(concat(lit(""""_user":"u"""), col("user_id"), lit("\","))),
-      lit(""""value":"""), coalesce(col("value").cast("string"), lit("null")),
+      lit(""""value":"""), coalesce(finiteOrNull(col("value")).cast("string"), lit("null")),
       lit(","),
       lit(""""props":"""), propsOrNull(col("props")),
       lit("}}")).as("value")).as(Encoders.STRING)
@@ -141,7 +141,11 @@ object SparkEntry {
   private def round(c: org.apache.spark.sql.Column, scale: Int)
       : org.apache.spark.sql.Column = {
     val f = math.pow(10, scale)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
+    // non-finite passthrough: Spark's floor() returns LONG, so floor(Inf)
+    // would silently become Long.MaxValue while DuckDB's floor(Inf) stays
+    // Inf — NaN/Inf aggregates must survive rounding unchanged on both
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise(floor(c * lit(f) + lit(0.5)) / lit(f))
   }
 
   /** JSON string-escape for values interpolated into synthesized wire
@@ -159,6 +163,29 @@ object SparkEntry {
     */
   private def propsOrNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(get_json_object(c, "$").isNotNull, c).otherwise(lit("null"))
+
+  /** Measure column for a JSON wire line: JSON has no NaN/Infinity, so a
+    * non-finite double serializes as null — the EVENT survives with a
+    * null measure on both engines (oracles mirror with isfinite()).
+    */
+  private def finiteOrNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(!isnan(c) && abs(c) =!= lit(Double.PositiveInfinity), c)
+
+  /** Order-independent rounded SUM: each row quantizes to integer units
+    * (floor(x·10^s + 0.5), non-finite skipped), the INTEGER sum is exact
+    * under any partitioning/fold order, and the final /10^s division of
+    * a < 2^53 integer is bit-identical in both engines. A plain
+    * round(sum(double)) is NOT cross-engine stable: float addition is
+    * non-associative, so two engines (or two Spark runs with different
+    * partition orders) can land ulps apart and flip the last decimal —
+    * observed on the hostile corpus. Oracles use the same formula.
+    */
+  private def sumRound(c: org.apache.spark.sql.Column, scale: Int)
+      : org.apache.spark.sql.Column = {
+    val f = math.pow(10, scale)
+    sum(when(!isnan(c) && abs(c) =!= lit(Double.PositiveInfinity),
+      floor(c * lit(f) + lit(0.5)))) / lit(f)
+  }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     // contract check is schema-metadata only (no job) — see TableContract
@@ -223,7 +250,7 @@ object SparkEntry {
     import spark.implicits._
     ingestedUnion(spark, "/root/testdata/sf0.001")
       .groupBy($"collection")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumRound($"value", 2).as("sum_value"))
       .orderBy($"collection")
   }
 
@@ -241,11 +268,11 @@ object SparkEntry {
       import s.implicits._
       ingestedUnion(s, dir).groupBy($"collection").agg(
           count(lit(1)).as("n_events"),
-          round(sum($"value"), 2).as("sum_value"),
+          sumRound($"value", 2).as("sum_value"),
           // props is JSON-normalized by ingestedUnion; try_cast: a
           // non-numeric k contributes NULL (D3 mismatch-skip semantics),
           // never an ANSI cast failure
-          round(sum(expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)")), 2)
+          sumRound(expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)"), 2)
             .as("sum_props_k"),
           count($"_user").as("n_users"))
         .orderBy($"collection")
@@ -318,7 +345,7 @@ object SparkEntry {
         coalesce(tsMillis(ev).cast("string"), lit("null")), lit(","),
         when($"user_id".isNull, lit(""""_user":null,"""))
           .otherwise(concat(lit(""""_user":"u"""), $"user_id", lit("\","))),
-        lit(""""value":"""), coalesce($"value".cast("string"), lit("null")),
+        lit(""""value":"""), coalesce(finiteOrNull($"value").cast("string"), lit("null")),
         lit(","),
         lit(""""seen_at":"""),
         coalesce(
@@ -359,7 +386,7 @@ object SparkEntry {
           // `div` truncates toward zero like the oracle's `//` — exact
           // for pre-1970 timestamps where unix_timestamp (floor) differs
           sum(expr("unix_millis(_time) div 1000")).as("sum_time_s"),
-          round(sum($"value"), 2).as("sum_value"))
+          sumRound($"value", 2).as("sum_value"))
         .orderBy($"collection")
       out.collect() // materialize before unpersist
       routed.unpersist()
@@ -447,7 +474,7 @@ object SparkEntry {
       parsed.keys.toSeq.sortBy(_.collection).map { id =>
         sink.read(s, id).agg(
             count(lit(1)).as("n"),
-            round(sum($"value"), 2).as("sum_value"))
+            sumRound($"value", 2).as("sum_value"))
           .select(lit(id.collection).as("collection"), $"n", $"sum_value")
       }.reduce(_.unionByName(_)).orderBy($"collection")
     }),
@@ -475,7 +502,7 @@ object SparkEntry {
         lit(","),
         when($"user_id".isNull, lit(""""_user":null,"""))
           .otherwise(concat(lit(""""_user":"u"""), $"user_id", lit("\","))),
-        lit(""""value":"""), coalesce($"value".cast("string"), lit("null")),
+        lit(""""value":"""), coalesce(finiteOrNull($"value").cast("string"), lit("null")),
         lit("}}")).as("value")).as(Encoders.STRING)
       val base = java.nio.file.Files.createTempDirectory("graft_cons").toString
       val sink = new ColumnarSink(base)
@@ -488,7 +515,7 @@ object SparkEntry {
       sink.readAll(s)
         .groupBy($"collection".cast("string").as("collection")).agg(
           count(lit(1)).as("n"),
-          round(sum($"value"), 2).as("sum_value"))
+          sumRound($"value", 2).as("sum_value"))
         .orderBy($"collection")
     }),
 
@@ -539,9 +566,12 @@ object SparkEntry {
       // ObjectHashAggregate pass over the scan.
       val sk = li.groupBy($"l_returnflag").agg(
         approx_count_distinct($"l_orderkey").as("approx_orders"),
-        percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("p90_approx"),
-        expr("percentile(l_extendedprice, 0.85)").as("p85"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        percentile_approx(
+          when(!isnan($"l_extendedprice") &&
+            abs($"l_extendedprice") =!= lit(Double.PositiveInfinity),
+            $"l_extendedprice"), lit(0.9), lit(10000)).as("p90_approx"),
+        expr("percentile(CASE WHEN NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE) THEN l_extendedprice END, 0.85)").as("p85"),
+        expr("percentile(CASE WHEN NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE) THEN l_extendedprice END, 0.95)").as("p95"))
       // Exact distinct via two-stage hash agg — no Expand, pure codegen.
       // null keys excluded: count(DISTINCT x) skips nulls (and so does
       // the HLL sketch) — the unfiltered distinct would count the NULL
@@ -588,7 +618,7 @@ object SparkEntry {
       import s.implicits._
       tbl(s, dir, "lineitem")
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sumRound($"l_quantity", 2).as("sum_qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
@@ -605,10 +635,16 @@ object SparkEntry {
           lit("1998-09-01 00:00:00").cast(li.schema("l_shipdate").dataType))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          sumRound($"l_quantity", 2).as("sum_qty"),
+          sumRound($"l_extendedprice", 2).as("sum_base_price"),
+          sumRound($"l_extendedprice" * (lit(1) - $"l_discount"), 2).as("sum_disc_price"),
+          // order-independent avg: integer basis-point sum / (n * 1e4)
+          (sum(when(!isnan($"l_discount") &&
+                abs($"l_discount") =!= lit(Double.PositiveInfinity),
+              floor($"l_discount" * 10000 + 0.5))) /
+            (count(when(!isnan($"l_discount") &&
+                abs($"l_discount") =!= lit(Double.PositiveInfinity), 1)) *
+              lit(10000.0))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -622,7 +658,7 @@ object SparkEntry {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .agg(sumRound($"l_extendedprice" * (lit(1) - $"l_discount"), 2).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey".asc)
         .limit(10)
     }),
@@ -640,7 +676,7 @@ object SparkEntry {
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy($"r_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        .agg(sumRound($"l_extendedprice" * (lit(1) - $"l_discount"), 2).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy($"r_name")
     }),
@@ -665,7 +701,7 @@ object SparkEntry {
       val ev = tbl(s, dir, "events")
       ev.select(timestamp_millis(tsMillis(ev)).as("ts"), $"value")
         .groupBy(window($"ts", "1 day").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumRound($"value", 2).as("sum_value"))
         .select($"w.start".as("day_start"), $"n", $"sum_value")
         .orderBy($"day_start")
     }),
@@ -771,7 +807,7 @@ object SparkEntry {
       parsed.foreach { case (id, df) => sink.insert(id, df) }
       parsed.keys.toSeq.sortBy(_.collection).map { id =>
         s.read.json(sink.path(id))
-          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sumRound($"value", 2).as("sum_value"))
           .select(lit(id.collection).as("collection"), $"n", $"sum_value")
       }.reduce(_ unionAll _)
     }),
@@ -786,7 +822,7 @@ object SparkEntry {
       li.join(avgQty, $"l_partkey" === $"p_key")
         .where($"l_quantity" < $"avg_qty" * 0.5)
         .agg(count(lit(1)).as("n"),
-             round(sum($"l_extendedprice"), 2).as("sum_price"))
+             sumRound($"l_extendedprice", 2).as("sum_price"))
     }),
 
     // Exact interpolated quantiles (DuckDB quantile_cont ≡ Spark
@@ -796,8 +832,10 @@ object SparkEntry {
       tbl(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          floor(expr("percentile(l_quantity, 0.5)") * 1000 + 0.5).cast("long").as("p50_qty_milli"),
-          floor(expr("percentile(l_extendedprice, 0.9)") * 1000 + 0.5).cast("long").as("p90_price_milli"))
+          // percentiles over the FINITE values only (engines disagree on
+          // where NaN ranks)
+          floor(expr("percentile(CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE) THEN l_quantity END, 0.5)") * 1000 + 0.5).cast("long").as("p50_qty_milli"),
+          floor(expr("percentile(CASE WHEN NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE) THEN l_extendedprice END, 0.9)") * 1000 + 0.5).cast("long").as("p90_price_milli"))
         .orderBy($"l_returnflag")
     }),
 
@@ -839,7 +877,7 @@ object SparkEntry {
       graft.operators.RangeJoin.rangeJoin(li, "l_extendedprice",
           bands, "lo", "hi", bucketWidth = 3000.0)
         .groupBy($"band")
-        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sumRound($"l_extendedprice", 2).as("sum_price"))
         .orderBy($"band")
     }),
 
@@ -863,7 +901,13 @@ object SparkEntry {
             |         n_nationkey * 1200.0 + 2600.0 AS hi
             |  FROM rj_nation)
             |SELECT band, count(*) AS n,
-            |       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+            |       sum(CASE WHEN NOT isnan(l_extendedprice)
+            |                  AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE)
+            |             THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            |             -- CAST: a bare 100.0 literal is DECIMAL in Spark
+            |             -- SQL and would type the result decimal, not the
+            |             -- oracle's double
+            |             END) / CAST(100 AS DOUBLE) AS sum_price
             |FROM rj_lineitem JOIN bands
             |  ON l_extendedprice >= lo AND l_extendedprice < hi
             |GROUP BY band ORDER BY band""".stripMargin)
@@ -1742,7 +1786,8 @@ object SparkEntry {
           emb.withColumn("_one", lit(1)), "vec_id", "embedding", "_one", 0.3)
         .select($"id_b".as("drop_id")).distinct()
       val floorBp = 8000L
-      val totals = emb.agg(count(lit(1)).as("n_vecs"))
+      val totals = emb.where(SimilarityFunctions.finiteVec("embedding"))
+        .agg(count(lit(1)).as("n_vecs"))
         .crossJoin(bruteDrops.agg(count(lit(1)).as("n_brute_drops")))
       val hits = semDrops.join(bruteDrops, Seq("drop_id"))
         .agg(count(lit(1)).as("_n_hits"))
@@ -1814,6 +1859,9 @@ object SparkEntry {
     "ann_quantized_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
+        // pre-filter: quantize8 clamps non-finite inputs into VALID int
+        // codes, which would smuggle unusable vectors past finiteVec
+        .where(SimilarityFunctions.finiteVec("embedding"))
         .select($"vec_id",
           SimilarityFunctions.quantize8($"embedding", 1.0).as("q"))
         .persist()
@@ -2045,7 +2093,10 @@ object SparkEntry {
       $"event_id",
       tsMillis(evRaw).as("ms"),
       concat(lit("u"), $"user_id").as("_user"),
-      $"value",
+      // non-finite measures become null at the ingest boundary (the JSON
+      // twin is FORCED to by the format; the avro path matches so the
+      // two D-paths agree with each other and the oracles' isfinite())
+      finiteOrNull($"value").as("value"),
       expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)").as("k"))
 
     val decoded = src.mapPartitions { rows =>
@@ -2087,8 +2138,8 @@ object SparkEntry {
 
     decoded.agg(
       count(lit(1)).as("n"),
-      round(sum($"value"), 2).as("sum_value"),
-      round(sum($"k"), 2).as("sum_k"),
+      sumRound($"value", 2).as("sum_value"),
+      sumRound($"k", 2).as("sum_k"),
       count($"k").as("n_k"),
       max($"_time").as("max_time"))
   }
@@ -2314,7 +2365,7 @@ object SparkEntry {
        |       (count(*) * 5)::BIGINT AS n_exact,
        |       $floorBp::BIGINT AS recall_floor_bp,
        |       1::BIGINT AS recall_ok
-       |FROM embeddings WHERE vec_id < 20""".stripMargin
+       |FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb WHERE vec_id < 20""".stripMargin
 
   /** MinHash banding CTE shared by the pairs and clusters oracles.
     * The `stopb` filter mirrors the engine's `maxBandFreq = 1000` hot-band
@@ -2366,10 +2417,12 @@ object SparkEntry {
       s"""WITH $ingestedEventsCte
         |SELECT coll AS collection,
         |       count(*) AS n_events,
-        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
-        |       floor((sum(CASE WHEN props IS NOT NULL AND json_valid(props)
-        |                    THEN TRY_CAST(json_extract(props, '$$.k') AS DOUBLE)
-        |                    END)) * 100 + 0.5) / 100 AS sum_props_k,
+        |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value,
+        |       sum(CASE WHEN props IS NOT NULL AND json_valid(props)
+        |                  AND isfinite(TRY_CAST(json_extract(props, '$$.k') AS DOUBLE))
+        |                 THEN floor(TRY_CAST(json_extract(props, '$$.k') AS DOUBLE)
+        |                            * 100 + 0.5)::BIGINT
+        |            END) / 100.0 AS sum_props_k,
         |       count(user_id) AS n_users
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2418,12 +2471,13 @@ object SparkEntry {
     // fixed record name, so no validity filter applies
     "d5_avro_roundtrip" ->
       """SELECT count(*) AS n,
-        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value,
-        |       floor(sum(CASE WHEN event_id % 10 = 0
-        |                      OR props IS NULL OR NOT json_valid(props)
+        |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value,
+        |       sum(CASE WHEN event_id % 10 = 0
+        |                  OR props IS NULL OR NOT json_valid(props)
+        |                  OR NOT isfinite(TRY_CAST(json_extract(props, '$.k') AS DOUBLE))
         |                 THEN NULL
-        |                 ELSE TRY_CAST(json_extract(props, '$.k') AS DOUBLE) END)
-        |             * 100 + 0.5) / 100 AS sum_k,
+        |                 ELSE floor(TRY_CAST(json_extract(props, '$.k') AS DOUBLE)
+        |                            * 100 + 0.5)::BIGINT END) / 100.0 AS sum_k,
         |       count(CASE WHEN event_id % 10 = 0
         |                  OR props IS NULL OR NOT json_valid(props)
         |             THEN NULL
@@ -2443,7 +2497,7 @@ object SparkEntry {
         |       count(CASE WHEN event_id % 10 = 0 OR ts IS NULL
         |             THEN NULL ELSE 1 END) AS n_seen,
         |       sum(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000)::BIGINT AS sum_time_s,
-        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DECIMAL(38,18) prints at full scale in both engines; the binary
@@ -2465,13 +2519,13 @@ object SparkEntry {
     "k1_sink_roundtrip" ->
       s"""WITH $ingestedEventsCte
         |SELECT coll AS collection, count(*) AS n,
-        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "k1_consolidated_roundtrip" ->
       s"""WITH $ingestedEventsCte
         |SELECT coll || '_c' || CAST(user_id % 20 AS VARCHAR) AS collection,
-        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |       count(*) AS n, sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value
         |FROM ing WHERE user_id IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2508,13 +2562,13 @@ object SparkEntry {
 
     "q7_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+        |       sum(CASE WHEN isfinite(l_quantity) THEN floor((l_quantity) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q8_below_avg_qty" ->
-      """SELECT count(*) AS n, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+      """SELECT count(*) AS n, sum(CASE WHEN isfinite(l_extendedprice) THEN floor((l_extendedprice) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_price
         |FROM lineitem l
         |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
         |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.p_key
@@ -2525,13 +2579,13 @@ object SparkEntry {
     "agg_approx_sketch" ->
       """WITH ex AS (
         |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
-        |         quantile_cont(l_extendedprice, 0.85) AS p85,
-        |         quantile_cont(l_extendedprice, 0.95) AS p95
+        |         quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.85) AS p85,
+        |         quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.95) AS p95
         |  FROM lineitem GROUP BY 1),
         |ap AS (
         |  SELECT l_returnflag,
         |         approx_count_distinct(l_orderkey) AS approx_orders,
-        |         approx_quantile(l_extendedprice, 0.9) AS p90_approx
+        |         approx_quantile(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.9) AS p90_approx
         |  FROM lineitem GROUP BY 1)
         |SELECT ex.l_returnflag, exact_orders,
         |       CAST(abs(approx_orders - exact_orders)
@@ -2542,15 +2596,15 @@ object SparkEntry {
 
     "q9_quantiles" ->
       """SELECT l_returnflag,
-        |       floor(quantile_cont(l_quantity, 0.5) * 1000 + 0.5)::BIGINT AS p50_qty_milli,
-        |       floor(quantile_cont(l_extendedprice, 0.9) * 1000 + 0.5)::BIGINT AS p90_price_milli
+        |       floor(quantile_cont(CASE WHEN isfinite(l_quantity) THEN l_quantity END, 0.5) * 1000 + 0.5)::BIGINT AS p50_qty_milli,
+        |       floor(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.9) * 1000 + 0.5)::BIGINT AS p90_price_milli
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "range_price_bands" ->
       """WITH bands AS (
         |  SELECT i AS band, i * 1500.0 AS lo, i * 1500.0 + 3000.0 AS hi
         |  FROM unnest(generate_series(0, 39)) AS t(i))
-        |SELECT band, count(*) AS n, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+        |SELECT band, count(*) AS n, sum(CASE WHEN isfinite(l_extendedprice) THEN floor((l_extendedprice) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_price
         |FROM lineitem JOIN bands
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2560,7 +2614,7 @@ object SparkEntry {
         |  SELECT n_nationkey AS band, n_nationkey * 1200.0 AS lo,
         |         n_nationkey * 1200.0 + 2600.0 AS hi
         |  FROM nation)
-        |SELECT band, count(*) AS n, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+        |SELECT band, count(*) AS n, sum(CASE WHEN isfinite(l_extendedprice) THEN floor((l_extendedprice) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_price
         |FROM lineitem JOIN bands
         |  ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2620,10 +2674,13 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-        |       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
-        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
-        |       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+        |       sum(CASE WHEN isfinite(l_quantity) THEN floor((l_quantity) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_qty,
+        |       sum(CASE WHEN isfinite(l_extendedprice) THEN floor((l_extendedprice) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_base_price,
+        |       sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_disc_price,
+        |       sum(CASE WHEN isfinite(l_discount)
+        |                 THEN floor(l_discount * 10000 + 0.5)::BIGINT END)
+        |         / (count(CASE WHEN isfinite(l_discount) THEN 1 END) * 10000.0)
+        |         AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -2631,7 +2688,7 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |       sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5)::BIGINT END) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2642,7 +2699,7 @@ object SparkEntry {
 
     "q5_region_revenue" ->
       """SELECT r_name,
-        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+        |       sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5)::BIGINT END) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2662,7 +2719,7 @@ object SparkEntry {
     // ts IS NOT NULL: Spark's window() silently drops null-timestamp rows
     "w2_tumbling_window" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
-        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |       count(*) AS n, sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value
         |FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q11_retention" ->
@@ -2734,7 +2791,7 @@ object SparkEntry {
     "k2_ndjson_roundtrip" ->
       s"""WITH $ingestedEventsCte
         |SELECT coll AS collection, count(*) AS n,
-        |       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_stats" ->
@@ -3770,7 +3827,7 @@ object SparkEntry {
          |ORDER BY 1""".stripMargin,
 
     "dedup_embedding_pairs" ->
-      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |             ${cosineSql("a.e", "b.e")} AS cos
          |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -3782,7 +3839,7 @@ object SparkEntry {
     // (n_vecs, global drop set at the same threshold) and asserts the two
     // contract flags — subset (n_extra = 0) and the measured-recall floor.
     "semantic_dedup" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |             ${cosineSql("a.e", "b.e")} AS cos
          |      FROM v a JOIN v b ON a.vec_id < b.vec_id),
@@ -3796,7 +3853,7 @@ object SparkEntry {
     // sides, so the fold-order ulps of a distributed mean can't flip the
     // compare; cosine over the integer centroid is then exact
     "emb_centroid_outliers" ->
-      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb),
          |cd AS (SELECT label, d, floor(avg(e[d]) * 1000000 + 0.5)::BIGINT AS c
          |       FROM v, unnest(generate_series(1, len(e))) AS g(d)
          |       GROUP BY 1, 2),
@@ -3808,8 +3865,8 @@ object SparkEntry {
 
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |           FROM embeddings WHERE vec_id < 20),
-         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |           FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb),
          |s AS (SELECT query_id, neighbor_id,
          |             ${bpSql(cosineSql("qv", "cv"))} AS cosine_bp
          |      FROM q, c WHERE query_id <> neighbor_id),
@@ -3860,7 +3917,7 @@ object SparkEntry {
       s"""WITH q8 AS (
          |  SELECT vec_id, list_transform(embedding::DOUBLE[], x ->
          |    greatest(-127.0, least(127.0, floor(x * 127.0 + 0.5)))) AS qe
-         |  FROM embeddings),
+         |  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb),
          |q AS (SELECT vec_id AS query_id, qe AS qv FROM q8 WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, qe AS cv FROM q8),
          |s AS (SELECT query_id, neighbor_id,

@@ -489,7 +489,10 @@ object DedupFunctions {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+    // unusable (null / non-finite) vectors skipped — SimilarityFunctions
+    // .finiteVec; NaN cosines rank non-portably and carry no signal
+    val v = df.where(SimilarityFunctions.finiteVec(vecCol))
+      .select(col(blockCol).as("_blk"), col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     val a = v.select(col("_blk"), col("_id").as("id_a"), col("_v").as("_v_a"))
     val b = v.select(col("_blk"), col("_id").as("id_b"), col("_v").as("_v_b"))

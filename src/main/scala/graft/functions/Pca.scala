@@ -85,7 +85,8 @@ object Pca {
   /** Fit a k-component model on a bounded seeded sample of `vecCol`. */
   def pcaTrain(corpus: DataFrame, vecCol: String, k: Int,
                seed: Long = 42L, maxTrainRows: Long = 100000L): PcaModel = {
-    val all = corpus.where(col(vecCol).isNotNull) // null vectors train nothing
+    val all = corpus
+      .where(graft.functions.SimilarityFunctions.finiteVec(vecCol))
       .select(col(vecCol).cast("array<double>").as("_v"))
     val n = all.count()
     val train = if (n <= maxTrainRows) all

@@ -64,11 +64,23 @@ object SimilarityFunctions {
     * the only shuffle is the per-query top-k window, keyed by query id.
     * Self-matches (same id) are excluded.
     */
+  /** Rows whose vector is USABLE: non-null with every component finite.
+    * NaN/Infinity components poison cosine ranking non-portably (and
+    * Spark ML's KMeans rejects them outright) — skipped everywhere, like
+    * null signatures in the hash-dedup family; SQL replays mirror with
+    * isnan/isinf list filters.
+    */
+  def finiteVec(vecCol: String): Column =
+    col(vecCol).isNotNull && !expr(
+      s"exists($vecCol, x -> x IS NULL OR isnan(x) OR abs(x) = cast('Infinity' AS DOUBLE))")
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = corpus.where(finiteVec(vecCol))
+      .select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = queries.where(finiteVec(vecCol))
+      .select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -142,9 +154,8 @@ object SimilarityFunctions {
       */
     def assign(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
       import org.apache.spark.ml.functions.array_to_vector
-      // null vectors carry no signal and crash array_to_vector — skipped,
-      // like null-signature rows in the hash-dedup family
-      val c = corpus.where(col(vecCol).isNotNull)
+      // unusable (null / non-finite) vectors skipped — see finiteVec
+      val c = corpus.where(finiteVec(vecCol))
         .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
       model.transform(c.withColumn("features", array_to_vector(col("_cv"))))
@@ -165,7 +176,7 @@ object SimilarityFunctions {
       */
     def assignProbes(corpus: DataFrame, idCol: String, vecCol: String,
                      probes: Int): DataFrame = {
-      val c = corpus.where(col(vecCol).isNotNull) // null vectors: no cell
+      val c = corpus.where(finiteVec(vecCol)) // unusable vectors: no cell
         .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
       val ranked = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
@@ -205,7 +216,7 @@ object SimilarityFunctions {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val all = corpus
-      .where(col(vecCol).isNotNull) // null vectors train nothing
+      .where(finiteVec(vecCol)) // unusable vectors train nothing
       .select(col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("features", array_to_vector(col("_cv")))
     val n = all.count()
@@ -226,7 +237,7 @@ object SimilarityFunctions {
                 idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val centDf = index.centroids(queries.sparkSession) // tiny: broadcasts
     // queries rank ALL centroids (tiny cross join) and keep the nProbe best
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = queries.where(finiteVec(vecCol)).select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_cdist").asc, col("_cell").asc)
@@ -274,10 +285,11 @@ object SimilarityFunctions {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 8,
               probeHamming1: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = corpus.where(finiteVec(vecCol))
+      .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("_bucket", lshBucket(col("_cv"), nPlanes))
-    val qBase = queries.select(col(idCol).as("query_id"),
+    val qBase = queries.where(finiteVec(vecCol)).select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
       .withColumn("_b0", lshBucket(col("_qv"), nPlanes))
     val probes =
@@ -476,7 +488,7 @@ object SimilarityFunctions {
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8, codes: Int = 16,
               seed: Long = 42L, maxTrainRows: Long = 100000L): PqIndex = {
     // train on NORMALIZED vectors — encode/search normalize the same way
-    val all = corpus.where(col(vecCol).isNotNull).select(
+    val all = corpus.where(finiteVec(vecCol)).select(
       l2Normalize(col(vecCol).cast("array<double>")).as("_cv"))
     val n = all.count()
     val train = if (n <= maxTrainRows) all
@@ -504,7 +516,7 @@ object SimilarityFunctions {
     */
   def pqSearch(encoded: DataFrame, queries: DataFrame, index: PqIndex,
                idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = queries.where(finiteVec(vecCol)).select(col(idCol).as("query_id"),
       index.adcTable(col(vecCol).cast("array<double>")).as("_tab"))
     // rank on the RAW ADC score — quantizing to basis points before the
     // top-k window would collapse <1e-4 score gaps into id-order ties and
@@ -539,7 +551,7 @@ object SimilarityFunctions {
       .select(col("query_id"), col("neighbor_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = queries.where(finiteVec(vecCol)).select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
     val scored = short.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -668,7 +680,8 @@ object SimilarityFunctions {
     * bounded, groups are few — the centroid table broadcasts.
     */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
-    df.select(col(groupCol).as("_grp"),
+    df.where(finiteVec(vecCol)) // non-finite components would poison the mean
+      .select(col(groupCol).as("_grp"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("_dim", "_x")))
       .groupBy(col("_grp"), col("_dim"))
       .agg(floor(avg(col("_x")) * 1000000 + 0.5).cast("long").as("_c"))
@@ -684,7 +697,8 @@ object SimilarityFunctions {
     */
   def centroidCosines(df: DataFrame, idCol: String, vecCol: String,
                       groupCol: String): DataFrame =
-    df.join(broadcast(groupCentroids(df, groupCol, vecCol)), Seq(groupCol))
+    df.where(finiteVec(vecCol))
+      .join(broadcast(groupCentroids(df, groupCol, vecCol)), Seq(groupCol))
       .select(col(idCol), col(groupCol),
         cosine(col(vecCol).cast("array<double>"),
           col("centroid").cast("array<double>")).as("centroid_cos"))

@@ -87,6 +87,10 @@ def main(out_dir):
     labels.append(9)
     vecs.append(vecs[1][:])
     labels.append(None)                # NULL label
+    vecs.append([float("nan")] * dim)  # all-NaN vector
+    labels.append(9)
+    vecs.append([float("inf")] + [0.1] * (dim - 1))  # Inf component
+    labels.append(9)
     emb = pa.table({
         "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
         "embedding": pa.array(vecs, pa.list_(pa.float32())),

@@ -95,6 +95,12 @@ def main(out_dir):
     rows.append((-12345, t0, 29, "view", 29.0, '{"k":4.5}'))
     eid += 2
 
+    # non-finite measures: JSON cannot carry NaN/Infinity -> the wire
+    # serializes them as null and oracles guard sums with isfinite()
+    add(t0, 30, "view", float("nan"))
+    add(t0, 31, "purchase", float("inf"))
+    add(t0, 32, "click", float("-inf"))
+
     # NULLs in every column
     add(None, 10, "view", 10.0)          # null ts -> historical split
     add(t0, None, "view", 11.0)          # null user -> dedup passthrough

@@ -63,7 +63,8 @@ def main(out):
         ocust.append(i % 320 if i % 17 else None)  # some dangle past 300
         ost.append("OF"[i % 2] * 1)
         # exact ties within a customer: orders i and i+320 share the price
-        opr.append(1.005 if i % 9 == 0 else float((i % 320) * 10))
+        opr.append(float("-inf") if i % 101 == 0 else
+                   1.005 if i % 9 == 0 else float((i % 320) * 10))
         od.append(t0 - (i % 90) * day if i % 19 else None)
         opri.append(["1-URGENT", "3-MEDIUM", "5-LOW"][i % 3]
                     if i % 23 else None)
@@ -86,6 +87,8 @@ def main(out):
         lq.append(None if i % 31 == 0 else float(i % 50) + (0.5 if i % 2 else 0.0))
         # identical revenue contributions across different orders → q3 ties
         lep.append(None if i % 37 == 0 else
+                   float("nan") if i % 61 == 0 else
+                   float("inf") if i % 67 == 0 else
                    (1.005 if i % 11 == 0 else float((i % 40) * 100)))
         ld.append(None if i % 41 == 0 else (i % 10) / 100.0)
         lt.append(0.04)
