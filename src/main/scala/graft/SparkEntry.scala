@@ -421,7 +421,8 @@ object SparkEntry {
         lit("\"amount\":"),
         when($"event_id".isNull || $"user_id".isNull, lit("null"))
           .otherwise(concat(lit("\""), $"event_id", lit("."),
-            lpad(($"user_id" % 1000).cast("string"), 3, "0"), lit("\""))),
+            lpad(pmod($"user_id", lit(1000L)).cast("string"), 3, "0"),
+            lit("\""))),
         lit(","),
         lit("\"payload\":"),
         // payload source bounded in BYTES (12 chars x <=4 UTF-8 bytes +
@@ -775,7 +776,10 @@ object SparkEntry {
     "layout_zorder_cells" -> ((s, dir) => {
       import s.implicits._
       val ev = tbl(s, dir, "events")
-      val ms = tsMillis(ev)
+      // SECONDS domain: an 8-bit bucketize over millis breaks the 2^53
+      // exactness bound past ~1100-year spans; floor(ms/1000.0) is the
+      // same IEEE computation in DuckDB, so the map is shared exactly
+      val ms = floor(tsMillis(ev) / lit(1000.0)).cast("long")
       val r = ev.agg(
         min($"user_id".cast("long")), max($"user_id".cast("long")),
         min(ms), max(ms)).head()
@@ -2361,8 +2365,8 @@ object SparkEntry {
     * so n_exact = 5 · n_queries.
     */
   private def annRecallOracleSql(floorBp: Long): String =
-    s"""SELECT count(*)::BIGINT AS n_queries,
-       |       (count(*) * 5)::BIGINT AS n_exact,
+    s"""SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
+       |       (count(DISTINCT vec_id) * 5)::BIGINT AS n_exact,
        |       $floorBp::BIGINT AS recall_floor_bp,
        |       1::BIGINT AS recall_ok
        |FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb WHERE vec_id < 20""".stripMargin
@@ -2508,7 +2512,8 @@ object SparkEntry {
     // (which byte-bounds the base64 under Spark's MIME-chunk threshold).
     "d_decimal_binary_roundtrip" ->
       """SELECT event_id AS eid,
-        |       CAST(CAST(event_id || '.' || lpad((user_id % 1000)::VARCHAR, 3, '0')
+        |       CAST(CAST(event_id || '.' ||
+        |                 lpad((((user_id % 1000) + 1000) % 1000)::VARCHAR, 3, '0')
         |                 AS DECIMAL(38,18)) AS VARCHAR) AS amount_str,
         |       md5(substr(event_type, 1, 12) || ':' ||
         |           ((event_id % 100000) + 100000) % 100000) AS payload_md5,
@@ -2776,7 +2781,8 @@ object SparkEntry {
         s"(((tb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"""WITH b AS (
          |  SELECT CAST(user_id AS BIGINT) AS u,
-         |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+         |         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 1000.0)
+         |              AS BIGINT) AS ms FROM events),
          |r AS (SELECT min(u) AS ulo, max(u) AS uhi,
          |             min(ms) AS tlo, max(ms) AS thi FROM b),
          |k AS (

@@ -91,8 +91,12 @@ def main(out_dir):
     labels.append(9)
     vecs.append([float("inf")] + [0.1] * (dim - 1))  # Inf component
     labels.append(9)
+    # duplicate vec_id with a different vector (key collision)
+    vecs.append([0.5] * dim)
+    labels.append(1)
+    vec_ids = list(range(len(vecs) - 1)) + [3]
     emb = pa.table({
-        "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+        "vec_id": pa.array(vec_ids, pa.int64()),
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
     })

@@ -136,6 +136,15 @@ def main(out_dir):
     add(t0 - 7 * 1000, 900, "view", 42.0)
     add(t0 - 7 * 1000, 900, "view", 42.0)
 
+    # boundary dates and ids: exact midnight (day-split boundary), a
+    # far-future year, negative user ids
+    midnight = (t0 // day) * day
+    add(midnight, 950, "view", 1.0)
+    add(midnight - 1, 951, "view", 2.0)           # 1us before midnight
+    add(7_258_118_400_000_000, 952, "view", 3.0)  # 2200-01-01 (far future
+    # but inside pandas datetime64[ns] range, which python comparators use)
+    add(t0, -42, "view", 4.0)                     # negative user id
+
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(build(rows), os.path.join(out_dir, "events.parquet"))
     print(f"wrote {len(rows)} hostile events to {out_dir}/events.parquet")
