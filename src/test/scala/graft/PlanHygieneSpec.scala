@@ -265,4 +265,41 @@ class PlanHygieneSpec extends SparkSpec {
     assert(cappedStr.contains("_keyfreq") || cappedStr != uncappedStr,
       "cap did not change the plan")
   }
+
+  test("z-order rewrite: exactly ONE range-partitioning exchange, no extra shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val data = spark.range(10000).select($"id".as("y"),
+      pmod(hash($"id"), lit(1000)).cast("long").as("x"))
+    val z = graft.layout.ZOrder.zorder(data, Seq("x", "y"), bits = 10,
+      numPartitions = 8)
+    val plan = z.queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1,
+      s"z-order should cost exactly one shuffle, found ${exchanges.size}:\n$plan")
+    assert(exchanges.head.outputPartitioning.toString.toLowerCase
+        .contains("range"),
+      s"z-order shuffle is not a range partitioning:\n${exchanges.head}")
+  }
+
+  test("manifest-pruned read plans as a bare scan — no shuffle, no join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ph_sidx").toString
+    spark.range(5000).select($"id".as("x"), ($"id" * 3).as("v"))
+      .repartitionByRange(8, $"x").write.mode("overwrite").parquet(base)
+    graft.layout.StatsIndex.build(spark, base, Seq("x"))
+    val pruned = graft.layout.StatsIndex.prunedRead(spark, base,
+      Seq(("x", 100L, 200L)))
+    val plan = pruned.queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"pruned read must stay a scan (file skipping is driver-side):\n$plan")
+    assert(!plan.toString.contains("Join"),
+      s"pruned read must not join at runtime:\n$plan")
+  }
 }
