@@ -201,20 +201,41 @@ object SparkEntry {
     * (a recall regression flips the flag and fails the hash compare —
     * unlike a rows-only check, which would not notice).
     */
+  /** Typed zero-row result for queries whose dynamic input (the routed
+    * collection map, most often) came out empty: the oracle returns zero
+    * rows there, and a reduce() over zero per-collection frames — or a
+    * read of a sink nothing was written to — would throw instead.
+    */
+  private def emptyResult(s: SparkSession, cols: (String, DataType)*): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(cols.map { case (n, t) => StructField(n, t) }))
+
+  /** The certificate totals are CLOSED-FORM — `n_queries` = finite probe
+    * vectors, `n_exact` = n_queries × min(k, finite corpus − 1) — rather
+    * than counted off the brute-force result. On any corpus with more
+    * than k+1 usable vectors the two are identical (brute force emits
+    * exactly min(k, n−1) rows per finite probe); on degenerate corpora
+    * (empty, single-vector) only the closed form is DuckDB-replayable,
+    * so both engines compute it and the hash compare holds on any data.
+    */
   private def recallCertificate(approx: DataFrame, exact: DataFrame,
-                                recallFloorBp: Long): DataFrame = {
+                                recallFloorBp: Long,
+                                corpus: DataFrame, probes: DataFrame,
+                                vecCol: String, idCol: String,
+                                k: Int): DataFrame = {
+    val s = corpus.sparkSession
     val a = approx.select(col("query_id"), col("neighbor_id"))
     val e = exact.select(col("query_id"), col("neighbor_id"))
-    val totals = e.agg(
-      count_distinct(col("query_id")).as("n_queries"),
-      count(lit(1)).as("n_exact"))
+    val nQueries = probes.where(SimilarityFunctions.finiteVec(vecCol))
+      .select(col(idCol)).agg(count_distinct(col(idCol))).head().getLong(0)
+    val nCorpus = corpus.where(SimilarityFunctions.finiteVec(vecCol)).count()
+    val nExact = nQueries * math.min(k.toLong, math.max(nCorpus - 1, 0L))
     val hits = a.join(e, Seq("query_id", "neighbor_id"))
       .agg(count(lit(1)).as("_n_hits"))
-    totals.crossJoin(hits) // 1 row × 1 row
-      .select(col("n_queries"), col("n_exact"),
-        lit(recallFloorBp).as("recall_floor_bp"),
-        (col("_n_hits") * 10000 >= col("n_exact") * recallFloorBp)
-          .cast("long").as("recall_ok"))
+    hits.select(lit(nQueries).as("n_queries"), lit(nExact).as("n_exact"),
+      lit(recallFloorBp).as("recall_floor_bp"),
+      (col("_n_hits") * 10000 >= nExact * recallFloorBp)
+        .cast("long").as("recall_ok"))
   }
 
   /** Full JSON ingest of the events wire stream → per-collection frames. */
@@ -233,8 +254,8 @@ object SparkEntry {
     * deterministic dedup keeper needs that), and consumers extract with
     * get_json_object + try_cast.
     */
-  private def ingestedUnion(s: SparkSession, dir: String): DataFrame =
-    ingested(s, dir).toSeq.sortBy(_._1.collection).map { case (id, df) =>
+  private def ingestedUnion(s: SparkSession, dir: String): DataFrame = {
+    val parts = ingested(s, dir).toSeq.sortBy(_._1.collection).map { case (id, df) =>
       val jsonSafe = df.columns.foldLeft(df) { (d, c) =>
         d.schema(c).dataType match {
           case _: org.apache.spark.sql.types.MapType =>
@@ -243,7 +264,17 @@ object SparkEntry {
         }
       }
       jsonSafe.withColumn("collection", lit(id.collection))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    if (parts.isEmpty)
+      // an empty (or fully-invalid) wire batch routes ZERO collections;
+      // the consumers' groupBys then yield the oracle's zero rows. The
+      // schema carries every column a consumer references (the columns
+      // the parser emits for any non-empty events batch).
+      emptyResult(s, "collection" -> StringType, "_user" -> StringType,
+        "_time" -> TimestampType, "value" -> DoubleType,
+        "props" -> StringType)
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -370,7 +401,7 @@ object SparkEntry {
       // iterate the NORMALIZED routing names (withRouting lowercases and
       // drops invalid ones) — a raw mixed-case name would probe an empty
       // collection and surface a zero group the oracle doesn't have
-      val out = ev.select($"event_type").distinct().as[String].collect()
+      val parts = ev.select($"event_type").distinct().as[String].collect()
         .filter(t => t != null && CollectionId.isValid("demo", t))
         .map(t => CollectionId.normalize("demo", t).collection)
         .distinct.sorted
@@ -379,7 +410,10 @@ object SparkEntry {
               JsonDialect.Rakam)
             .withColumn("collection", lit(t))
         }
-        .reduce(_.unionByName(_))
+      val out = (if (parts.isEmpty)
+        emptyResult(s, "collection" -> StringType, "seen_at" -> LongType,
+          "_time" -> TimestampType, "value" -> DoubleType)
+      else parts.reduce(_.unionByName(_)))
         .groupBy($"collection").agg(
           count(lit(1)).as("n_events"),
           count($"seen_at").as("n_seen"),                     // numeric → null
@@ -472,12 +506,16 @@ object SparkEntry {
       // table per collection): a cross-collection mergeSchema read can
       // legitimately fail when two collections infer incompatible nested
       // types for the same field name
-      parsed.keys.toSeq.sortBy(_.collection).map { id =>
+      val parts = parsed.keys.toSeq.sortBy(_.collection).map { id =>
         sink.read(s, id).agg(
             count(lit(1)).as("n"),
             sumRound($"value", 2).as("sum_value"))
           .select(lit(id.collection).as("collection"), $"n", $"sum_value")
-      }.reduce(_.unionByName(_)).orderBy($"collection")
+      }
+      if (parts.isEmpty) // zero collections routed: the oracle's 0 rows
+        emptyResult(s, "collection" -> StringType, "n" -> LongType,
+          "sum_value" -> DoubleType)
+      else parts.reduce(_.unionByName(_)).orderBy($"collection")
     }),
 
     // K1 at collection CARDINALITY: 100 same-schema collections through
@@ -513,7 +551,13 @@ object SparkEntry {
         graft.streaming.IngestConfig(splitEnabled = false,
           consolidateThreshold = 64),
         batchId = 11)
-      sink.readAll(s)
+      // an all-invalid (or empty) batch lands nothing — readAll over a
+      // bare sink root cannot infer a schema; the oracle returns 0 rows
+      val landed = new java.io.File(base).listFiles()
+      if (landed == null || landed.isEmpty)
+        emptyResult(s, "collection" -> StringType, "n" -> LongType,
+          "sum_value" -> DoubleType)
+      else sink.readAll(s)
         .groupBy($"collection".cast("string").as("collection")).agg(
           count(lit(1)).as("n"),
           sumRound($"value", 2).as("sum_value"))
@@ -540,10 +584,13 @@ object SparkEntry {
       routed.unpersist(); dec.unpersist()
       // per-collection read-back (see k1_sink_roundtrip): incompatible
       // nested types across collections must not fail the whole read
-      parsed.keys.toSeq.sortBy(_.collection).map { id =>
+      val parts = parsed.keys.toSeq.sortBy(_.collection).map { id =>
         sink.read(s, id).agg(count(lit(1)).as("n"))
           .select(lit(id.collection).as("collection"), $"n")
-      }.reduce(_.unionByName(_)).orderBy($"collection")
+      }
+      if (parts.isEmpty) // zero collections routed: the oracle's 0 rows
+        emptyResult(s, "collection" -> StringType, "n" -> LongType)
+      else parts.reduce(_.unionByName(_)).orderBy($"collection")
     }),
 
     // Approximate sketches (HLL++ cardinality, t-digest-style quantiles).
@@ -809,11 +856,15 @@ object SparkEntry {
       val sink = new graft.sinks.NdjsonGzipSink(base)
       val parsed = ingested(s, dir)
       parsed.foreach { case (id, df) => sink.insert(id, df) }
-      parsed.keys.toSeq.sortBy(_.collection).map { id =>
+      val parts = parsed.keys.toSeq.sortBy(_.collection).map { id =>
         s.read.json(sink.path(id))
           .agg(count(lit(1)).as("n"), sumRound($"value", 2).as("sum_value"))
           .select(lit(id.collection).as("collection"), $"n", $"sum_value")
-      }.reduce(_ unionAll _)
+      }
+      if (parts.isEmpty) // zero collections routed: the oracle's 0 rows
+        emptyResult(s, "collection" -> StringType, "n" -> LongType,
+          "sum_value" -> DoubleType)
+      else parts.reduce(_ unionAll _)
     }),
 
     // Correlated-aggregate filter (TPC-H q17 shape): lineitems under 50%
@@ -936,7 +987,10 @@ object SparkEntry {
       val ev = tbl(s, dir, "events")
       ev.select($"event_id", $"user_id", tsTimestamp(ev).as("t"))
         .createOrReplaceTempView("rt_events")
-      val t0 = ev.agg(unix_micros(min(tsTimestamp(ev)))).head().getLong(0)
+      // empty events: NULL min — anchor at epoch 0 (the join against the
+      // empty event side yields the oracle's 0 groups either way)
+      val t0Row = ev.agg(unix_micros(min(tsTimestamp(ev)))).head()
+      val t0 = if (t0Row.isNullAt(0)) 0L else t0Row.getLong(0)
       s.range(0, 40).select($"id".as("w"),
           timestamp_micros(lit(t0) + $"id" * 3600000000L).as("ws"),
           timestamp_micros(lit(t0) + ($"id" + 2) * 3600000000L).as("we"))
@@ -1328,15 +1382,24 @@ object SparkEntry {
       import s.implicits._
       val d = docs(s, dir)
       val merges = graft.operators.Bpe.train(d, "text", numMerges = 8)
+      // Any-data certificate columns: `has_merges`/`first_merge` replay
+      // round 1 exactly (the oracle mirrors train's minPairCount=2 stop
+      // rule), and on a corpus where NO merge is trainable the bound/
+      // compression claims are vacuous on both sides (zero merges leave
+      // the char-level segmentation, which compresses nothing) — while
+      // ONE applied merge provably compresses, so `compressed` is the
+      // oracle's constant 1 whenever has_merges is.
       graft.operators.Bpe.subwordCounts(d, "doc_id", "text", merges)
-        .agg(sum($"n_words").as("n_words"), sum($"n_chars").as("n_chars"),
+        .agg(coalesce(sum($"n_words"), lit(0L)).as("n_words"),
+          sum($"n_chars").as("n_chars"),
           sum($"n_subwords").as("_n_sub"))
         .select($"n_words", $"n_chars",
-          lit(merges.size.toLong).as("n_merges"),
-          lit(merges.head.pair).as("first_merge"),
-          ($"_n_sub" >= $"n_words" && $"_n_sub" <= $"n_chars")
-            .cast("long").as("bounds_ok"),
-          ($"_n_sub" < $"n_chars").cast("long").as("compressed"))
+          lit(if (merges.nonEmpty) 1L else 0L).as("has_merges"),
+          lit(merges.headOption.map(_.pair).orNull).as("first_merge"),
+          coalesce(($"_n_sub" >= $"n_words" && $"_n_sub" <= $"n_chars")
+            .cast("long"), lit(1L)).as("bounds_ok"),
+          (if (merges.isEmpty) lit(0L)
+           else ($"_n_sub" < $"n_chars").cast("long")).as("compressed"))
     }),
 
     // Token-budget estimate (portable BPE-ish arithmetic).
@@ -1892,7 +1955,7 @@ object SparkEntry {
         SimilarityFunctions.ivfTopK(emb, probes, "vec_id", "embedding", 5,
           cells = 16, nProbe = 4),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
-        recallFloorBp = 5000)
+        recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
     }),
 
     // PCA-reduced ANN — the dimensionality-reduction tier: 24 of 64
@@ -1906,7 +1969,7 @@ object SparkEntry {
         SimilarityFunctions.pcaTopK(emb, probes, "vec_id", "embedding", 5,
           pcaK = 24, shortlist = 64),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
-        recallFloorBp = 5000)
+        recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
     }),
 
     // PQ (product-quantized) ANN — the compressed storage tier: 8 byte
@@ -1919,7 +1982,7 @@ object SparkEntry {
       recallCertificate(
         SimilarityFunctions.pqTopK(emb, probes, "vec_id", "embedding", 5),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
-        recallFloorBp = 4000)
+        recallFloorBp = 4000, emb, probes, "embedding", "vec_id", 5)
     }),
 
     // IVF-PQ — the billion-scale composition: cell probing bounds the
@@ -1933,7 +1996,7 @@ object SparkEntry {
         SimilarityFunctions.ivfPqTopK(emb, probes, "vec_id", "embedding", 5,
           cells = 16, nProbe = 4),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
-        recallFloorBp = 3000)
+        recallFloorBp = 3000, emb, probes, "embedding", "vec_id", 5)
     }),
 
     // Multi-probe LSH ANN. Recall certificate vs in-query brute force
@@ -1946,7 +2009,7 @@ object SparkEntry {
         SimilarityFunctions.lshTopK(emb, probes, "vec_id", "embedding", 5,
           nPlanes = 3),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
-        recallFloorBp = 5000)
+        recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
     }),
 
     // Embedding-space outlier signal: cosine of every vector against its
@@ -2364,12 +2427,19 @@ object SparkEntry {
     * Every probe has ≥ 5 non-self neighbors (the corpus is ≥ 500 vectors),
     * so n_exact = 5 · n_queries.
     */
+  /** Mirrors [[recallCertificate]]'s closed-form totals: n_exact is
+    * n_queries × least(5, finite corpus − 1), so the compare holds on
+    * degenerate corpora (empty, single-vector) too.
+    */
   private def annRecallOracleSql(floorBp: Long): String =
-    s"""SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
-       |       (count(DISTINCT vec_id) * 5)::BIGINT AS n_exact,
+    s"""WITH femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+       |q AS (SELECT count(DISTINCT vec_id)::BIGINT AS nq FROM femb WHERE vec_id < 20),
+       |c AS (SELECT count(*)::BIGINT AS nc FROM femb)
+       |SELECT q.nq AS n_queries,
+       |       (q.nq * least(5, greatest(c.nc - 1, 0)))::BIGINT AS n_exact,
        |       $floorBp::BIGINT AS recall_floor_bp,
        |       1::BIGINT AS recall_ok
-       |FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0) femb WHERE vec_id < 20""".stripMargin
+       |FROM q, c""".stripMargin
 
   /** MinHash banding CTE shared by the pairs and clusters oracles.
     * The `stopb` filter mirrors the engine's `maxBandFreq = 1000` hot-band
@@ -2565,11 +2635,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // HAVING n > 0 pins the one ROLLUP divergence: on a zero-row input
+    // DuckDB (per the SQL standard) still emits the grand-total group,
+    // Spark's rollup() emits nothing; every real group has n >= 1, so
+    // the guard is a no-op on any non-empty input.
     "q7_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       sum(CASE WHEN isfinite(l_quantity) THEN floor((l_quantity) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |HAVING count(*) > 0
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q8_below_avg_qty" ->
@@ -3405,13 +3480,13 @@ object SparkEntry {
          |        i -> w[i] || ' ' || w[i+1])) AS pair
          |      FROM wf WHERE length(w) >= 2),
          |fm AS (SELECT pair FROM (SELECT pair, sum(f) AS cnt FROM p GROUP BY 1)
-         |       ORDER BY cnt DESC, pair ASC LIMIT 1)
+         |       WHERE cnt >= 2 ORDER BY cnt DESC, pair ASC LIMIT 1)
          |SELECT (SELECT count(*) FROM tk)::BIGINT AS n_words,
          |       (SELECT sum(length(w)) FROM tk)::BIGINT AS n_chars,
-         |       8::BIGINT AS n_merges,
+         |       (SELECT count(*) FROM fm)::BIGINT AS has_merges,
          |       (SELECT pair FROM fm) AS first_merge,
          |       1::BIGINT AS bounds_ok,
-         |       1::BIGINT AS compressed""".stripMargin,
+         |       (SELECT count(*) FROM fm)::BIGINT AS compressed""".stripMargin,
 
     // the four family CTEs over the synthesized corpus, one flags row per
     // doc, per-source rollup — every fragment shared with the standalone

@@ -98,7 +98,14 @@ object Pca {
         while (i < a.length && a(i) == b(i)) i += 1
         i < a.length && a(i) < b(i)
       }
-    require(sample.nonEmpty, "empty training corpus")
+    if (sample.isEmpty) {
+      // empty (or all-unusable) corpus: a placeholder identity model of
+      // dimension k — nothing will ever be projected through it, and the
+      // caller's shortlist/re-rank over the empty corpus stays empty
+      return new PcaModel(new Array[Double](k),
+        Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0),
+        explainedBp = 0L)
+    }
     val dim = sample(0).length
     require(k >= 1 && k <= dim, s"k=$k not in 1..$dim")
     val m = sample.length

@@ -220,10 +220,32 @@ object SimilarityFunctions {
       .select(col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("features", array_to_vector(col("_cv")))
     val n = all.count()
-    val train =
-      if (n <= maxTrainRows) all
-      else all.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    new IvfIndex(new KMeans().setK(cells).setSeed(seed)
+    // Degenerate corpora must yield a SERVABLE index, not a crash:
+    // Spark ML's KMeans needs k >= 2 and at least as many points, so a
+    // corpus with < 2 usable vectors is padded to two distinct synthetic
+    // points (one real vector at most exists to assign or probe, so the
+    // padded centroids never influence a result), and a corpus smaller
+    // than `cells` trains one cell per point.
+    val spark = corpus.sparkSession
+    val (train, kEff) =
+      if (n >= 2) {
+        val t = if (n <= maxTrainRows) all
+                else all.sample(withReplacement = false,
+                       maxTrainRows.toDouble / n, seed)
+        (t, math.min(cells, n).toInt)
+      } else if (n == 1) {
+        // the real point plus itself shifted by +1 in every coordinate
+        val shifted = all.select(
+          transform(col("_cv"), x => x + lit(1.0)).as("_cv"))
+          .withColumn("features", array_to_vector(col("_cv")))
+        (all.unionByName(shifted), 2)
+      } else {
+        import spark.implicits._
+        (Seq(Tuple1(org.apache.spark.ml.linalg.Vectors.dense(0.0)),
+             Tuple1(org.apache.spark.ml.linalg.Vectors.dense(1.0)))
+          .toDF("features"), 2)
+      }
+    new IvfIndex(new KMeans().setK(kEff).setSeed(seed)
       .setFeaturesCol("features").fit(train))
   }
 
@@ -436,9 +458,12 @@ object SimilarityFunctions {
     * Empty clusters keep their previous centroid; seeded init (distinct
     * shuffled sample points) keeps the fit deterministic.
     */
-  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+  private def lloyd(points: Array[Array[Double]], kAsked: Int, seed: Long,
                     iters: Int = 15): Array[Array[Double]] = {
-    require(points.length >= k, s"need >= $k training points, got ${points.length}")
+    require(points.nonEmpty, "lloyd: no training points")
+    // a sample smaller than the codebook trains one centroid per point —
+    // the codebook shrinks rather than the fit crashing (tiny corpora)
+    val k = math.min(kAsked, points.length)
     val rnd = new java.util.Random(seed)
     val order = rnd.ints(0, points.length).distinct().limit(k).toArray
     val dim = points(0).length
@@ -496,7 +521,12 @@ object SimilarityFunctions {
     // bounded collect (≤maxTrainRows rows) — the only driver-side data
     require(codes >= 1 && codes <= 256, s"codes $codes not in 1..256 (byte codes)")
     val sample = train.collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty training corpus")
+    if (sample.isEmpty) {
+      // empty (or all-unusable) corpus: a placeholder single-zero-code
+      // codebook — nothing will ever be encoded or scored against it,
+      // and the caller's search over the empty corpus stays empty
+      return new PqIndex(1, Array.fill(m)(Array(Array(0.0))))
+    }
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m

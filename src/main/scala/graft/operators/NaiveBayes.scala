@@ -36,7 +36,11 @@ object NaiveBayes {
   def classTable(train: DataFrame, labelCol: String, textCol: String,
                  buckets: Int): DataFrame = {
     val nDocs = train.count()
-    require(nDocs > 0, "empty training set")
+    // an EMPTY training set yields an empty class table (and so an empty
+    // weight table and zero predictions downstream) — the label-less
+    // corpus is a state a fresh pipeline legitimately passes through, not
+    // an error; the 0-denominator prior expression below never evaluates
+    // because there are no rows to evaluate it on
     train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(size(TextFunctions.tokens(col(textCol))).cast("long")),

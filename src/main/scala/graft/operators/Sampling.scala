@@ -126,7 +126,10 @@ object Sampling {
       .where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    require(counts.nonEmpty, "no non-null sources to mix")
+    // nothing to mix (empty corpus or all-null sources): the mixture of
+    // zero sources is the empty corpus, not an error
+    if (counts.isEmpty)
+      return df.where(lit(false)).select(df.columns.map(col).toSeq: _*)
     def isqrt(n: BigInt): BigInt =
       if (n < 2) n
       else {

@@ -513,12 +513,12 @@ class CurationOpsSpec extends SparkSpec {
     // quota computed over the 50 non-null docs only: rate = 1e4*30/50 = 6000bp
     val n = kept.count()
     assert(n > 15 && n < 45, s"~60% of 50 expected, got $n")
+    // all-null sources = zero mixable sources = the empty corpus (the
+    // degenerate-input contract, DegenerateInputSpec), not an error
     val allNull = Seq.tabulate(5)(i => (i.toLong, Option.empty[String]))
       .toDF("doc_id", "source")
-    val ex = intercept[IllegalArgumentException] {
-      Sampling.sqrtMixtureSample(allNull, "doc_id", "source", 3L, "t")
-    }
-    assert(ex.getMessage.contains("no non-null sources"))
+    assert(Sampling.sqrtMixtureSample(allNull, "doc_id", "source", 3L, "t")
+      .count() === 0L)
   }
 
   test("tfidf: rare terms outrank ubiquitous ones; ties break on term") {
