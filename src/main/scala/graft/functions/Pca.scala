@@ -82,6 +82,86 @@ object Pca {
     }
   }
 
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Rotations
+    * zero each off-diagonal pair in a FIXED (p,q) sweep order until the
+    * off-diagonal mass vanishes, so the result is fully deterministic —
+    * and, unlike tridiagonal-QL implementations, Jacobi is
+    * unconditionally convergent on symmetric input. That matters here:
+    * the covariance of a mass-duplicated corpus (few distinct vectors,
+    * the crawl-dedup input shape) has a high-multiplicity spectrum on
+    * which commons-math's EigenDecomposition throws "convergence
+    * failed". dim is bounded by the embedding width, so the O(dim³)
+    * sweeps are driver-trivial.
+    *
+    * Returns (eigenvalues, eigenvector matrix V with eigenvectors as
+    * COLUMNS — column i pairs with eigenvalue i).
+    */
+  private def jacobiEigen(src: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = src.length
+    val a = src.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = {
+      var t = 0.0; var i = 0
+      while (i < n) { t += math.abs(a(i)(i)); i += 1 }
+      math.max(t, 1.0)
+    }
+    val tol = scale * 1e-14
+    def offNorm(): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (sweep < 100 && offNorm() > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > tol / n) {
+            val tau = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(tau) match {
+              case 0.0 => 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+              case sgn => sgn / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            }
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            var r = 0
+            while (r < n) { // rotate rows/cols p,q of a
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              r += 1
+            }
+            r = 0
+            while (r < n) { // accumulate the rotation into V
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
   /** Fit a k-component model on a bounded seeded sample of `vecCol`. */
   def pcaTrain(corpus: DataFrame, vecCol: String, k: Int,
                seed: Long = 42L, maxTrainRows: Long = 100000L): PcaModel = {
@@ -136,13 +216,12 @@ object Pca {
       }
       i += 1
     }
-    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
-      new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov, false))
-    val order = eig.getRealEigenvalues.zipWithIndex.sortBy(-_._1)
-    val totalVar = eig.getRealEigenvalues.map(math.max(_, 0.0)).sum
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = eigVals.zipWithIndex.sortBy(-_._1)
+    val totalVar = eigVals.map(math.max(_, 0.0)).sum
     val keptVar = order.take(k).map(p => math.max(p._1, 0.0)).sum
     val comps = order.take(k).map { case (_, idx) =>
-      val v = eig.getEigenvector(idx).toArray
+      val v = Array.tabulate(dim)(r => eigVecs(r)(idx))
       // sign canonicalization: largest-|x| component positive (first wins)
       var best = 0
       var bi = 0

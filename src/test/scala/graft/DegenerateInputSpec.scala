@@ -65,6 +65,27 @@ class DegenerateInputSpec extends SparkSpec {
     assert(oneVec.select(m.project($"embedding")).count() === 1)
   }
 
+  test("pcaTrain converges on a mass-duplicated (rank-deficient) corpus") {
+    // 10 distinct 64-dim vectors repeated 50x: covariance rank <= 9 with
+    // a high-multiplicity zero eigenvalue — the spectrum commons-math's
+    // QL iteration failed on (drill wave 8); the cyclic Jacobi path must
+    // converge, stay deterministic, and keep components orthonormal
+    val canon = Array.tabulate(10, 64)((i, j) =>
+      math.sin(i * 17 + j).toFloat)
+    val dup = Seq.tabulate(500)(i => (i.toLong, canon(i % 10)))
+      .toDF("vec_id", "embedding")
+    val m1 = Pca.pcaTrain(dup, "embedding", k = 24)
+    val m2 = Pca.pcaTrain(dup.repartition(7), "embedding", k = 24)
+    assert(m1.components.map(_.toSeq).toSeq === m2.components.map(_.toSeq).toSeq)
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = m1.components(a).zip(m1.components(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"<$a,$b> = $dot")
+    }
+    // all real variance lives in the rank-9 span, so 24 kept components
+    // explain everything
+    assert(m1.explainedBp === 10000L)
+  }
+
   test("NaiveBayes with an empty training set predicts nothing, quietly") {
     val out = NaiveBayes.classify(
       docs = Seq((1L, "some text")).toDF("doc_id", "text"),
