@@ -2916,10 +2916,10 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
         |  len(regexp_extract_all(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |      '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}')) AS n_emails,
         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
         |        'https?://[^\s]+', '<URL>', 'g'),
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
         |        '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 

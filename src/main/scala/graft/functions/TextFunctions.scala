@@ -32,9 +32,17 @@ object TextFunctions {
     * first (an address inside a URL is part of the URL), then emails,
     * then IPv4 literals.
     */
+  /** The email repetitions are RFC-5321-BOUNDED ({1,64} local, {1,255}
+    * domain, {2,24} TLD) rather than open-ended — semantically a no-op
+    * for every real address, and it caps Java-regex backtracking at a
+    * constant per start position: an unbounded `[…]+@` is O(len²) on a
+    * giant address-less token (a 200 KB minified blob measured in the
+    * hours — drill wave 9), the bounded form is linear. The oracle SQL
+    * uses the identical bounded pattern.
+    */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "https?://[^\\s]+"                                    -> "<URL>",
-    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"     -> "<EMAIL>",
+    "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}" -> "<EMAIL>",
     "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"                      -> "<IP>")
 
   /** Redact PII-ish spans (URL/email/IPv4) with typed placeholders — the

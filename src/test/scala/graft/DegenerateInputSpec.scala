@@ -106,6 +106,19 @@ class DegenerateInputSpec extends SparkSpec {
       budgetDocs = 100L).count() === 0)
   }
 
+  test("redact is linear on a giant address-less token (bounded PII regex)") {
+    // 200 KB of one token: the unbounded email pattern's `[…]+@` was
+    // O(len^2) here (wave 9 measured it in the hours); the RFC-bounded
+    // pattern does constant work per start position. A real address at
+    // the end must still redact.
+    val giant = "x" * 200_000 + " mail a@b.co now"
+    val out = Seq((1L, giant)).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.redact($"text").as("r"))
+      .head().getString(0)
+    assert(out.endsWith(" mail <EMAIL> now"))
+    assert(out.startsWith("xxxx"))
+  }
+
   test("Bpe.train on an empty corpus returns no merges") {
     assert(Bpe.train(emptyDocs, "text", numMerges = 8).isEmpty)
     // and on a corpus whose only pair occurs once (under minPairCount=2)
