@@ -54,7 +54,19 @@ object AsOfJoin {
         col(leftTime).as("_t"), lit(1).as("_src"),
         struct(leftPayload.map(col): _*).as("_lpay"),
         lit(null).cast(rStructType).as("_rpay")): _*)
-    val rhs = right.select(
+    // ANSI join semantics (what SQL ASOF — and so the DuckDB oracle —
+    // does): a NULL in any join key satisfies no equality and a NULL
+    // right time satisfies no `<=`, so such right rows can match NOTHING
+    // — drop them before the union. Without this the window formulation
+    // would invent its own semantics: partitionBy groups NULL keys
+    // together (null-keyed rows would match each other) and NULLs sort
+    // first under asc (a null-time right row would match every later
+    // left row). Left rows always survive (left-join shape); a
+    // null-keyed or null-timed left row simply matches nothing.
+    val rhs = right
+      .where((on.map(col(_).isNotNull) :+ col(rightTime).isNotNull)
+        .reduce(_ && _))
+      .select(
       on.map(col) ++ Seq(
         col(rightTime).as("_t"), lit(0).as("_src"),
         lit(null).cast(StructType(left.select(leftPayload.map(col): _*).schema.fields)).as("_lpay"),

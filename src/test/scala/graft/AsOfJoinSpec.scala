@@ -204,22 +204,22 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("segmented mode: null keys, null right times, NTZ domain all match single-window") {
     import spark.implicits._
-    // Null join keys form their own window partition under the
-    // single-window plan (they match each other); null right times sort
-    // FIRST under ascending order (matchable by every later left row).
-    // Both must survive the segmented carry join — a plain equi-join on
-    // the key would drop null-key carries, and max_by over a null
-    // ordering key would drop null-time right rows from the carry seed.
+    // ANSI join semantics (drill wave 10, matching SQL ASOF / the DuckDB
+    // oracle): a NULL join key satisfies no equality and a NULL right
+    // time no `<=`, so right rows carrying either match NOTHING and
+    // left rows carrying either match nothing but still appear (left
+    // join). The window formulation would otherwise invent its own
+    // rules (partitionBy groups NULL keys; NULL times sort first).
     val l = Seq(
       (Option(1L), 10L, 1L),
-      (Option.empty[Long], 90L, 2L), // null key, LATE bucket: carry must attach
-      (Option.empty[Long], 5L, 3L),  // null key, before the only null-key right
+      (Option.empty[Long], 90L, 2L), // null key: no match, row kept
+      (Option.empty[Long], 5L, 3L),  // null key: no match, row kept
       (Option(5L), 95L, 4L))         // key whose only right row has a null time
       .toDF("user_id", "t", "event_id")
     val r = Seq(
       (Option(1L), Option(8L), 10L),
-      (Option.empty[Long], Option(7L), 20L),
-      (Option(5L), Option.empty[Long], 50L))
+      (Option.empty[Long], Option(7L), 20L), // null key: unmatchable
+      (Option(5L), Option.empty[Long], 50L)) // null time: unmatchable
       .toDF("user_id", "click_t", "click_id")
 
     def result(buckets: Int) = AsOfJoin.asOfJoin(l, r, Seq("user_id"), "t",
@@ -230,8 +230,8 @@ class AsOfJoinSpec extends SparkSpec {
       .toMap
 
     val single = result(1)
-    assert(single == Map(1L -> Some(10L), 2L -> Some(20L), 3L -> None,
-      4L -> Some(50L)))
+    assert(single == Map(1L -> Some(10L), 2L -> None, 3L -> None,
+      4L -> None))
     assert(result(8) == single)
     assert(result(32) == single)
 
