@@ -2987,10 +2987,15 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // sqrt-temperature rates replayed with floor(sqrt(n)) — IEEE sqrt is
-    // correctly rounded, so the integer floor agrees with BigInt isqrt
+    // correctly rounded, so the integer floor agrees with BigInt isqrt.
+    // NULL sources are unmixable and excluded from the QUOTA, not just the
+    // output (the engine counts only non-null sources): without the WHERE,
+    // a null-source group inflates wsum and every rate drops — invisible
+    // whenever the budget caps all rates at 10000 (fuzz seeds 1-4), wrong
+    // the moment the corpus outgrows the budget (seed 5).
     "sample_mixture_sqrt" ->
       """WITH n AS (SELECT source, count(*)::BIGINT AS n FROM documents
-        |           GROUP BY 1),
+        |           WHERE source IS NOT NULL GROUP BY 1),
         |w AS (SELECT sum(floor(sqrt(n))::BIGINT) AS wsum FROM n),
         |r AS (SELECT source, n,
         |        CASE WHEN (10000 * 400 * floor(sqrt(n))::BIGINT)
