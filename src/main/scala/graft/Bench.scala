@@ -76,7 +76,7 @@ object Bench {
     // shows up as a broken bench, never as a speedup
     val results = all.filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to runs).map { _ =>
+        def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -88,6 +88,20 @@ object Bench {
           drainBlocks(spark)
           (elapsed, ok)
         }
+        val base = (1 to runs).map(_ => once())
+        // co-tenant stalls last tens of seconds, so they inflate BOTH
+        // back-to-back runs of whichever query they land on — min-of-N
+        // cannot absorb that. When the two measurements already disagree
+        // >3x (the machine was visibly unstable during this query), one
+        // adaptive extra run, taken after the stall window, restores a
+        // representative min for a bounded extra cost (observed: the same
+        // query measuring [33.2, 20.8] in one full run and 2.5 s in the
+        // next — a 10x artifact in the per-query number).
+        val oks = base.collect { case (t, true) => t }
+        val times =
+          if (oks.size >= 2 && oks.min > 1.0 && oks.max / oks.min > 3.0)
+            base :+ once()
+          else base
         name -> times
       }
     }

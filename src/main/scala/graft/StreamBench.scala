@@ -45,13 +45,20 @@ object StreamBench {
       batchMsP95: Long,
       batchMsMax: Long,
       registrySaveMs: Long,
-      collections: Int) {
+      collections: Int,
+      // temporal drift (soak signal): mean trigger latency over the first
+      // vs last 10 batches IN ARRIVAL ORDER — a growing last/first ratio
+      // means per-batch cost climbs as sink files/registry state
+      // accumulate, which sorted percentiles cannot show
+      batchMsFirst10: Long = 0L,
+      batchMsLast10: Long = 0L) {
     def toJson: String =
       f"""{"records":$records,"batches":$batches,"chunks":$chunks,""" +
         f""""wall_sec":$wallSec%.3f,"busy_sec":$busySec%.3f,""" +
         f""""records_per_sec_busy":$recordsPerSecBusy%.0f,""" +
         f""""records_per_sec_wall":$recordsPerSecWall%.0f,""" +
-        f""""batch_ms":{"p50":$batchMsP50,"p95":$batchMsP95,"max":$batchMsMax},""" +
+        f""""batch_ms":{"p50":$batchMsP50,"p95":$batchMsP95,"max":$batchMsMax,""" +
+        f""""first10_avg":$batchMsFirst10,"last10_avg":$batchMsLast10},""" +
         f""""registry_save_ms":$registrySaveMs,"collections":$collections}"""
   }
 
@@ -206,10 +213,12 @@ object StreamBench {
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val progress = query.recentProgress.toSeq.filter(_.numInputRows > 0)
-    val batchMs = progress
+    val batchMsRaw = progress
       .map(p => Option(p.durationMs.get("triggerExecution"))
         .map(_.longValue()).getOrElse(0L))
-      .sorted
+    val batchMs = batchMsRaw.sorted
+    def meanOf(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L else xs.sum / xs.size
     def pct(q: Double): Long =
       if (batchMs.isEmpty) 0L
       else batchMs(math.min(batchMs.size - 1, (q * batchMs.size).toInt))
@@ -230,7 +239,9 @@ object StreamBench {
       batchMsP95 = pct(0.95),
       batchMsMax = batchMs.lastOption.getOrElse(0L),
       registrySaveMs = registry.persistMillis,
-      collections = registry.all.size)
+      collections = registry.all.size,
+      batchMsFirst10 = meanOf(batchMsRaw.take(10)),
+      batchMsLast10 = meanOf(batchMsRaw.takeRight(10)))
   }
 
   /** Standalone entry: one JSON line, same contract style as [[Bench]]. */
