@@ -67,13 +67,15 @@ object StreamBench {
     * payload shape matches `SparkEntry.eventsAsFabricJson`; rebasing only
     * touches `_time`.
     */
-  private def wireJson(spark: SparkSession, sfDir: String, nowMillis: Long) = {
+  private def wireJson(spark: SparkSession, sfDir: String, nowMillis: Long,
+                       extraData: String = "") = {
     val ev = graft.schema.TableContract.check("events",
         spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(spark.sparkContext.defaultParallelism)
     ev.select(concat(
       lit("""{"id":""""), col("event_id"), lit("""","metadata":{},"data":{"""),
       lit(""""_project":"demo","_collection":""""), col("event_type"), lit("\","),
+      lit(extraData),
       lit(""""_time":"""), lit(nowMillis), lit(","),
       lit(""""_user":"u"""), col("user_id"), lit("\","),
       lit(""""value":"""), col("value"), lit(","),
@@ -108,6 +110,71 @@ object StreamBench {
           IngestStream.fileSource(spark, input, maxFilesPerTrigger = Some(filesPerBatch)),
           registry, new ColumnarSink(s"$tmp/sink"), historical = None,
           s"$tmp/checkpoint", IngestConfig(availableNow = true)))
+    } finally {
+      try {
+        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Schema-evolution CHURN replay: chunk `c`'s wire records carry one
+    * extra top-level data field `f<c>`, and chunks are staged as separate
+    * file groups in strictly increasing modification order, so every
+    * micro-batch widens each live collection's schema by one column and
+    * must re-persist the registry inside its barrier — the reference's
+    * ALTER TABLE + metastore-write path (MetadataDao.java:114-133,
+    * S3DatabaseHandler schema DDL) exercised CONTINUOUSLY rather than
+    * once. The steady-state soak holds this axis at zero (registry saves
+    * are version-check no-ops after batch 1); this mode measures the
+    * opposite pole: per-batch evolution + save cost as the schema widens
+    * to `chunks` extra columns, and parse/sink cost on the widening rows.
+    */
+  def runEvolve(spark: SparkSession, sfDir: String, chunks: Int = 20,
+                targetRecords: Long = 2000000,
+                filesPerBatch: Int = 8): StreamResult = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_streambench_ev")
+    val input = s"$tmp/input"
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(input))
+      val perChunk = math.max(1L, targetRecords / chunks)
+      val base = wireJson(spark, sfDir, System.currentTimeMillis())
+      val nEvents = base.count()
+      var staged = 0L
+      (0 until chunks).foreach { c =>
+        // same envelope, one new data field per chunk: {"data":{...,"f<c>":1,...}}
+        val one = wireJson(spark, sfDir, System.currentTimeMillis(),
+          extraData = s""""f$c":1,""")
+        val rep = math.max(1, math.ceil(perChunk.toDouble / nEvents).toInt)
+        val wire = Seq.fill(rep)(one).reduce(_.union(_)).limit(perChunk.toInt)
+        val stageDir = s"$tmp/stage$c"
+        wire.repartition(filesPerBatch).write.text(stageDir)
+        staged += perChunk
+        // move the part files into the streamed dir with monotone names;
+        // the sequential writes give monotone mtimes, so the file source
+        // feeds (about) one chunk per trigger under maxFilesPerTrigger
+        val parts = new java.io.File(stageDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+          .sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(input, f"c$c%05d-$i%03d.txt"))
+        }
+      }
+      val registry = new EventSchema.Registry()
+      val res = measure(spark, chunks, staged, registry, () =>
+        IngestStream.start(spark,
+          IngestStream.fileSource(spark, input, maxFilesPerTrigger = Some(filesPerBatch)),
+          registry, new ColumnarSink(s"$tmp/sink"), historical = None,
+          s"$tmp/checkpoint", IngestConfig(availableNow = true)))
+      // in-band certificate: the churn actually happened — every chunk's
+      // field must have reached the registry (a mis-staged replay would
+      // otherwise measure the steady-state no-op and report it as churn)
+      val missing = (0 until chunks).map(c => s"f$c").filterNot(f =>
+        registry.all.values.exists(_.fieldNames.contains(f)))
+      require(missing.isEmpty,
+        s"evolution churn did not register: missing ${missing.take(5)}")
+      res
     } finally {
       try {
         java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
@@ -264,6 +331,7 @@ object StreamBench {
     val wire = sys.env.getOrElse("SPARK_GRAFT_STREAM_WIRE", "json")
     val r =
       if (wire == "avro") runAvro(spark, sfDir, chunks, target, files)
+      else if (wire == "evolve") runEvolve(spark, sfDir, chunks, target, files)
       else run(spark, sfDir, chunks, target, files)
     println(s"""{"metric":"stream_ingest_$wire","unit":"records_per_sec","value":${r.recordsPerSecBusy.toLong},"detail":${r.toJson},"sf":"$sfDir"}""")
     spark.stop()

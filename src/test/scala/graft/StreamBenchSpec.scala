@@ -31,4 +31,16 @@ class StreamBenchSpec extends SparkSpec {
     assert(r.collections > 0, "schema-fixed registry must hold the collections")
     assert(r.busySec > 0 && r.recordsPerSecBusy > 0)
   }
+
+  test("evolution churn replay widens the registry every chunk") {
+    // runEvolve's internal certificate requires every chunk's f<c> field
+    // to have reached the registry — a throw here is the failure signal
+    val r = StreamBench.runEvolve(spark, "/root/testdata/sf0.001",
+      chunks = 3, targetRecords = 900, filesPerBatch = 2)
+    assert(r.records === 900L)
+    assert(r.batches >= 1 && r.busySec > 0)
+    assert(r.collections > 0)
+    val json = r.toJson
+    assert(json.contains("\"registry_save_ms\""))
+  }
 }
