@@ -27,10 +27,14 @@ object SparkEntry {
     * an INT64-nanos long (read as BIGINT under
     * `spark.sql.legacy.parquet.nanosAsLong`) and, since the 2026-08-13
     * regeneration, a native `timestamp[us]` (TIMESTAMP_NTZ). Dispatch on
-    * the column type actually present so either encoding works; the
-    * DuckDB oracle already handles both (`epoch_ms(CAST(ts AS
-    * TIMESTAMP))`), and the session timezone is pinned to UTC so the
-    * NTZ→timestamp cast is value-preserving.
+    * the column type actually present so either encoding works, and the
+    * session timezone is pinned to UTC so the NTZ→timestamp cast is
+    * value-preserving. The DuckDB replay is an explicit integer FLOOR
+    * division over `epoch_us` — NOT `epoch_ms`, which truncates toward
+    * zero and disagrees with Spark's `unix_millis` (Math.floorDiv) by
+    * 1 ms on every pre-1970 timestamp that is not an exact millisecond
+    * multiple (XL fuzz seed 17 caught the divergence as a dedup-key
+    * collision the oracle didn't have).
     */
   private[graft] def tsMillis(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
@@ -2542,7 +2546,7 @@ object SparkEntry {
     "f2_dedup_exact" ->
       s"""WITH $ingestedEventsCte,
         |t AS (SELECT coll, user_id,
-        |             epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM ing),
+        |             (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms FROM ing),
         |keyed AS (
         |  SELECT min(coll) AS collection FROM t
         |  WHERE user_id IS NOT NULL AND ms IS NOT NULL
@@ -2570,7 +2574,7 @@ object SparkEntry {
         |                  OR props IS NULL OR NOT json_valid(props)
         |             THEN NULL
         |             ELSE TRY_CAST(json_extract(props, '$.k') AS DOUBLE) END) AS n_k,
-        |       max(make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000)) AS max_time
+        |       max(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 * 1000)) AS max_time
         |FROM events""".stripMargin,
 
     // Rakam numeric-timestamp rule: seen_at is numeric (→ null) for
@@ -2584,7 +2588,7 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       count(CASE WHEN event_id % 10 = 0 OR ts IS NULL
         |             THEN NULL ELSE 1 END) AS n_seen,
-        |       sum(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000)::BIGINT AS sum_time_s,
+        |       sum((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 // 1000)::BIGINT AS sum_time_s,
         |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2621,7 +2625,7 @@ object SparkEntry {
     "e2e_pipeline" ->
       s"""WITH $ingestedEventsCte,
         |t AS (
-        |  SELECT coll, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+        |  SELECT coll, user_id, (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms,
         |         date_diff('day', CAST(ts AS DATE),
         |                   (SELECT max(CAST(ts AS DATE)) FROM ing)) AS di
         |  FROM ing),
@@ -2839,7 +2843,7 @@ object SparkEntry {
 
     "q12_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
-        |                  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |                  (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms FROM events),
         |v AS (SELECT user_id, min(ms) AS v_ms FROM e
         |      WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING (user_id)
@@ -2855,7 +2859,7 @@ object SparkEntry {
     // intervals).
     "w3_sessions" ->
       """WITH t AS (
-        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events
+        |  SELECT user_id, (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms FROM events
         |  WHERE ts IS NOT NULL),
         |o AS (
         |  SELECT user_id, ms,
@@ -2882,7 +2886,7 @@ object SparkEntry {
         s"(((tb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"""WITH b AS (
          |  SELECT CAST(user_id AS BIGINT) AS u,
-         |         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 1000.0)
+         |         CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 / 1000.0)
          |              AS BIGINT) AS ms FROM events),
          |r AS (SELECT min(u) AS ulo, max(u) AS uhi,
          |             min(ms) AS tlo, max(ms) AS thi FROM b),

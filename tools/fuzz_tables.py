@@ -64,8 +64,8 @@ def rnd_text(r):
     return " ".join(r.choices(VOCAB, k=r.randint(3, 120)))
 
 
-def build_documents(r, out_dir):
-    n = r.randint(150, 500)
+def build_documents(r, out_dir, scale=1):
+    n = r.randint(150, 500) * scale
     ids, texts, langs, sources, nchars = [], [], [], [], []
     for i in range(n):
         roll = r.random()
@@ -120,8 +120,8 @@ def rnd_value(r):
     return round(r.uniform(-100, 100), 3)
 
 
-def build_events(r, out_dir):
-    n = r.randint(300, 1200)
+def build_events(r, out_dir, scale=1):
+    n = r.randint(300, 1200) * scale
     t0 = 1_700_000_000 * US
     rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
             "value": [], "props": []}
@@ -156,8 +156,8 @@ def build_events(r, out_dir):
     print(f"wrote events.parquet rows={len(rows['event_id'])}")
 
 
-def build_embeddings(r, out_dir):
-    n = r.randint(120, 400)
+def build_embeddings(r, out_dir, scale=1):
+    n = r.randint(120, 400) * scale
     dim = 64
     vecs, ids, labels = [], [], []
     canon = [[r.uniform(-1, 1) for _ in range(dim)] for _ in range(12)]
@@ -235,17 +235,26 @@ def perturb_tpch(r, out_dir):
     print(f"wrote lineitem.parquet rows={m}")
 
 
-def main(out_dir, seed):
+def main(out_dir, seed, scale=1):
     os.makedirs(out_dir, exist_ok=True)
     r = random.Random(seed)
-    print(f"fuzz seed = {seed}")
-    build_documents(r, out_dir)
-    build_events(r, out_dir)
-    build_embeddings(r, out_dir)
+    print(f"fuzz seed = {seed} scale = {scale}")
+    build_documents(r, out_dir, scale)
+    build_events(r, out_dir, scale)
+    build_embeddings(r, out_dir, scale)
     perturb_tpch(r, out_dir)
 
 
 if __name__ == "__main__":
+    # scale multiplies the row-count ranges: the budget/cap gates in the
+    # sampling and dedup surfaces (budgetDocs=400, budgetTokens=20000,
+    # k=15/source, maxBandFreq=1000, localMaxEdges...) mostly SATURATE on
+    # the default 150-1200-row corpora — every rate caps, every gate takes
+    # one branch, and a divergence on the other branch hides (this exact
+    # shape masked the sqrt-mixture null-quota bug through four seeds).
+    # XL runs (scale 10) put the corpora beyond the budgets so both
+    # branches of every gate are exercised under fuzz.
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_sf"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    main(out, seed)
+    scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    main(out, seed, scale)
