@@ -38,14 +38,21 @@ object SparkEntry {
     */
   private[graft] def tsMillis(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000")
+      // FLOOR, not bare `div` (which truncates toward zero): subtracting
+      // the non-negative pmod remainder makes the dividend an exact
+      // multiple, where div == floor — matching unix_millis
+      // (Math.floorDiv) on the other branch and the oracle's floor
+      // replay on pre-1970 nanos. (Doubles can't do it: ns magnitudes
+      // exceed 2^53.)
+      case LongType => expr("(ts - pmod(ts, 1000000)) div 1000000")
       case _        => unix_millis(col("ts").cast("timestamp"))
     }
 
   /** `ts` as a proper TIMESTAMP column (micros precision), either encoding. */
   private[graft] def tsTimestamp(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
+      // same floor-division form as tsMillis, at ns→µs
+      case LongType => timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000"))
       case _        => col("ts").cast("timestamp")
     }
 
@@ -2504,6 +2511,18 @@ object SparkEntry {
       |    AND position('\' IN event_type) = 0
       |    AND NOT regexp_matches(event_type, '[^ -~]'))""".stripMargin
 
+    /** DuckDB replay of the engine's µs→ms conversion: exact integer FLOOR
+    * division over epoch_us. Spark's unix_millis floors (Math.floorDiv);
+    * DuckDB's epoch_ms and `//` truncate toward zero, so on pre-1970
+    * timestamps off an exact millisecond multiple they disagree by 1 ms
+    * (XL fuzz seed 17). Every oracle site that replays engine millis MUST
+    * interpolate this one expression — a drifting copy reintroduces the
+    * bug class.
+    */
+  private val floorMsSql: String =
+    "(epoch_us(CAST(ts AS TIMESTAMP)) - " +
+      "(epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000"
+
   def oracleSql: Map[String, String] = Map(
     "d7_ingest_route" ->
       s"""WITH $ingestedEventsCte
@@ -2546,7 +2565,7 @@ object SparkEntry {
     "f2_dedup_exact" ->
       s"""WITH $ingestedEventsCte,
         |t AS (SELECT coll, user_id,
-        |             (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms FROM ing),
+        |             $floorMsSql AS ms FROM ing),
         |keyed AS (
         |  SELECT min(coll) AS collection FROM t
         |  WHERE user_id IS NOT NULL AND ms IS NOT NULL
@@ -2562,19 +2581,19 @@ object SparkEntry {
     // no routing here: the avro roundtrip encodes EVERY row under one
     // fixed record name, so no validity filter applies
     "d5_avro_roundtrip" ->
-      """SELECT count(*) AS n,
+      s"""SELECT count(*) AS n,
         |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value,
         |       sum(CASE WHEN event_id % 10 = 0
         |                  OR props IS NULL OR NOT json_valid(props)
-        |                  OR NOT isfinite(TRY_CAST(json_extract(props, '$.k') AS DOUBLE))
+        |                  OR NOT isfinite(TRY_CAST(json_extract(props, '$$.k') AS DOUBLE))
         |                 THEN NULL
-        |                 ELSE floor(TRY_CAST(json_extract(props, '$.k') AS DOUBLE)
+        |                 ELSE floor(TRY_CAST(json_extract(props, '$$.k') AS DOUBLE)
         |                            * 100 + 0.5)::BIGINT END) / 100.0 AS sum_k,
         |       count(CASE WHEN event_id % 10 = 0
         |                  OR props IS NULL OR NOT json_valid(props)
         |             THEN NULL
-        |             ELSE TRY_CAST(json_extract(props, '$.k') AS DOUBLE) END) AS n_k,
-        |       max(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 * 1000)) AS max_time
+        |             ELSE TRY_CAST(json_extract(props, '$$.k') AS DOUBLE) END) AS n_k,
+        |       max(make_timestamp($floorMsSql * 1000)) AS max_time
         |FROM events""".stripMargin,
 
     // Rakam numeric-timestamp rule: seen_at is numeric (→ null) for
@@ -2588,7 +2607,7 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       count(CASE WHEN event_id % 10 = 0 OR ts IS NULL
         |             THEN NULL ELSE 1 END) AS n_seen,
-        |       sum((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 // 1000)::BIGINT AS sum_time_s,
+        |       sum($floorMsSql // 1000)::BIGINT AS sum_time_s,
         |       sum(CASE WHEN isfinite(value) THEN floor((value) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_value
         |FROM ing GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2625,7 +2644,7 @@ object SparkEntry {
     "e2e_pipeline" ->
       s"""WITH $ingestedEventsCte,
         |t AS (
-        |  SELECT coll, user_id, (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms,
+        |  SELECT coll, user_id, $floorMsSql AS ms,
         |         date_diff('day', CAST(ts AS DATE),
         |                   (SELECT max(CAST(ts AS DATE)) FROM ing)) AS di
         |  FROM ing),
@@ -2842,8 +2861,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q12_funnel" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |                  (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms FROM events),
+      s"""WITH e AS (SELECT user_id, event_type,
+        |                  $floorMsSql AS ms FROM events),
         |v AS (SELECT user_id, min(ms) AS v_ms FROM e
         |      WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING (user_id)
@@ -2858,8 +2877,8 @@ object SparkEntry {
     // gap >= 30 min (Spark merges only strictly-overlapping [t, t+gap)
     // intervals).
     "w3_sessions" ->
-      """WITH t AS (
-        |  SELECT user_id, (epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 AS ms FROM events
+      s"""WITH t AS (
+        |  SELECT user_id, $floorMsSql AS ms FROM events
         |  WHERE ts IS NOT NULL),
         |o AS (
         |  SELECT user_id, ms,
@@ -2886,7 +2905,7 @@ object SparkEntry {
         s"(((tb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"""WITH b AS (
          |  SELECT CAST(user_id AS BIGINT) AS u,
-         |         CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 1000 + 1000) % 1000) // 1000 / 1000.0)
+         |         CAST(floor($floorMsSql / 1000.0)
          |              AS BIGINT) AS ms FROM events),
          |r AS (SELECT min(u) AS ulo, max(u) AS uhi,
          |             min(ms) AS tlo, max(ms) AS thi FROM b),

@@ -99,6 +99,7 @@ object StreamBench {
       // `filesPerBatch` text files per planned micro-batch
       val one = wireJson(spark, sfDir, System.currentTimeMillis())
       val nEvents = one.count()
+      require(nEvents > 0, s"replay needs a non-empty $sfDir/events.parquet")
       val replication = math.max(1, math.ceil(targetRecords.toDouble / nEvents).toInt)
       val wire = Seq.fill(replication)(one).reduce(_.union(_))
       wire.repartition(chunks * filesPerBatch).write.text(input)
@@ -138,14 +139,17 @@ object StreamBench {
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(input))
       val perChunk = math.max(1L, targetRecords / chunks)
-      val base = wireJson(spark, sfDir, System.currentTimeMillis())
-      val nEvents = base.count()
+      // metadata-only count (the wire transform would serialize every row
+      // just to count it); an empty corpus has no churn to measure — fail
+      // loudly instead of Int.MaxValue-replicating below
+      val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+      require(nEvents > 0, s"evolve replay needs a non-empty $sfDir/events.parquet")
+      val rep = math.max(1, math.ceil(perChunk.toDouble / nEvents).toInt)
       var staged = 0L
       (0 until chunks).foreach { c =>
         // same envelope, one new data field per chunk: {"data":{...,"f<c>":1,...}}
         val one = wireJson(spark, sfDir, System.currentTimeMillis(),
           extraData = s""""f$c":1,""")
-        val rep = math.max(1, math.ceil(perChunk.toDouble / nEvents).toInt)
         val wire = Seq.fill(rep)(one).reduce(_.union(_)).limit(perChunk.toInt)
         val stageDir = s"$tmp/stage$c"
         wire.repartition(filesPerBatch).write.text(stageDir)
@@ -212,6 +216,7 @@ object StreamBench {
           spark.read.parquet(s"$sfDir/events.parquet"))
         .select(col("event_type"), col("user_id"), col("value"))
       val nEvents = ev.count()
+      require(nEvents > 0, s"replay needs a non-empty $sfDir/events.parquet")
       val replication = math.max(1, math.ceil(targetRecords.toDouble / nEvents).toInt)
       val staged = nEvents * replication
       val types = ev.select(col("event_type")).distinct()

@@ -67,4 +67,25 @@ class TableContractSpec extends SparkSpec {
         unix_micros(SparkEntry.tsTimestamp(tsDf)).as("us")).as[Long].head()
     assert(microsFromTs == 1700000000123000L)
   }
+
+  test("ts helpers FLOOR pre-1970 values on both encodings") {
+    // -1_500_001_234 ns = -1500.001234 ms: floor = -1501, trunc = -1500.
+    // The TimestampType branch floors via unix_millis (Math.floorDiv);
+    // the legacy nanos-long branch must floor identically — a bare `div`
+    // truncates and diverges from the oracle's floor replay by 1 ms on
+    // every pre-1970 value off an exact millisecond multiple (the XL
+    // seed-17 bug class, on the other encoding).
+    val nanos = Seq((1L, -1500001234L)).toDF("event_id", "ts")
+    assert(nanos.select(SparkEntry.tsMillis(nanos).as("ms"))
+      .as[Long].head() == -1501L)
+    assert(nanos.select(
+        unix_micros(SparkEntry.tsTimestamp(nanos)).as("us"))
+      .as[Long].head() == -1500002L) // floor(-1500001.234 us)
+
+    val tsDf = Seq((1L, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(-2, 499998000L)))) // -1500002 µs
+      .toDF("event_id", "ts")
+    assert(tsDf.select(SparkEntry.tsMillis(tsDf).as("ms"))
+      .as[Long].head() == -1501L) // floor(-1500.002 ms)
+  }
 }
