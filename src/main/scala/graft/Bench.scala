@@ -148,7 +148,11 @@ object Bench {
         if (ok) f"$t%.3f" else f"""{"elapsed":$t%.3f,"failed":true}"""
       }.mkString("[", ",", "]")
       val minStr = minOk(ts).map(t => f"$t%.3f").getOrElse("null")
-      "\"" + k + "\":" + s"""{"min":$minStr,"runs":$runs,"all":$allRuns}"""
+      // the adaptive third run can only LOWER the reported min (one-sided
+      // selection) — flag the queries where it fired so downstream
+      // comparisons can see the rule engaged (raw runs ride along in `all`)
+      val adaptive = if (ts.size > runs) ""","adaptive":true""" else ""
+      "\"" + k + "\":" + s"""{"min":$minStr,"runs":$runs,"all":$allRuns$adaptive}"""
     } ++ streamOk.map { case (n, (t, r)) =>
       f""""$n":{"min":$t%.3f,"runs":1,"all":[$t%.3f],"stream":${r.toJson}}"""
     }).mkString("{", ",", "}")

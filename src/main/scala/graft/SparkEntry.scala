@@ -873,6 +873,35 @@ object SparkEntry {
         .orderBy($"z").limit(100)
     }),
 
+    // Stats-manifest pruned read, maintained AT WRITE TIME: lineitem lands
+    // through ColumnarSink with a min/max manifest on l_orderkey (three
+    // batch-keyed inserts, range-clustered so files
+    // carry tight key ranges — the reference computes shard stats at
+    // write, InMemoryOrcStorageManager.java:188-207), then prunedRead
+    // serves a selective key range. Result must equal the oracle's plain
+    // full-scan filter; the file-level skipping itself (fewer files
+    // opened, replay no-dup, conservative staleness) is pinned in
+    // StatsIndexSpec.
+    "layout_stats_prune" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_statsidx").toString
+      val sink = new ColumnarSink(base, statsColumns = Seq("l_orderkey"))
+      val id = CollectionId("demo", "lineitem")
+      val li = tbl(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      sink.insertBatch(id, li.where($"l_orderkey" <= 200)
+        .repartitionByRange(4, $"l_orderkey"), 0L)
+      sink.insertBatch(id, li.where($"l_orderkey" > 200 && $"l_orderkey" <= 400)
+        .repartitionByRange(4, $"l_orderkey"), 1L)
+      sink.insertBatch(id, li.where($"l_orderkey" > 400)
+        .repartitionByRange(8, $"l_orderkey"), 2L)
+      sink.prunedRead(s, id, Seq(("l_orderkey", 50L, 150L)))
+        .where($"l_orderkey".between(50L, 150L))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sumRound($"l_quantity", 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
     // K2: NDJSON-gzip sink roundtrip (file rolling + serialization), read
     // back per collection.
     "k2_ndjson_roundtrip" -> ((s, dir) => {
@@ -2917,6 +2946,12 @@ object SparkEntry {
          |SELECT z, count(*) AS n_rows FROM c WHERE z IS NOT NULL
          |GROUP BY 1 ORDER BY z LIMIT 100""".stripMargin
     },
+
+    "layout_stats_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(CASE WHEN isfinite(l_quantity) THEN floor((l_quantity) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 50 AND 150
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "k2_ndjson_roundtrip" ->
       s"""WITH $ingestedEventsCte

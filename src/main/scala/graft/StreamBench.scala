@@ -139,6 +139,10 @@ object StreamBench {
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(input))
       val perChunk = math.max(1L, targetRecords / chunks)
+      // the staging limit below takes an Int; a >2B-records-per-chunk ask
+      // would silently overflow into a wrong (or negative) limit
+      require(perChunk <= Int.MaxValue,
+        s"targetRecords/chunks = $perChunk exceeds Int.MaxValue — raise chunks")
       // metadata-only count (the wire transform would serialize every row
       // just to count it); an empty corpus has no churn to measure — fail
       // loudly instead of Int.MaxValue-replicating below

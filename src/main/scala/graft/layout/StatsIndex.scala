@@ -36,20 +36,45 @@ object StatsIndex {
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** One pass over `dir`: per-file min/max for `cols` + row count, written
-    * to `dir/_graft_stats_index`. Returns the number of indexed files.
-    */
-  def build(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
-    require(cols.nonEmpty, "index needs at least one column")
-    val df = spark.read.parquet(dir)
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
     df.select(input_file_name().as("_file") +: cols.map(col): _*)
       .groupBy(col("_file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One pass over `dir`: per-file min/max for `cols` + row count, written
+    * to `dir/_graft_stats_index`. Returns the number of indexed files.
+    */
+  def build(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "index needs at least one column")
+    statsOf(spark.read.parquet(dir), cols)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$IndexDirName")
     spark.read.parquet(s"$dir/$IndexDirName").count()
+  }
+
+  /** Incremental manifest maintenance — index ONLY the given just-written
+    * files and APPEND their stats rows to `indexDir`. This is the
+    * write-time path ([[graft.sinks.ColumnarSink]] calls it after each
+    * insert, the way the reference computes shard stats at write —
+    * InMemoryOrcStorageManager.java:188-207): one small job over files
+    * that are still hot, columns pruned to the indexed set. A column
+    * missing from a file's schema (pre-evolution batches) reads as all
+    * nulls → null min/max, which [[prunedRead]] correctly prunes: no row
+    * in that file can satisfy a range on the column.
+    */
+  def appendFor(spark: SparkSession, indexDir: String, basePath: String,
+                files: Seq[String], cols: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    val df = spark.read.option("basePath", basePath).parquet(files: _*)
+    // a column a pre-evolution batch never had can't be selected — index
+    // what exists; the file still gets a row (so it isn't "unknown" and
+    // read unconditionally), and a null/absent min/max prunes it under any
+    // range on that column, which is exact: it holds no such values
+    val present = cols.filter(df.columns.contains)
+    statsOf(df, present).coalesce(1).write.mode("append").parquet(indexDir)
   }
 
   /** Closed-interval predicates per column: (name, lo, hi). A file is
@@ -59,24 +84,53 @@ object StatsIndex {
     * row-group pruning still runs inside the surviving files.
     */
   def prunedRead(spark: SparkSession, dir: String,
-                 ranges: Seq[(String, Any, Any)]): DataFrame = {
+                 ranges: Seq[(String, Any, Any)]): DataFrame =
+    prunedReadWith(spark, dir, s"$dir/$IndexDirName", ranges)
+
+  /** [[prunedRead]] with an explicit index location and reader options —
+    * the sink-integration form ([[graft.sinks.ColumnarSink.prunedRead]]
+    * keeps one base-level index for its whole layout and scopes reads to
+    * one collection directory here). A missing index is the conservative
+    * no-op: full read of `dataDir`.
+    */
+  def prunedReadWith(spark: SparkSession, dataDir: String, indexDir: String,
+                     ranges: Seq[(String, Any, Any)],
+                     options: Map[String, String] = Map.empty): DataFrame = {
     require(ranges.nonEmpty, "prunedRead needs at least one range")
-    val idx = spark.read.parquet(s"$dir/$IndexDirName")
+    def full = spark.read.options(options).option("basePath", dataDir)
+      .parquet(dataDir)
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fsIdx = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsIdx.exists(idxPath)) return full // no manifest yet: never lose data
+    // mergeSchema: appended index slices may carry different stat columns
+    // (schema evolution; a column absent from a slice reads as null there)
+    val idx = spark.read.option("mergeSchema", "true").parquet(indexDir)
+    val dataPrefix = normalize(dataDir).stripSuffix("/") + "/"
     val keep = ranges.map { case (c, lo, hi) =>
+      // a range over a never-indexed column must fail LOUDLY — pruning on
+      // it would silently drop every indexed file's rows
+      require(idx.columns.contains(s"min_$c"),
+        s"column $c is not in the stats index at $indexDir")
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
     // driver-side reads of the per-file manifest: one small table, bounded
-    // by file count (shard the index itself before this is ever large)
-    val indexedKeys = idx.select(col("_file")).collect()
+    // by file count (shard the index itself before this is ever large).
+    // Scope to dataDir (a shared index covers sibling collections) and
+    // de-dup: a file must never be read twice because two index slices
+    // both know it.
+    val inScope = idx.filter(col("_file").isNotNull)
+      .collect().map(_.getAs[String]("_file"))
+      .filter(f => normalize(f).startsWith(dataPrefix)).distinct
+    val indexedKeys = inScope.map(normalize).toSet
+    val matchSet = idx.filter(keep).select(col("_file")).collect()
       .map(r => normalize(r.getString(0))).toSet
-    val matching = idx.filter(keep).select(col("_file")).collect()
-      .map(_.getString(0))
+    val matching = inScope.filter(f => matchSet.contains(normalize(f)))
 
     // conservative two-way staleness sweep against ONE directory listing:
     // files unknown to the index ride along unpruned, and index entries
     // whose file no longer exists (compaction, overwrite) are skipped
     // instead of crashing the read
-    val root = new org.apache.hadoop.fs.Path(dir)
+    val root = new org.apache.hadoop.fs.Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(root, true)
     val unknown = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -85,17 +139,19 @@ object StatsIndex {
       val st = it.next()
       val p = st.getPath
       val partOfIndex = normalize(p.toString).contains(s"/$IndexDirName/")
-      val hiddenName = p.getName.startsWith("_") || p.getName.startsWith(".")
-      if (st.isFile && !partOfIndex && !hiddenName) {
+      val hiddenPath = p.toString.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && !partOfIndex && !hiddenPath) {
         present += normalize(p.toString)
         if (!indexedKeys.contains(normalize(p.toString)))
           unknown += p.toString
       }
     }
     val files = matching.filter(p => present.contains(normalize(p))) ++ unknown
-    if (files.isEmpty) spark.read.parquet(dir).limit(0) // schema-preserving
+    if (files.isEmpty) full.limit(0) // schema-preserving
     // basePath keeps directory-derived (Hive partition) columns in the
     // schema, identical to a whole-directory read
-    else spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
+    else spark.read.options(options).option("basePath", dataDir)
+      .parquet(files.toIndexedSeq: _*)
   }
 }

@@ -78,8 +78,61 @@ object EventSink {
   */
 final class ColumnarSink(basePath: String, format: String = "parquet",
                          compression: String = "snappy",
-                         maxRecordsPerFile: Long = 5000000)
+                         maxRecordsPerFile: Long = 5000000,
+                         statsColumns: Seq[String] = Nil)
     extends EventSink {
+
+  /** Write-time stats manifest (layout/StatsIndex): with `statsColumns`
+    * set, every insert appends per-file min/max rows for the just-written
+    * files to ONE base-level index — the reference computes shard stats
+    * at write the same way (InMemoryOrcStorageManager.java:188-207). At
+    * 100 TB this manifest is the driver's scan-prune tool: [[prunedRead]]
+    * drops non-matching files before any parquet footer is opened.
+    * Maintenance is one driver listing of the new files + one small
+    * column-pruned job per insert; replays/compaction leave stale entries
+    * that the conservative sweep in `StatsIndex.prunedReadWith` skips.
+    */
+  val statsIndexPath = s"$basePath/${graft.layout.StatsIndex.IndexDirName}"
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path,
+                       spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recursive data-file listing under `dir` — skips hidden/metadata
+    * segments (`_graft_commits`, `_graft_stats_index`, `.crc`, `_SUCCESS`)
+    * the same way Spark's own file listing does.
+    */
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(root, spark)
+    if (!fs.exists(root)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val hidden = st.getPath.toUri.getPath.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && !hidden) out += st.getPath.toString
+    }
+    out.toSeq
+  }
+
+  private def appendStats(spark: SparkSession, files: Seq[String]): Unit =
+    if (statsColumns.nonEmpty && files.nonEmpty)
+      graft.layout.StatsIndex.appendFor(spark, statsIndexPath, basePath,
+        files, statsColumns)
+
+  /** Manifest-pruned read of one collection: file-level min/max skipping on
+    * `statsColumns` ranges, then the same reserved-column restore as
+    * [[read]]. Returns a SUPERSET of the matching rows (apply the real
+    * filter on top); parity with `read(...).filter(...)` is pinned by
+    * StatsIndexSpec and the `layout_stats_prune` oracle query.
+    */
+  def prunedRead(spark: SparkSession, id: CollectionId,
+                 ranges: Seq[(String, Any, Any)]): DataFrame =
+    unescapeReserved(graft.layout.StatsIndex.prunedReadWith(
+      spark, path(id), statsIndexPath, ranges,
+      Map("mergeSchema" -> "true")))
 
   /** Hive-style partition-value escaping (':' → %3A etc.) — the SAME
     * escaping Spark's dynamic `partitionBy` writer applies, so the
@@ -131,12 +184,28 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       dropped.withColumnRenamed(c, orig)
     }
 
-  override def insert(id: CollectionId, df: DataFrame): Unit =
+  /** NOTE: plain inserts land part files at the collection ROOT while the
+    * batch-keyed path lands them under `batch=N` dirs — Spark's partition
+    * inference ignores root-level files once partition dirs exist, so one
+    * collection must stick to ONE shape (streaming always uses the
+    * batch-keyed path; bulk loads always use this one).
+    */
+  override def insert(id: CollectionId, df: DataFrame): Unit = {
+    // append mode lands new part files among existing ones — the stats
+    // delta is a before/after listing (driver-side, bounded by the
+    // collection's file count, and only taken when stats are on)
+    val before =
+      if (statsColumns.isEmpty) Set.empty[String]
+      else listDataFiles(df.sparkSession, path(id)).toSet
     escapeReserved(df).write.mode(SaveMode.Append)
       .format(format)
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .save(path(id))
+    if (statsColumns.nonEmpty)
+      appendStats(df.sparkSession,
+        listDataFiles(df.sparkSession, path(id)).filterNot(before))
+  }
 
   /** Idempotent variant for streaming replays: `foreachBatch` is
     * at-least-once, so a crashed batch can re-run. A batch manifest under
@@ -166,6 +235,11 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .save(s"${path(id)}/batch=$batchId")
+    // stats BEFORE the marker: the marker is the commit's last act. A
+    // crash between the two replays the whole batch (marker absent →
+    // overwrite supersedes the files, whose index entries go stale).
+    appendStats(df.sparkSession,
+      listDataFiles(df.sparkSession, s"${path(id)}/batch=$batchId"))
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
   }
@@ -210,6 +284,11 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .withColumnRenamed("_project", "project")
       .withColumnRenamed("_collection", "collection")
       .repartition(col("project"), col("collection"))
+    // append-mode cohort stats need a before/after snapshot (new files
+    // land among old ones); the batch-keyed path finds its files by glob
+    val beforeAll =
+      if (statsColumns.isEmpty || batchId >= 0) Set.empty[String]
+      else globDataFiles(rows.sparkSession, s"$basePath/*/*/*").toSet
     val w =
       if (batchId >= 0)
         tagged.withColumn("batch", lit(batchId))
@@ -223,6 +302,26 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .save(basePath)
+    if (statsColumns.nonEmpty) {
+      val spark = rows.sparkSession
+      val newFiles =
+        if (batchId >= 0) // this batch's dirs are exclusively this write's
+          globDataFiles(spark, s"$basePath/*/*/batch=$batchId/*")
+        else globDataFiles(spark, s"$basePath/*/*/*").filterNot(beforeAll)
+      appendStats(spark, newFiles)
+    }
+  }
+
+  /** Driver-side glob over the partitioned layout — one namenode/object
+    * round per pattern, no recursive walk of unrelated collections.
+    */
+  private def globDataFiles(spark: SparkSession, pattern: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val fs = hadoopFs(p, spark)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
   }
 
   /** Read a collection back with schema evolution across appended batches.
@@ -265,10 +364,16 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       val raw = readRaw(spark, id)
       if (raw.columns.contains("batch")) raw.drop("batch") else raw
     }
+    val compactDir = s"${path(id)}/batch=compact-${System.currentTimeMillis()}"
     df.repartition(nFiles).write.mode(SaveMode.Overwrite)
       .format(format).option("compression", compression)
-      .save(s"${path(id)}/batch=compact-${System.currentTimeMillis()}")
+      .save(compactDir)
     oldEntries.foreach(st => fs.delete(st.getPath, true))
+    // the deleted files' index entries go stale (the conservative sweep
+    // skips them); index the compacted replacements so pruning stays
+    // effective — compaction is also the natural moment stale entries
+    // stop mattering for this collection
+    appendStats(spark, listDataFiles(spark, compactDir))
   }
 
   /** Read the whole sink (all projects/collections) with partition pruning

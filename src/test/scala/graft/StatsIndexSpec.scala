@@ -37,6 +37,107 @@ class StatsIndexSpec extends SparkSpec {
     assert(predFull.getLong(0) > 0, "empty test predicate proves nothing")
   }
 
+  test("sink maintains the manifest at insert time; pruned read skips files exactly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_sink").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val id = graft.schema.CollectionId("p", "ev")
+    def slice(lo: Long, hi: Long) =
+      spark.range(lo, hi).select($"id".as("x"), ($"id" * 3).as("v"))
+        .repartitionByRange(4, $"x")
+    sink.insertBatch(id, slice(0, 4000), 0L)
+    sink.insertBatch(id, slice(4000, 8000), 1L)
+    sink.insertBatch(id, slice(8000, 12000), 2L)
+    // plain-append path indexes too — on its OWN collection (one layout
+    // shape per collection: root-level files vs batch= dirs don't mix)
+    val id2 = graft.schema.CollectionId("p", "bulk")
+    sink.insert(id2, slice(8000, 12000))
+
+    val dataFiles = (sink.read(spark, id).select(input_file_name())
+      .union(sink.read(spark, id2).select(input_file_name())))
+      .distinct().count()
+    val idxRows = spark.read.parquet(sink.statsIndexPath).count()
+    assert(idxRows == dataFiles,
+      s"manifest rows ($idxRows) must cover every data file ($dataFiles)")
+
+    // a range inside batch 0's key space reads a strict subset of files
+    val pruned = sink.prunedRead(spark, id, Seq(("x", 100L, 900L)))
+    val readFiles = pruned.select(input_file_name()).distinct().count()
+    info(s"pruned read opened $readFiles of $dataFiles files")
+    assert(readFiles * 3 <= dataFiles,
+      s"expected ≥3× file skipping: $readFiles of $dataFiles")
+    val got = pruned.where($"x".between(100, 900))
+      .agg(count(lit(1)), sum($"v")).head()
+    val want = sink.read(spark, id).where($"x".between(100, 900))
+      .agg(count(lit(1)), sum($"v")).head()
+    assert(got == want && want.getLong(0) == 801)
+
+    // the shared base-level index scopes per collection: id2's files are
+    // indexed and prunable, and never leak into id's pruned read
+    val got2 = sink.prunedRead(spark, id2, Seq(("x", 8100L, 8199L)))
+      .where($"x".between(8100, 8199)).agg(sum($"v")).head()
+    assert(got2 == sink.read(spark, id2).where($"x".between(8100, 8199))
+      .agg(sum($"v")).head())
+
+    // marker replay: the same batch id again neither re-writes nor
+    // re-indexes — row parity and index size both hold
+    sink.insertBatch(id, slice(0, 4000), 0L)
+    assert(spark.read.parquet(sink.statsIndexPath).count() == idxRows)
+    assert(sink.prunedRead(spark, id, Seq(("x", 100L, 900L)))
+      .where($"x".between(100, 900)).count() == 801)
+  }
+
+  test("sink manifest: crash-shaped replay supersedes stale entries; compaction re-indexes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_replay").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val id = graft.schema.CollectionId("p", "ev")
+    def slice(n: Long) =
+      spark.range(n).select($"id".as("x"), ($"id" * 7).as("v"))
+        .repartitionByRange(4, $"x")
+    sink.insertBatch(id, slice(2000), 0L)
+    // crash between data+stats and the marker: delete the marker, replay —
+    // the overwrite supersedes the files; their index entries go stale and
+    // the conservative sweep must skip them without double-reading
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$base/_graft_commits/p/ev/0")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false))
+    sink.insertBatch(id, slice(2000), 0L)
+    val out = sink.prunedRead(spark, id, Seq(("x", 0L, 499L)))
+      .where($"x" <= 499)
+    assert(out.count() == 500, "stale manifest entries must not duplicate rows")
+
+    // compaction deletes every old file (stale entries again) and appends
+    // stats for the compacted replacements — pruning stays exact
+    sink.compact(spark, id, targetBytes = 1L << 30)
+    val afterCompact = sink.prunedRead(spark, id, Seq(("x", 0L, 499L)))
+      .where($"x" <= 499)
+    assert(afterCompact.count() == 500)
+    assert(sink.read(spark, id).count() == 2000)
+  }
+
+  test("sink manifest under schema evolution: a later column prunes pre-evolution files") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_evolve").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x", "y"))
+    val id = graft.schema.CollectionId("p", "ev")
+    // batch 0 predates column y entirely
+    sink.insertBatch(id,
+      spark.range(1000).select($"id".as("x")).repartitionByRange(2, $"x"), 0L)
+    sink.insertBatch(id,
+      spark.range(1000).select($"id".as("x"), ($"id" + 5000).as("y"))
+        .repartitionByRange(2, $"x"), 1L)
+    // a y-range prunes the y-less batch-0 files (they hold no y values —
+    // exact, not conservative) and still returns every matching row
+    val got = sink.prunedRead(spark, id, Seq(("y", 5100L, 5199L)))
+      .where($"y".between(5100, 5199)).count()
+    assert(got == 100)
+    val prunedFiles = sink.prunedRead(spark, id, Seq(("y", 5100L, 5199L)))
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles <= 2, s"pre-evolution files must prune: $prunedFiles")
+  }
+
   test("staleness: files written after build are still read (conservative)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sidx_stale").toString

@@ -31,7 +31,7 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.001"
+SRC = os.environ.get("GRAFT_MEGADUP_SRC", "/root/testdata/sf0.001")
 
 VOCAB = ("the quick brown fox jumps over lazy dog spark row vector "
          "stream table column value data event user time shard batch").split()
@@ -88,5 +88,9 @@ def main(out_dir, seed=99):
 
 
 if __name__ == "__main__":
+    if not os.path.isdir(SRC):
+        sys.exit(f"source dir {SRC} missing - set GRAFT_MEGADUP_SRC to a "
+                 "testdata sf dir containing the base parquet tables")
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/megadup"
-    main(out)
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 99
+    main(out, seed)
