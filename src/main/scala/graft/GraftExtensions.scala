@@ -21,9 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // Opt-in range-join rewrite (spark.graft.rangeJoin.bucketWidth > 0):
-    // point-in-interval joins plan as bucketed equi-joins, not BNLJ.
+    // Opt-in range-join rewrite: point-in-interval joins plan as bucketed
+    // equi-joins, not BNLJ. Activated per-query by the RANGE_JOIN(width)
+    // hint (resolution rule below), or session-wide by
+    // spark.graft.rangeJoin.bucketWidth > 0.
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectResolutionRule(_ => graft.plans.ResolveRangeJoinHint)
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
       (args: Seq[Expression]) => RollingHash(args.head)))

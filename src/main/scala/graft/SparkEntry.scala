@@ -1030,6 +1030,42 @@ object SparkEntry {
       } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
     }),
 
+    // Same rewrite activated PER-QUERY by the SQL RANGE_JOIN hint — the
+    // scoped path (round-9 verdict #4): the session conf stays UNSET, the
+    // analyzer rule (ResolveRangeJoinHint, injected by GraftExtensions at
+    // session build) turns the hint into the RangeJoinHint marker, and
+    // the optimizer rewrites only the annotated query. Bands are offset
+    // from range_bands_rule's so the two queries' oracles differ.
+    "range_bands_hint" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").select(col("l_extendedprice"))
+        .createOrReplaceTempView("rjh_lineitem")
+      tbl(s, dir, "nation").select(col("n_nationkey"))
+        .createOrReplaceTempView("rjh_nation")
+      require(!s.conf.getOption(graft.plans.RangeJoinRewrite.WidthConf)
+        .exists(_.trim.toDoubleOption.exists(_ > 0)),
+        "hint query must run with the session-global width UNSET")
+      val df = s.sql(
+        """WITH bands AS (
+          |  SELECT n_nationkey AS band, n_nationkey * 1100.0 AS lo,
+          |         n_nationkey * 1100.0 + 2400.0 AS hi
+          |  FROM rjh_nation)
+          |SELECT /*+ RANGE_JOIN(2400) */ band, count(*) AS n,
+          |       sum(CASE WHEN NOT isnan(l_extendedprice)
+          |                  AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE)
+          |             THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+          |             END) / CAST(100 AS DOUBLE) AS sum_price
+          |FROM rjh_lineitem JOIN bands
+          |  ON l_extendedprice >= lo AND l_extendedprice < hi
+          |GROUP BY band ORDER BY band""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+        "hinted range-join rewrite did not fire; plan:\n" + plan)
+      val rows = df.collect() // ≤ |nation| aggregated rows
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), df.schema)
+    }),
+
     // The rewrite rule's TIMESTAMP path under the oracle: events joined
     // to overlapping 2-hour windows (1-hour step) anchored at min(ts).
     // The anchor is a bounded 1-row driver read so the window table has
@@ -2759,6 +2795,16 @@ object SparkEntry {
       """WITH bands AS (
         |  SELECT n_nationkey AS band, n_nationkey * 1200.0 AS lo,
         |         n_nationkey * 1200.0 + 2600.0 AS hi
+        |  FROM nation)
+        |SELECT band, count(*) AS n, sum(CASE WHEN isfinite(l_extendedprice) THEN floor((l_extendedprice) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_price
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "range_bands_hint" ->
+      """WITH bands AS (
+        |  SELECT n_nationkey AS band, n_nationkey * 1100.0 AS lo,
+        |         n_nationkey * 1100.0 + 2400.0 AS hi
         |  FROM nation)
         |SELECT band, count(*) AS n, sum(CASE WHEN isfinite(l_extendedprice) THEN floor((l_extendedprice) * 100 + 0.5)::BIGINT END) / 100.0 AS sum_price
         |FROM lineitem JOIN bands

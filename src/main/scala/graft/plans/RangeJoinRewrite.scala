@@ -47,12 +47,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampN
   * exactly the predicate's interval-intersection reading), so with the
   * conf set, an unrelated-inequality join whose implied "interval" spans
   * a huge value range stops at the `maxBandsPerRow` guard rather than
-  * exploding. Prefer setting the width only around the intended query.
+  * exploding.
+  *
+  * PREFERRED activation is per-query, via the `RANGE_JOIN(width)` hint
+  * ([[ResolveRangeJoinHint]] → [[RangeJoinHint]] marker): SQL
+  * `hint comment `RANGE_JOIN(2600)`) or `df.hint("range_join", 2600)` on a join
+  * input — the rewrite then fires ONLY under the annotated (sub)plan and
+  * the session conf stays unset. The conf remains for live sessions
+  * whose analyzer cannot be extended; [[withBucketWidth]] scopes it
+  * set-then-restore around a body.
   *
   * Register at session build via `GraftExtensions`
-  * (`injectOptimizerRule`) or on a live session through
-  * `spark.experimental.extraOptimizations`
-  * (`GraftExtensions.register`).
+  * (`injectOptimizerRule` + `injectResolutionRule`) or on a live session
+  * through `spark.experimental.extraOptimizations`
+  * (`GraftExtensions.register` — optimizer rule + conf path only; the
+  * hint needs the session-construction extensions).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -87,20 +96,67 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   val MaxBandsConf = "spark.graft.rangeJoin.maxBandsPerRow"
 
+  /** Scoped (set-then-restore) conf activation for live sessions that
+    * cannot take the [[ResolveRangeJoinHint]] analyzer rule: the width is
+    * set only around `body` and the PRIOR value is restored, so user code
+    * never leaves the session-global conf dangling. NOTE: DataFrames are
+    * lazy — the ACTION (collect/write) must run inside `body`, or it will
+    * optimize after the width is restored. Prefer the `RANGE_JOIN(w)`
+    * hint on extension-built sessions.
+    */
+  def withBucketWidth[T](spark: org.apache.spark.sql.SparkSession,
+                         width: Double)(body: => T): T = {
+    val prev = spark.conf.getOption(WidthConf)
+    spark.conf.set(WidthConf, width.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(WidthConf, v)
+      case None    => spark.conf.unset(WidthConf)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // malformed conf value = disabled, not a session-wide
     // NumberFormatException from inside every query's optimization
-    val width = SQLConf.get.getConfString(WidthConf, "0")
+    val confWidth = SQLConf.get.getConfString(WidthConf, "0")
       .trim.toDoubleOption.getOrElse(0.0)
-    if (width <= 0) return plan
-    plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), _)
-          if !j.output.exists(_.name.startsWith(BucketPrefix)) &&
-            !hasCrossSideEquality(left, right, cond) =>
-        rewrite(j, left, right, cond, width)
-          .orElse(rewriteOverlap(j, left, right, cond, width))
-          .getOrElse(j)
+    val hinted = plan.collectFirst { case h: RangeJoinHint => h }.isDefined
+    if (confWidth <= 0 && !hinted) return plan
+
+    def tryRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                   cond: Expression, width: Double): Option[LogicalPlan] =
+      if (width <= 0 ||
+          j.output.exists(_.name.startsWith(BucketPrefix)) ||
+          hasCrossSideEquality(left, right, cond)) None
+      else rewrite(j, left, right, cond, width)
+        .orElse(rewriteOverlap(j, left, right, cond, width))
+
+    val transformed = plan.transformDown {
+      // hint ABOVE the join (the SQL `/*+ RANGE_JOIN(w) */` placement):
+      // rewrite the joins inside the marked subtree with the hint width
+      case h: RangeJoinHint =>
+        h.child.transformDown {
+          case j @ Join(l, r, Inner, Some(cond), _) =>
+            tryRewrite(j, l, r, cond, h.width).getOrElse(j)
+        }
+      // hint ON a join input (`df.hint("range_join", w).join(...)`), or
+      // the session-conf path for unhinted joins
+      case j @ Join(l0, r0, Inner, Some(cond), _) =>
+        def unwrap(p: LogicalPlan): (LogicalPlan, Option[Double]) = p match {
+          case RangeJoinHint(w, c) => (c, Some(w))
+          case other               => (other, None)
+        }
+        val (l, wl) = unwrap(l0)
+        val (r, wr) = unwrap(r0)
+        val hintWidth = wl.orElse(wr)
+        val jj =
+          if (hintWidth.isDefined) j.copy(left = l, right = r) else j
+        tryRewrite(jj, l, r, cond, hintWidth.getOrElse(confWidth))
+          .getOrElse(jj)
     }
+    // markers the matcher did not consume (no eligible join underneath)
+    // must still vanish before physical planning
+    transformed.transformUp { case h: RangeJoinHint => h.child }
   }
 
   /** A cross-side equality conjunct means Catalyst already plans a hash

@@ -196,6 +196,71 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!manual.contains("_graft_rj_"), manual)
   }
 
+  test("RANGE_JOIN hint on a join input activates the rewrite with NO session conf") {
+    assert(spark.conf.getOption(RangeJoinRewrite.WidthConf).isEmpty,
+      "precondition: the session-global conf must be unset")
+    val cond = $"p" >= $"lo" && $"p" < $"hi"
+    val naive = sortedRows(points.join(intervals, cond))
+    val df = points.hint("range_join", 300.0).join(intervals, cond)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(sortedRows(df) == naive)
+  }
+
+  test("SQL RANGE_JOIN hint is per-query: the unhinted twin stays naive") {
+    points.createOrReplaceTempView("rjh_points")
+    intervals.createOrReplaceTempView("rjh_intervals")
+    val body =
+      """SELECT band, count(*) AS n, round(sum(p), 2) AS sum_p
+        |FROM rjh_points JOIN rjh_intervals ON p >= lo AND p < hi
+        |GROUP BY band ORDER BY band""".stripMargin
+    val hinted = spark.sql(body.replace("SELECT", "SELECT /*+ RANGE_JOIN(120) */"))
+    val hintedPlan = hinted.queryExecution.executedPlan.toString
+    assert(!hintedPlan.contains("BroadcastNestedLoop") &&
+      !hintedPlan.contains("CartesianProduct"), hintedPlan)
+    // scoping: nothing leaked into the session — the SAME query without
+    // the hint still plans the nested loop
+    val unhinted = spark.sql(body)
+    val unhintedPlan = unhinted.queryExecution.executedPlan.toString
+    assert(unhintedPlan.contains("BroadcastNestedLoop") ||
+      unhintedPlan.contains("CartesianProduct"), unhintedPlan)
+    assert(sortedRows(hinted) == sortedRows(unhinted))
+  }
+
+  test("RANGE_JOIN hint: overlap joins rewrite too, and timestamp widths are seconds") {
+    val base = 1700000000000L
+    val pts = spark.range(0, 300).select($"id".as("pid"),
+      timestamp_millis(lit(base) + $"id" * 91000).as("t"))
+    val ivs = spark.range(0, 25).select($"id".as("w"),
+      timestamp_millis(lit(base) + $"id" * 1200000).as("ws"),
+      timestamp_millis(lit(base) + $"id" * 1200000 + 2500000).as("we"))
+    val cond = pts("t") >= ivs("ws") && pts("t") < ivs("we")
+    val naive = sortedRows(pts.join(ivs, cond))
+    val df = pts.join(ivs.hint("range_join", 2500), cond) // hint on EITHER side
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+    assert(sortedRows(df) == naive)
+  }
+
+  test("hint with no eligible join underneath is dropped cleanly") {
+    val df = points.hint("range_join", 10.0).agg(count(lit(1)))
+    assert(df.collect().head.getLong(0) == 400)
+  }
+
+  test("hint rejects a non-numeric or missing width loudly") {
+    val e = intercept[Exception] {
+      points.hint("range_join", "not-a-number")
+        .join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+        .queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("RANGE_JOIN"), e.getMessage)
+    val e2 = intercept[Exception] {
+      points.hint("range_join").join(intervals, $"p" >= $"lo")
+        .queryExecution.analyzed
+    }
+    assert(e2.getMessage.contains("RANGE_JOIN"), e2.getMessage)
+  }
+
   test("malformed width conf disables the rule instead of breaking the session") {
     spark.conf.set(RangeJoinRewrite.WidthConf, "1,500")
     try {
