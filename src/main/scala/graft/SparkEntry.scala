@@ -838,6 +838,70 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    // w3 through the STREAMING path (round-9 verdict #7): the same events
+    // drain through Sessionize.sessions (session_window + watermark,
+    // append mode) as a file-replay stream, then roll up to the exact
+    // w3_sessions shape — the oracle SQL is identical, so this pins
+    // batch ≡ streaming sessionization under the DuckDB oracle, not just
+    // the unit-spec parity. A sentinel row keyed by a dedicated struct
+    // flag (never a magic user id — hostile corpora own the whole id
+    // domain) arrives one day after max(t) to push the watermark past
+    // every real session's close, so append mode emits them all before
+    // the drain ends; sentinel sessions filter out by the flag.
+    "w3_sessions_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+      val uidType = ev.schema("user_id").dataType
+      val rows = ev.select(
+          struct($"user_id".as("uid"), lit(false).as("sentinel")).as("k"),
+          timestamp_millis(tsMillis(ev)).as("t"))
+        .where($"t".isNotNull)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_w3ss").toString
+      val inDir = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def publish(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val staged = s"$tmp/staged_$name"
+        df.write.mode("overwrite").parquet(staged)
+        fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(s"$inDir/${name}_$i.parquet")); ()
+          }
+      }
+      publish("real", rows)
+      val maxT = rows.agg(max($"t")).head().getAs[java.sql.Timestamp](0)
+      val qn = "w3ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = s.readStream.schema(rows.schema).parquet(inDir)
+      val q = graft.streaming.Sessionize.sessions(stream, "k", "t",
+          "30 minutes", watermark = Some("1 minute"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        val closeMs = Option(maxT).map(_.getTime).getOrElse(0L) + 86400000L
+        publish("fin", s.range(1).select(
+          struct(lit(null).cast(uidType).as("uid"), lit(true).as("sentinel")).as("k"),
+          timestamp_millis(lit(closeMs)).as("t")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rolled = s.table(qn).where(!$"k.sentinel")
+        .groupBy($"k.uid".as("user_id")).agg(
+          count(lit(1)).as("n_sessions"),
+          sum($"n_events").as("n_events"),
+          max($"n_events").as("max_session_events"))
+        .orderBy($"user_id")
+      // freeze driver-side (bounded: one row per user) so the memory view
+      // can be dropped before the next query plans
+      val out = rolled.collect()
+      val schema = rolled.schema
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+    }),
+
     // Z-order layout cells: the exact Morton arithmetic `layout/ZOrder`
     // range-partitions files by at rewrite time — integer-exact equi-width
     // bucketize (8 bits per dim) + bit interleave over (user_id, event
@@ -889,17 +953,24 @@ object SparkEntry {
       val id = CollectionId("demo", "lineitem")
       val li = tbl(s, dir, "lineitem")
         .select($"l_orderkey", $"l_returnflag", $"l_quantity")
-      sink.insertBatch(id, li.where($"l_orderkey" <= 200)
-        .repartitionByRange(4, $"l_orderkey"), 0L)
-      sink.insertBatch(id, li.where($"l_orderkey" > 200 && $"l_orderkey" <= 400)
-        .repartitionByRange(4, $"l_orderkey"), 1L)
-      sink.insertBatch(id, li.where($"l_orderkey" > 400)
-        .repartitionByRange(8, $"l_orderkey"), 2L)
-      sink.prunedRead(s, id, Seq(("l_orderkey", 50L, 150L)))
-        .where($"l_orderkey".between(50L, 150L))
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n"), sumRound($"l_quantity", 2).as("sum_qty"))
-        .orderBy($"l_returnflag")
+      // an empty corpus would land three file-less batch dirs that parquet
+      // schema inference can't read back — the oracle's answer is 0 rows
+      if (li.isEmpty)
+        emptyResult(s, "l_returnflag" -> StringType, "n" -> LongType,
+          "sum_qty" -> DoubleType)
+      else {
+        sink.insertBatch(id, li.where($"l_orderkey" <= 200)
+          .repartitionByRange(4, $"l_orderkey"), 0L)
+        sink.insertBatch(id, li.where($"l_orderkey" > 200 && $"l_orderkey" <= 400)
+          .repartitionByRange(4, $"l_orderkey"), 1L)
+        sink.insertBatch(id, li.where($"l_orderkey" > 400)
+          .repartitionByRange(8, $"l_orderkey"), 2L)
+        sink.prunedRead(s, id, Seq(("l_orderkey", 50L, 150L)))
+          .where($"l_orderkey".between(50L, 150L))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sumRound($"l_quantity", 2).as("sum_qty"))
+          .orderBy($"l_returnflag")
+      }
     }),
 
     // K2: NDJSON-gzip sink roundtrip (file rolling + serialization), read
@@ -2952,6 +3023,29 @@ object SparkEntry {
     // gap >= 30 min (Spark merges only strictly-overlapping [t, t+gap)
     // intervals).
     "w3_sessions" ->
+      s"""WITH t AS (
+        |  SELECT user_id, $floorMsSql AS ms FROM events
+        |  WHERE ts IS NOT NULL),
+        |o AS (
+        |  SELECT user_id, ms,
+        |         lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN prev IS NULL OR ms - prev >= 1800000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ms
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
+        |       max(n) AS max_session_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical sessionization semantics to w3_sessions — the streaming
+    // drain is complete (sentinel closes every window), so the gap-based
+    // SQL replay is the same oracle
+    "w3_sessions_stream" ->
       s"""WITH t AS (
         |  SELECT user_id, $floorMsSql AS ms FROM events
         |  WHERE ts IS NOT NULL),

@@ -68,13 +68,20 @@ object StreamBench {
     * touches `_time`.
     */
   private def wireJson(spark: SparkSession, sfDir: String, nowMillis: Long,
-                       extraData: String = "") = {
+                       extraData: String = "", fanout: Int = 0) = {
     val ev = graft.schema.TableContract.check("events",
         spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(spark.sparkContext.defaultParallelism)
+    // fanout > 0 spreads each event type over `fanout/[types]` suffixed
+    // collections — the 1k-live-collections soak shape (null-safe: a null
+    // user routes to suffix 0 rather than nulling the collection name)
+    val collection: org.apache.spark.sql.Column =
+      if (fanout <= 0) col("event_type")
+      else concat(col("event_type"), lit("_c"),
+        coalesce(pmod(col("user_id"), lit(fanout)), lit(0)))
     ev.select(concat(
       lit("""{"id":""""), col("event_id"), lit("""","metadata":{},"data":{"""),
-      lit(""""_project":"demo","_collection":""""), col("event_type"), lit("\","),
+      lit(""""_project":"demo","_collection":""""), collection, lit("\","),
       lit(extraData),
       lit(""""_time":"""), lit(nowMillis), lit(","),
       lit(""""_user":"u"""), col("user_id"), lit("\","),
@@ -91,13 +98,14 @@ object StreamBench {
     * which no production source does).
     */
   def run(spark: SparkSession, sfDir: String, chunks: Int = 5,
-          targetRecords: Long = 1500000, filesPerBatch: Int = 16): StreamResult = {
+          targetRecords: Long = 1500000, filesPerBatch: Int = 16,
+          fanout: Int = 0): StreamResult = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_streambench")
     val input = s"$tmp/input"
     try {
       // stage the wire stream: replicate events to the target volume, then
       // `filesPerBatch` text files per planned micro-batch
-      val one = wireJson(spark, sfDir, System.currentTimeMillis())
+      val one = wireJson(spark, sfDir, System.currentTimeMillis(), fanout = fanout)
       val nEvents = one.count()
       require(nEvents > 0, s"replay needs a non-empty $sfDir/events.parquet")
       val replication = math.max(1, math.ceil(targetRecords.toDouble / nEvents).toInt)
@@ -339,10 +347,13 @@ object StreamBench {
     val target = sys.env.getOrElse("SPARK_GRAFT_STREAM_TARGET", "300000").toLong
     val files = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "8").toInt
     val wire = sys.env.getOrElse("SPARK_GRAFT_STREAM_WIRE", "json")
+    // collection-cardinality soak: >0 fans each event type out over this
+    // many suffixed collections (json wire only)
+    val fanout = sys.env.getOrElse("SPARK_GRAFT_STREAM_FANOUT", "0").toInt
     val r =
       if (wire == "avro") runAvro(spark, sfDir, chunks, target, files)
       else if (wire == "evolve") runEvolve(spark, sfDir, chunks, target, files)
-      else run(spark, sfDir, chunks, target, files)
+      else run(spark, sfDir, chunks, target, files, fanout)
     println(s"""{"metric":"stream_ingest_$wire","unit":"records_per_sec","value":${r.recordsPerSecBusy.toLong},"detail":${r.toJson},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,6 +37,68 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
+  /** Pure bucket-count policy for [[asOfJoinAuto]]: below the share
+    * threshold the single-window plan wins (no carry-in join, no extra
+    * aggregate); above it, the hot key's rows should spread over about
+    * `topShare × parallelism` tasks so its partition levels with the
+    * rest of the cluster, capped to keep the carry table (keys × buckets)
+    * and the bucket min/max aggregate trivial.
+    */
+  def chooseSkewBuckets(topShare: Double, parallelism: Int,
+                        threshold: Double = 0.05,
+                        maxBuckets: Int = 32): Int =
+    if (topShare < threshold || topShare.isNaN) 1
+    else math.min(maxBuckets, math.max(2, math.ceil(topShare * parallelism).toInt))
+
+  /** Cheap skew probe: the share of the hottest key group across both
+    * inputs, measured on a bounded seeded sample (one narrow-column scan
+    * + a map-side-combinable aggregate over the sample — strictly cheaper
+    * than the join's own shuffle, the same probe-then-route stance as
+    * `connectedComponentsAuto`). Deterministic: fixed sample seed.
+    */
+  def probeTopKeyShare(left: DataFrame, right: DataFrame, on: Seq[String],
+                       totalRows: Long,
+                       sampleFraction: Double = 0.01): Double = {
+    val keys = left.select(on.map(col): _*)
+      .unionByName(right.select(on.map(col): _*))
+    // sample at least ~100k rows (when available) so a >=5% key is seen
+    // with overwhelming probability; never more than the whole input
+    val frac = math.min(1.0,
+      math.max(sampleFraction, 100000.0 / math.max(1L, totalRows)))
+    val agg = keys.sample(withReplacement = false, frac, seed = 42)
+      .groupBy(on.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(max(col("_c")).as("_max"), sum(col("_c")).as("_n")).head()
+    if (agg.isNullAt(0) || agg.isNullAt(1) || agg.getLong(1) == 0L) 0.0
+    else agg.getLong(0).toDouble / agg.getLong(1).toDouble
+  }
+
+  /** [[asOfJoin]] with `skewBuckets` chosen automatically (round-9
+    * verdict task #6): a seeded key-histogram sample estimates the
+    * hottest key's share; above `skewShareThreshold` the segmented-scan
+    * mode engages with `chooseSkewBuckets` buckets, otherwise the plain
+    * single-window plan runs. Inputs below `minProbeRows` skip the probe
+    * entirely — a partition that small cannot serialize anything worth
+    * two extra jobs. NOTE: the probe runs `count()` + a sampled aggregate
+    * over both inputs — callers with expensive upstream lineage should
+    * persist first (or pick `skewBuckets` manually, the knob remains).
+    */
+  def asOfJoinAuto(left: DataFrame, right: DataFrame, on: Seq[String],
+                   leftTime: String, rightTime: String,
+                   tolerance: Option[Column] = None,
+                   skewShareThreshold: Double = 0.05,
+                   minProbeRows: Long = 1000000L,
+                   maxBuckets: Int = 32,
+                   sampleFraction: Double = 0.01): DataFrame = {
+    val total = left.count() + right.count()
+    val buckets =
+      if (total < minProbeRows) 1
+      else chooseSkewBuckets(
+        probeTopKeyShare(left, right, on, total, sampleFraction),
+        left.sparkSession.sparkContext.defaultParallelism,
+        skewShareThreshold, maxBuckets)
+    asOfJoin(left, right, on, leftTime, rightTime, tolerance, buckets)
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                leftTime: String, rightTime: String,
                tolerance: Option[Column] = None,

@@ -117,10 +117,21 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     out.toSeq
   }
 
+  /** Serializes manifest appends: the per-batch writer pool
+    * (`util/ParallelWrites`) runs per-collection inserts CONCURRENTLY,
+    * and two simultaneous parquet appends into the one index directory
+    * would collide in the committer's shared `_temporary` staging. The
+    * slices are tiny (coalesce(1) of a per-file aggregate), so the lock
+    * costs microseconds of queueing, not parallelism.
+    */
+  private val statsAppendLock = new Object
+
   private def appendStats(spark: SparkSession, files: Seq[String]): Unit =
     if (statsColumns.nonEmpty && files.nonEmpty)
-      graft.layout.StatsIndex.appendFor(spark, statsIndexPath, basePath,
-        files, statsColumns)
+      statsAppendLock.synchronized {
+        graft.layout.StatsIndex.appendFor(spark, statsIndexPath, basePath,
+          files, statsColumns)
+      }
 
   /** Manifest-pruned read of one collection: file-level min/max skipping on
     * `statsColumns` ranges, then the same reserved-column restore as

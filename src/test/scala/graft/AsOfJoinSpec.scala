@@ -202,6 +202,54 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("auto mode: planted hot key engages segmented buckets; uniform keys stay single-window") {
+    import spark.implicits._
+    val n = 10000
+    val hotShare = n / 5
+    val events = ((0 until hotShare).map(i => (1L, i.toLong * 7919 % 99991, i % 3 == 0)) ++
+      (hotShare until n).map(i => (2L + i % 500, i.toLong * 6101 % 99991, i % 3 == 0)))
+      .zipWithIndex.map { case ((u, t, isP), i) => (i.toLong, u, t, isP) }
+      .toDF("event_id", "user_id", "t", "is_purchase")
+    val purchases = events.where($"is_purchase")
+      .select($"user_id", $"t", $"event_id")
+    val clicks = events.where(!$"is_purchase")
+      .select($"user_id", $"t".as("click_t"), $"event_id".as("click_id"))
+
+    // the probe sees the 20%-share key and the policy picks >1 bucket
+    val total = purchases.count() + clicks.count()
+    val share = AsOfJoin.probeTopKeyShare(purchases, clicks, Seq("user_id"), total)
+    assert(share > 0.1, s"probe missed the planted 20% key: $share")
+    assert(AsOfJoin.chooseSkewBuckets(share, parallelism = 32) > 1)
+
+    // uniform corpus: probe share is tiny, policy stays at 1
+    val uni = spark.range(0, 5000).select(($"id" % 500).as("user_id"),
+      ($"id" * 31 % 9973).as("t"))
+    val uniShare = AsOfJoin.probeTopKeyShare(uni, uni, Seq("user_id"), 10000)
+    assert(AsOfJoin.chooseSkewBuckets(uniShare, parallelism = 32) == 1,
+      s"uniform keys must not pay the segmented plan: share=$uniShare")
+
+    // pure policy pins
+    assert(AsOfJoin.chooseSkewBuckets(0.0, 32) == 1)
+    assert(AsOfJoin.chooseSkewBuckets(0.2, 32) == 7)   // ceil(6.4)
+    assert(AsOfJoin.chooseSkewBuckets(1.0, 1000) == 32) // capped
+    assert(AsOfJoin.chooseSkewBuckets(0.06, 16) == 2)  // floor of 2
+    assert(AsOfJoin.chooseSkewBuckets(Double.NaN, 32) == 1)
+
+    // end-to-end: auto (probe forced on via minProbeRows=1) matches the
+    // single-window plan exactly on the skewed corpus
+    val auto = AsOfJoin.asOfJoinAuto(purchases, clicks, Seq("user_id"),
+        "t", "click_t", minProbeRows = 1)
+      .select($"event_id", $"click_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("click_id")))
+      .toMap
+    val single = AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"),
+        "t", "click_t", skewBuckets = 1)
+      .select($"event_id", $"click_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("click_id")))
+      .toMap
+    assert(auto == single)
+  }
+
   test("segmented mode: null keys, null right times, NTZ domain all match single-window") {
     import spark.implicits._
     // ANSI join semantics (drill wave 10, matching SQL ASOF / the DuckDB

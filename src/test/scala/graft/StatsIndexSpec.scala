@@ -138,6 +138,37 @@ class StatsIndexSpec extends SparkSpec {
     assert(prunedFiles <= 2, s"pre-evolution files must prune: $prunedFiles")
   }
 
+  test("concurrent per-collection inserts keep the shared manifest consistent") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_conc").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    // the batch writer pool runs collections concurrently — the manifest
+    // append must serialize (shared _temporary staging) without losing
+    // any slice
+    val ids = (0 until 6).map(c => graft.schema.CollectionId("p", s"c$c"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = ids.map { id =>
+        new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = sink.insertBatch(id,
+            spark.range(500).select($"id".as("x"), ($"id" * 2).as("v"))
+              .repartitionByRange(2, $"x"), 0L)
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    } finally pool.shutdown()
+    val idxRows = spark.read.parquet(sink.statsIndexPath).count()
+    val dataFiles = ids.map(id => sink.read(spark, id)
+      .select(input_file_name()).distinct().count()).sum
+    assert(idxRows == dataFiles,
+      s"concurrent appends lost manifest slices: $idxRows of $dataFiles")
+    ids.foreach { id =>
+      assert(sink.prunedRead(spark, id, Seq(("x", 0L, 99L)))
+        .where($"x" <= 99).count() == 100)
+    }
+  }
+
   test("staleness: files written after build are still read (conservative)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sidx_stale").toString
