@@ -852,10 +852,22 @@ object SparkEntry {
       import s.implicits._
       val ev = tbl(s, dir, "events")
       val uidType = ev.schema("user_id").dataType
-      val rows = ev.select(
+      val rows0 = ev.select(
           struct($"user_id".as("uid"), lit(false).as("sentinel")).as("k"),
           timestamp_millis(tsMillis(ev)).as("t"))
         .where($"t".isNotNull)
+      // PRE-1970 rebase: Spark's streaming state ops start with the event
+      // -time watermark at epoch 0 and DROP first-batch rows older than
+      // it — a pre-1970 event would silently vanish from the streaming
+      // path while the batch oracle keeps it (found by fuzz seed 23).
+      // Gap sessionization depends only on time DIFFERENCES and this
+      // rollup carries no absolute boundaries, so shifting every event by
+      // one constant is exact; shift only when needed.
+      val minT = rows0.agg(min($"t")).head().getAs[java.sql.Timestamp](0)
+      val offsetMs =
+        if (minT != null && minT.getTime < 0L) -minT.getTime else 0L
+      val rows = rows0.withColumn("t",
+        timestamp_millis(unix_millis($"t") + offsetMs))
       val tmp = java.nio.file.Files.createTempDirectory("graft_w3ss").toString
       val inDir = s"$tmp/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))

@@ -154,11 +154,19 @@ object SimilarityFunctions {
       */
     def assign(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
       import org.apache.spark.ml.functions.array_to_vector
-      // unusable (null / non-finite) vectors skipped — see finiteVec
+      // unusable (null / non-finite) vectors skipped — see finiteVec.
+      // SPHERICAL assignment: the model was trained on unit vectors (the
+      // served metric is cosine, which is direction-only — Euclidean
+      // cells over raw vectors partition by MAGNITUDE and strand a
+      // query's cosine neighbors in far cells on mixed-norm corpora, an
+      // all-or-nothing recall loss found by XL fuzz), so the features
+      // normalize here too; `_cv` stays raw for downstream scoring
+      // (cosine is scale-invariant).
       val c = corpus.where(finiteVec(vecCol))
         .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
-      model.transform(c.withColumn("features", array_to_vector(col("_cv"))))
+      model.transform(
+          c.withColumn("features", array_to_vector(l2Normalize(col("_cv")))))
         .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
     }
 
@@ -179,10 +187,14 @@ object SimilarityFunctions {
       val c = corpus.where(finiteVec(vecCol)) // unusable vectors: no cell
         .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
+      // same spherical metric as [[assign]]: distances to the (unit-
+      // trained) centroids are taken from the NORMALIZED vector, so probe
+      // 1 is still exactly the model's cell
+      val nv = l2Normalize(col("_cv"))
       val ranked = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
         val cent = typedlit(v.toArray.toSeq)
         struct(
-          aggregate(zip_with(col("_cv"), cent, (x, y) => (x - y) * (x - y)),
+          aggregate(zip_with(nv, cent, (x, y) => (x - y) * (x - y)),
             lit(0.0d), (acc, x) => acc + x).as("_d2"),
           lit(i).as("_cell"))
       }: _*)
@@ -217,7 +229,16 @@ object SimilarityFunctions {
     import org.apache.spark.ml.functions.array_to_vector
     val all = corpus
       .where(finiteVec(vecCol)) // unusable vectors train nothing
-      .select(col(vecCol).cast("array<double>").as("_cv"))
+      // SPHERICAL k-means: train on unit vectors. The index serves COSINE
+      // queries (direction-only); Euclidean k-means over raw vectors
+      // partitions mixed-magnitude corpora by NORM, stranding a query's
+      // cosine neighbors in far cells — measured as all-or-nothing
+      // per-query recall loss (44% total) on an XL fuzz corpus with giant
+      // and tiny vectors. Unit-sphere training makes Euclidean cells
+      // coincide with angular neighborhoods (standard spherical-kmeans
+      // IVF practice); assign/assignProbes/ivfSearch use the same
+      // normalized metric so probe-1 is exactly the assignment cell.
+      .select(l2Normalize(col(vecCol).cast("array<double>")).as("_cv"))
       .withColumn("features", array_to_vector(col("_cv")))
     val n = all.count()
     // Degenerate corpora must yield a SERVABLE index, not a crash:
@@ -263,8 +284,16 @@ object SimilarityFunctions {
       col(vecCol).cast("array<double>").as("_qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_cdist").asc, col("_cell").asc)
+    // rank cells by the SAME metric the inverted file was assigned with
+    // (squared Euclidean from the unit-normalized query to the centroid):
+    // probe 1 is then exactly the cell the query itself would assign to,
+    // and probes 2..n widen it consistently — a cosine ranking here would
+    // disagree with the assignment metric through the ||centroid|| term
+    val qn = l2Normalize(col("_qv"))
     val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("_cdist", -cosine(col("_qv"), col("_centroid")))
+      .withColumn("_cdist",
+        aggregate(zip_with(qn, col("_centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x))
       .withColumn("_pr", row_number().over(probeW))
       .where(col("_pr") <= nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))

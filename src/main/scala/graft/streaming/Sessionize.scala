@@ -26,6 +26,14 @@ object Sessionize {
   /** One row per closed session: key, start, end, n_events.
     * `watermark` must be set for streaming append mode (how much event-time
     * lateness to absorb before a session can close); pass None in batch.
+    *
+    * PRE-1970 caveat (streaming only): Spark initializes the event-time
+    * watermark at epoch 0 and stateful operators drop rows older than the
+    * watermark, so first-batch events with NEGATIVE epoch times silently
+    * vanish from the streaming path while the identical batch declaration
+    * keeps them. Replaying historical pre-1970 data through the streaming
+    * path requires rebasing times by a constant (exact for gap semantics —
+    * see `SparkEntry.queries("w3_sessions_stream")`).
     */
   def sessions(events: DataFrame, keyCol: String, tsCol: String,
                gap: String, watermark: Option[String] = None): DataFrame = {

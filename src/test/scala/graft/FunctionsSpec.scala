@@ -856,6 +856,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.6, s"recall $recall too low")
   }
 
+  test("ivf cells are magnitude-invariant (spherical): mixed-norm corpus keeps recall") {
+    import spark.implicits._
+    // angular families whose members differ ONLY in magnitude (1e-3..1e3):
+    // Euclidean k-means over the raw vectors would cell these by norm and
+    // strand every query's cosine neighbors (the XL-fuzz-found all-or-
+    // nothing recall loss); spherical cells keep family members together
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val dirs = Array.fill(8)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val rows = (0 until 400).map { i =>
+      val d = dirs(i % 8)
+      val mag = math.pow(10.0, (i % 7) - 3) // 1e-3 .. 1e3
+      val jit = d.map(x => (x + rnd.nextGaussian() * 0.01) * mag)
+      (i.toLong, jit.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = rows.filter($"vec_id" < 16)
+    val exact = SimilarityFunctions.bruteForceTopK(rows, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = SimilarityFunctions.ivfTopK(rows, queries, "vec_id", "embedding", 5,
+        cells = 8, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.9, s"mixed-magnitude recall $recall — cells split by norm?")
+  }
+
   test("ivf train-once/search-many equals the one-shot path, index reusable") {
     val emb = sf("embeddings")
     // the scale shape: train once, assign once (→ storage), search many
