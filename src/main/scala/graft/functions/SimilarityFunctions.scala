@@ -189,8 +189,11 @@ object SimilarityFunctions {
         col(vecCol).cast("array<double>").as("_cv"))
       // same spherical metric as [[assign]]: distances to the (unit-
       // trained) centroids are taken from the NORMALIZED vector, so probe
-      // 1 is still exactly the model's cell
-      val nv = l2Normalize(col("_cv"))
+      // 1 is still exactly the model's cell. Normalize ONCE into a real
+      // column — embedding the (interpreted, higher-order) normalize tree
+      // inside each of the `cells` distance terms re-evaluates it per
+      // centroid and measured 7× on the semantic-dedup bench.
+      val nv = col("_nv")
       val ranked = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
         val cent = typedlit(v.toArray.toSeq)
         struct(
@@ -198,7 +201,8 @@ object SimilarityFunctions {
             lit(0.0d), (acc, x) => acc + x).as("_d2"),
           lit(i).as("_cell"))
       }: _*)
-      c.withColumn("_probe",
+      c.withColumn("_nv", l2Normalize(col("_cv")))
+        .withColumn("_probe",
           explode(slice(array_sort(ranked), 1, probes)))
         .select(col("neighbor_id"), col("_cv"), col("_probe._cell").as("_cell"))
     }
@@ -266,8 +270,14 @@ object SimilarityFunctions {
              Tuple1(org.apache.spark.ml.linalg.Vectors.dense(1.0)))
           .toDF("features"), 2)
       }
-    new IvfIndex(new KMeans().setK(kEff).setSeed(seed)
-      .setFeaturesCol("features").fit(train))
+    // k-means is iterative: an uncached input re-runs the scan + the
+    // (interpreted) normalize lineage EVERY iteration. The train sample
+    // is bounded (≤ maxTrainRows), so pin it for the fit.
+    val cached = train.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try new IvfIndex(new KMeans().setK(kEff).setSeed(seed)
+      .setFeaturesCol("features").fit(cached))
+    finally { cached.unpersist(false); () }
   }
 
   /** Query an IVF index: each query ranks the (broadcast) centroids, keeps
@@ -288,11 +298,14 @@ object SimilarityFunctions {
     // (squared Euclidean from the unit-normalized query to the centroid):
     // probe 1 is then exactly the cell the query itself would assign to,
     // and probes 2..n widen it consistently — a cosine ranking here would
-    // disagree with the assignment metric through the ||centroid|| term
-    val qn = l2Normalize(col("_qv"))
-    val probes = q.crossJoin(broadcast(centDf))
+    // disagree with the assignment metric through the ||centroid|| term.
+    // Normalize BEFORE the centroid cross join: once per query, not once
+    // per (query, cell) pair.
+    val probes = q.withColumn("_qn", l2Normalize(col("_qv")))
+      .crossJoin(broadcast(centDf))
       .withColumn("_cdist",
-        aggregate(zip_with(qn, col("_centroid"), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("_qn"), col("_centroid"),
+            (x, y) => (x - y) * (x - y)),
           lit(0.0d), (acc, x) => acc + x))
       .withColumn("_pr", row_number().over(probeW))
       .where(col("_pr") <= nProbe)
