@@ -275,7 +275,15 @@ object SimilarityFunctions {
     // is bounded (≤ maxTrainRows), so pin it for the fit.
     val cached = train.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A COARSE quantizer needs cell geometry, not convergence to the last
+    // ulp — nProbe absorbs boundary fuzz. Every iteration is one full
+    // Spark job over the sample (driver round-trip dominated at bench
+    // scale, a real pass at 100k rows), and on unit-sphere data with weak
+    // cluster structure the default (maxIter 20, tol 1e-4) runs ALL 20:
+    // measured 7.3 s of a 2k-row fit. 10 iterations at a looser tol gives
+    // indistinguishable recall (certificates pin it) at half the jobs.
     try new IvfIndex(new KMeans().setK(kEff).setSeed(seed)
+      .setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("features").fit(cached))
     finally { cached.unpersist(false); () }
   }

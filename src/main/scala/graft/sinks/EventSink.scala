@@ -195,13 +195,17 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       dropped.withColumnRenamed(c, orig)
     }
 
-  /** NOTE: plain inserts land part files at the collection ROOT while the
+  /** Plain inserts land part files at the collection ROOT while the
     * batch-keyed path lands them under `batch=N` dirs — Spark's partition
-    * inference ignores root-level files once partition dirs exist, so one
-    * collection must stick to ONE shape (streaming always uses the
-    * batch-keyed path; bulk loads always use this one).
+    * inference IGNORES root-level files once partition dirs exist, so
+    * mixing the two shapes on one collection would silently drop the
+    * root-level rows from every read. One collection must stick to ONE
+    * shape (streaming always uses the batch-keyed path; bulk loads always
+    * use this one) — [[layoutGuard]] turns the mix into a loud error
+    * instead of quiet data loss, for one driver-side listing per insert.
     */
   override def insert(id: CollectionId, df: DataFrame): Unit = {
+    layoutGuard(df.sparkSession, id, expectBatchDirs = false)
     // append mode lands new part files among existing ones — the stats
     // delta is a before/after listing (driver-side, bounded by the
     // collection's file count, and only taken when stats are on)
@@ -218,6 +222,32 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
         listDataFiles(df.sparkSession, path(id)).filterNot(before))
   }
 
+  /** Fails loudly when an insert would mix the root-level and batch-keyed
+    * layouts in one collection directory (data loss on read: partition
+    * inference ignores root files next to `batch=` dirs). One SHALLOW
+    * listStatus of the collection dir.
+    */
+  private def layoutGuard(spark: SparkSession, id: CollectionId,
+                          expectBatchDirs: Boolean): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path(id))
+    val fs = hadoopFs(dir, spark)
+    if (!fs.exists(dir)) return
+    val entries = fs.listStatus(dir)
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val offending =
+      if (expectBatchDirs) entries.filter(_.isFile) // root files present?
+      else entries.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch="))
+    if (offending.nonEmpty)
+      throw new IllegalStateException(
+        s"collection ${id.project}/${id.collection} already uses the " +
+          s"${if (expectBatchDirs) "root-level (plain insert)" else "batch-keyed (streaming insert)"} " +
+          "layout — mixing layouts makes partition inference silently drop " +
+          "the root-level files; use one insert shape per collection " +
+          s"(first offender: ${offending.head.getPath})")
+  }
+
   /** Idempotent variant for streaming replays: `foreachBatch` is
     * at-least-once, so a crashed batch can re-run. A batch manifest under
     * `_graft_commits/` makes the re-run a no-op — the file-level analogue
@@ -230,6 +260,7 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     insertBatch(id, df, batchId)
 
   def insertBatch(id: CollectionId, df: DataFrame, batchId: Long): Unit = {
+    layoutGuard(df.sparkSession, id, expectBatchDirs = true)
     // Markers resolve through the Hadoop FileSystem of basePath — data
     // writes already do — so idempotence holds on file:/hdfs:/s3a: alike.
     // One directory level per component keeps the layout unambiguous for

@@ -99,6 +99,46 @@ class SinkSpec extends SparkSpec {
     assert(sink.read(spark, id).count() == 2)
   }
 
+  test("mixing root-level and batch-keyed layouts fails loudly, not silently") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sink_mix").toString
+    val sink = new ColumnarSink(base)
+    // plain-insert collection rejects a batch-keyed insert (whose batch=
+    // dirs would make partition inference DROP the existing root files)
+    val idA = CollectionId("p", "roots")
+    sink.insert(idA, Seq((1, "a")).toDF("n", "s"))
+    val e1 = intercept[IllegalStateException] {
+      sink.insertBatch(idA, Seq((2, "b")).toDF("n", "s"), batchId = 0)
+    }
+    assert(e1.getMessage.contains("root-level"))
+    assert(sink.read(spark, idA).count() == 1)
+
+    // batch-keyed collection rejects a plain insert (whose root files
+    // would be silently invisible to every read)
+    val idB = CollectionId("p", "batches")
+    sink.insertBatch(idB, Seq((1, "a")).toDF("n", "s"), batchId = 0)
+    val e2 = intercept[IllegalStateException] {
+      sink.insert(idB, Seq((2, "b")).toDF("n", "s"))
+    }
+    assert(e2.getMessage.contains("batch-keyed"))
+    assert(sink.read(spark, idB).count() == 1)
+
+    // same-shape appends still work on both
+    sink.insert(idA, Seq((3, "c")).toDF("n", "s"))
+    sink.insertBatch(idB, Seq((3, "c")).toDF("n", "s"), batchId = 1)
+    assert(sink.read(spark, idA).count() == 2)
+    assert(sink.read(spark, idB).count() == 2)
+
+    // a compacted plain-insert collection BECOMES batch-keyed (compaction
+    // rewrites into batch=compact-*) — further plain appends must now be
+    // refused for the same reason
+    sink.compact(spark, idA)
+    intercept[IllegalStateException] {
+      sink.insert(idA, Seq((4, "d")).toDF("n", "s"))
+    }
+    assert(sink.read(spark, idA).count() == 2)
+  }
+
   test("insertBatch + compaction work through a file: URI (Hadoop FS path)") {
     import spark.implicits._
     // markers and compaction must resolve through the Hadoop FileSystem of
