@@ -193,6 +193,53 @@ class CrashRecoverySpec extends SparkSpec {
     assert(contentOf(new ColumnarSink(sinkDir)) == contentOf(oracleSink))
   }
 
+  test("crash with streaming dedup state: recovery neither duplicates nor loses") {
+    // the dedup state op (dropDuplicatesWithinWatermark) lives in the
+    // query BEFORE foreachBatch; its state commits with the batch, so a
+    // crashed batch must replay with the SAME dedup decisions — this pins
+    // the state+sink composition end-to-end, not each half separately
+    val inDir = Files.createTempDirectory("cr4_in")
+    val ckpt = Files.createTempDirectory("cr4_ckpt").toString
+    val sinkDir = Files.createTempDirectory("cr4_sink").toString
+    val t = System.currentTimeMillis()
+    val dedupCfg = cfg.copy(dedupWithinWatermark = Some("1 hour"))
+    // duplicates WITHIN the batch: same (_user, _time) twice per
+    // collection — exactly one survivor each may land. The dedup key is
+    // GLOBAL (the reference detects re-delivered events regardless of
+    // collection), so each collection gets its own distinct time.
+    writeLines(inDir, "b1.json",
+      (0 until 6).flatMap(c => Seq(
+        fabric(s"c$c", t + c, s""","v":${c * 10}"""),
+        fabric(s"c$c", t + c, s""","v":${c * 10 + 1}"""), // dup key: dropped
+        fabric(s"c$c", t + 1000 + c, s""","v":${c * 10 + 2}"""))))
+
+    val failing = new FailingSink(new ColumnarSink(sinkDir), 3, afterWrite = false)
+    val q1 = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), failing, None, ckpt, dedupCfg)
+    intercept[StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    q1.stop()
+
+    val q2 = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), new ColumnarSink(sinkDir), None, ckpt, dedupCfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // single uninterrupted dedup run = the oracle
+    val oSink = new ColumnarSink(Files.createTempDirectory("cr4_oracle").toString)
+    val oq = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), oSink, None,
+      Files.createTempDirectory("cr4_ockpt").toString, dedupCfg)
+    try oq.processAllAvailable() finally oq.stop()
+
+    val got = contentOf(new ColumnarSink(sinkDir))
+    val want = contentOf(oSink)
+    assert(got == want, s"dedup crash recovery diverged:\n$got\nvs\n$want")
+    // and the dedup actually bit: 2 rows per collection, not 3
+    got.values.foreach(rows => assert(rows.size == 2, s"rows: $rows"))
+  }
+
   test("crash under schema churn: recovery replays the evolution and the registry converges") {
     val inDir = Files.createTempDirectory("cr3_in")
     val ckpt = Files.createTempDirectory("cr3_ckpt").toString
