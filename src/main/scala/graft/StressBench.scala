@@ -381,6 +381,55 @@ object StressBench {
       out("layout_rows_matched") = full.toString
     }
 
+    if (want("statsincr")) {
+      // ---- write-time stats manifest at file-count scale: many batch
+      // inserts maintain the manifest incrementally (self-compaction
+      // engaged); measure the per-insert overhead of stats-on vs
+      // stats-off, the manifest's slice count, and the pruned-read
+      // payoff against a filtered full scan over the same layout.
+      import graft.schema.CollectionId
+      import graft.sinks.ColumnarSink
+      val inserts = 20 * factor
+      val filesPer = 16
+      val rowsPer = 20000L
+      val id = CollectionId("p", "ev")
+      def slice(b: Int) = spark.range(b * rowsPer, (b + 1) * rowsPer)
+        .select(col("id").as("x"), (col("id") * 7 % 997).as("v"))
+        .repartitionByRange(filesPer, col("x"))
+      val plain = new ColumnarSink(s"$tmp/statsincr_off")
+      timed("statsincr_off_insert_sec") {
+        (0 until inserts).foreach(b => plain.insertBatch(id, slice(b), b.toLong))
+      }
+      val sink = new ColumnarSink(s"$tmp/statsincr_on",
+        statsColumns = Seq("x"))
+      timed("statsincr_on_insert_sec") {
+        (0 until inserts).foreach(b => sink.insertBatch(id, slice(b), b.toLong))
+      }
+      val fs = new org.apache.hadoop.fs.Path(sink.statsIndexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      out("statsincr_index_slices") = fs.listStatus(
+        new org.apache.hadoop.fs.Path(sink.statsIndexPath))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")).toString
+      out("statsincr_index_rows") =
+        spark.read.parquet(sink.statsIndexPath).count().toString
+      val lo = rowsPer * inserts / 2
+      val hi = lo + rowsPer / 2 - 1
+      val fullRows = timed("statsincr_fullscan_sec") {
+        sink.read(spark, id).filter(col("x").between(lo, hi)).count()
+      }
+      val prunedDf = sink.prunedRead(spark, id, Seq(("x", lo, hi)))
+      val prunedRows = timed("statsincr_pruned_sec") {
+        prunedDf.filter(col("x").between(lo, hi)).count()
+      }
+      require(fullRows == prunedRows,
+        s"pruned read diverged: $fullRows vs $prunedRows")
+      out("statsincr_rows_matched") = fullRows.toString
+      out("statsincr_files_total") = (inserts * filesPer).toString
+      out("statsincr_files_kept") = prunedDf
+        .select(input_file_name()).distinct().count().toString
+    }
+
     println(out.map { case (k, v) =>
       val quoted = if (v.matches("-?[0-9.]+|true|false")) v else "\"" + v + "\""
       "\"" + k + "\":" + quoted

@@ -77,6 +77,32 @@ object StatsIndex {
     statsOf(df, present).coalesce(1).write.mode("append").parquet(indexDir)
   }
 
+  /** Self-compaction for an append-maintained index: when the slice-file
+    * count exceeds `maxSlices`, rewrite the whole index (tiny — one row
+    * per data file) into ONE file. Append-mode maintenance would otherwise
+    * recreate the small-files problem inside the manifest itself: 10k
+    * triggers = 10k slice parquets = 10k footer opens per [[prunedRead]]
+    * plan. Readers racing the overwrite stay CORRECT, merely less pruned:
+    * a missing or partially-listed index makes [[prunedReadWith]] read
+    * unmatched files conservatively; it never loses rows.
+    *
+    * mergeSchema on the rewrite read: slices may carry different stat
+    * columns (schema evolution) — the compacted file carries the union.
+    */
+  def compactIfNeeded(spark: SparkSession, indexDir: String,
+                      maxSlices: Int = 256): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val slices = fs.listStatus(p).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    if (slices <= maxSlices) return false
+    val all = spark.read.option("mergeSchema", "true").parquet(indexDir)
+      .localCheckpoint(true) // cut lineage off the dir being overwritten
+    all.coalesce(1).write.mode("overwrite").parquet(indexDir)
+    true
+  }
+
   /** Closed-interval predicates per column: (name, lo, hi). A file is
     * read iff its [min, max] intersects EVERY given range (and always if
     * the index has no row for it). The returned frame is a SUPERSET of

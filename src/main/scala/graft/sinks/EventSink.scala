@@ -79,7 +79,8 @@ object EventSink {
 final class ColumnarSink(basePath: String, format: String = "parquet",
                          compression: String = "snappy",
                          maxRecordsPerFile: Long = 5000000,
-                         statsColumns: Seq[String] = Nil)
+                         statsColumns: Seq[String] = Nil,
+                         statsCompactSlices: Int = 256)
     extends EventSink {
 
   /** Write-time stats manifest (layout/StatsIndex): with `statsColumns`
@@ -131,6 +132,14 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       statsAppendLock.synchronized {
         graft.layout.StatsIndex.appendFor(spark, statsIndexPath, basePath,
           files, statsColumns)
+        // every append lands one slice file — after 10k triggers the
+        // manifest would itself be 10k tiny parquets (the small-files
+        // problem recreated inside the tool that exists to absorb it)
+        // and prunedRead's planning would pay 10k footer opens. Rewrite
+        // to one file past the threshold; racing readers stay correct
+        // (missing/partial index = conservative full read, never loss).
+        graft.layout.StatsIndex.compactIfNeeded(spark, statsIndexPath,
+          maxSlices = statsCompactSlices)
       }
 
   /** Manifest-pruned read of one collection: file-level min/max skipping on

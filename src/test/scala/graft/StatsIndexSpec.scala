@@ -138,6 +138,32 @@ class StatsIndexSpec extends SparkSpec {
     assert(prunedFiles <= 2, s"pre-evolution files must prune: $prunedFiles")
   }
 
+  test("manifest self-compacts past the slice threshold; pruning stays exact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_compactidx").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"),
+      statsCompactSlices = 8)
+    val id = graft.schema.CollectionId("p", "ev")
+    // 24 appends = 24 slices without compaction; threshold 8 keeps the
+    // index a handful of files forever
+    (0 until 24).foreach { b =>
+      sink.insertBatch(id,
+        spark.range(b * 100L, b * 100L + 100).select($"id".as("x")), b.toLong)
+    }
+    val p = new org.apache.hadoop.fs.Path(sink.statsIndexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices = fs.listStatus(p).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    assert(slices <= 9, s"manifest not self-compacting: $slices slices")
+    // every data file still covered, pruning still exact
+    val dataFiles = sink.read(spark, id).select(input_file_name())
+      .distinct().count()
+    assert(spark.read.parquet(sink.statsIndexPath).count() == dataFiles)
+    val pruned = sink.prunedRead(spark, id, Seq(("x", 500L, 599L)))
+    assert(pruned.where($"x".between(500, 599)).count() == 100)
+    assert(pruned.select(input_file_name()).distinct().count() < dataFiles / 3)
+  }
+
   test("concurrent per-collection inserts keep the shared manifest consistent") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sidx_conc").toString
