@@ -381,6 +381,62 @@ object StressBench {
       out("layout_rows_matched") = full.toString
     }
 
+    if (want("asofskew")) {
+      // ---- as-of join under a planted hot key at 10×: one user owns 20%
+      // of all events (the window-partition hazard AQE cannot split).
+      // Measures the single-window plan, the segmented-scan plan, the
+      // auto-probed plan, and the probe itself.
+      import graft.operators.AsOfJoin
+      val n = 200000L * factor
+      val hot = n / 5
+      val events = spark.range(n).select(
+          when(col("id") < hot, lit(1L))
+            .otherwise(pmod(col("id"), lit(50000L)) + 2L).as("user_id"),
+          pmod(col("id") * 6101L, lit(99991L)).as("t"),
+          (col("id") % 3 === 0).as("is_purchase"),
+          col("id").as("event_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val evPath = s"$tmp/asof_events"
+      timed("asofskew_gen_sec") {
+        events.write.mode("overwrite").parquet(evPath)
+      }
+      def purchases = spark.read.parquet(evPath).where(col("is_purchase"))
+        .select(col("user_id"), col("t"), col("event_id"))
+      def clicks = spark.read.parquet(evPath).where(!col("is_purchase"))
+        .select(col("user_id"), col("t").as("click_t"),
+          col("event_id").as("click_id"))
+      val single = timed("asofskew_single_window_sec") {
+        AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "t", "click_t",
+          skewBuckets = 1).count()
+      }
+      val segmented = timed("asofskew_segmented16_sec") {
+        AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "t", "click_t",
+          skewBuckets = 16).count()
+      }
+      require(single == segmented,
+        s"as-of plans diverged: $single vs $segmented")
+      val share = timed("asofskew_probe_sec") {
+        AsOfJoin.probeTopKeyShare(purchases, clicks, Seq("user_id"), n)
+      }
+      out("asofskew_probe_share") = f"$share%.3f"
+      out("asofskew_auto_buckets") = AsOfJoin.chooseSkewBuckets(share,
+        spark.sparkContext.defaultParallelism).toString
+      // defaults: the hot-row floor should route THIS corpus (400k hot
+      // rows at factor 10 — a comfortable single-task sort) to the plain
+      // window; segmented-vs-single above shows what the floor avoids
+      val auto = timed("asofskew_auto_default_sec") {
+        AsOfJoin.asOfJoinAuto(purchases, clicks, Seq("user_id"), "t",
+          "click_t", minProbeRows = 1).count()
+      }
+      require(auto == single, s"auto plan diverged: $auto vs $single")
+      val autoForced = timed("asofskew_auto_forced_sec") {
+        AsOfJoin.asOfJoinAuto(purchases, clicks, Seq("user_id"), "t",
+          "click_t", minProbeRows = 1, minHotRows = 1).count()
+      }
+      require(autoForced == single)
+      out("asofskew_rows") = single.toString
+    }
+
     if (want("statsincr")) {
       // ---- write-time stats manifest at file-count scale: many batch
       // inserts maintain the manifest incrementally (self-compaction

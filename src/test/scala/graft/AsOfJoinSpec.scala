@@ -235,10 +235,12 @@ class AsOfJoinSpec extends SparkSpec {
     assert(AsOfJoin.chooseSkewBuckets(0.06, 16) == 2)  // floor of 2
     assert(AsOfJoin.chooseSkewBuckets(Double.NaN, 32) == 1)
 
-    // end-to-end: auto (probe forced on via minProbeRows=1) matches the
-    // single-window plan exactly on the skewed corpus
+    // end-to-end: auto (probe + hot-row floor forced on) matches the
+    // single-window plan exactly on the skewed corpus; the default
+    // minHotRows floor would (correctly) keep this small corpus on the
+    // single-window plan — the measured crossover is in SCALE.md
     val auto = AsOfJoin.asOfJoinAuto(purchases, clicks, Seq("user_id"),
-        "t", "click_t", minProbeRows = 1)
+        "t", "click_t", minProbeRows = 1, minHotRows = 1)
       .select($"event_id", $"click_id").collect()
       .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("click_id")))
       .toMap
