@@ -43,6 +43,18 @@ class CrashRecoverySpec extends SparkSpec {
       if (afterWrite && n >= failOnInsert)
         throw new RuntimeException(s"injected post-write failure on insert #$n")
     }
+    // cohort writes count against the same injection budget: the crash
+    // drill covers the consolidated path's replay idempotence too
+    // (dynamic-partition overwrite, not markers)
+    override def supportsConsolidated: Boolean = inner.supportsConsolidated
+    override def insertConsolidated(rows: DataFrame, batchId: Long): Unit = {
+      val n = inserts.incrementAndGet()
+      if (!afterWrite && n >= failOnInsert)
+        throw new RuntimeException(s"injected cohort failure on insert #$n")
+      inner.insertConsolidated(rows, batchId)
+      if (afterWrite && n >= failOnInsert)
+        throw new RuntimeException(s"injected post-cohort failure on insert #$n")
+    }
   }
 
   private def writeLines(dir: java.nio.file.Path, name: String,
@@ -238,6 +250,56 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got == want, s"dedup crash recovery diverged:\n$got\nvs\n$want")
     // and the dedup actually bit: 2 rows per collection, not 3
     got.values.foreach(rows => assert(rows.size == 2, s"rows: $rows"))
+  }
+
+  test("crash between two cohort writes: consolidated replay supersedes in place") {
+    // the consolidated path's effectively-once mechanism is dynamic-
+    // partition OVERWRITE (no markers): a replayed batch must rewrite its
+    // own (project, collection, batch) dirs in place — proven here by a
+    // crash AFTER cohort 1 landed and BEFORE cohort 2 ran
+    val inDir = Files.createTempDirectory("cr5_in")
+    val ckpt = Files.createTempDirectory("cr5_ckpt").toString
+    val sinkDir = Files.createTempDirectory("cr5_sink").toString
+    val t = System.currentTimeMillis()
+    // TWO schema shapes → two cohorts of three collections each
+    writeLines(inDir, "b1.json",
+      (0 until 3).flatMap(c => (0 to c).map(i =>
+        fabric(s"c$c", t + i, s""","v":${c * 10 + i}"""))) ++
+      (3 until 6).flatMap(c => (0 to c).map(i =>
+        fabric(s"c$c", t + i, s""","w":"s${c * 10 + i}""""))))
+    val cohortCfg = cfg.copy(consolidateThreshold = 2)
+
+    val failing = new FailingSink(new ColumnarSink(sinkDir), 2, afterWrite = false)
+    val q1 = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), failing, None, ckpt, cohortCfg)
+    intercept[StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    q1.stop()
+    // one cohort's three collections landed, the other's did not
+    val landed = collections.count { id =>
+      new org.apache.hadoop.fs.Path(new ColumnarSink(sinkDir).path(id))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(new ColumnarSink(sinkDir).path(id)))
+    }
+    assert(landed == 3, s"expected exactly one landed cohort, got $landed collections")
+
+    val q2 = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), new ColumnarSink(sinkDir), None, ckpt, cohortCfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // oracle: single uninterrupted run through the SAME cohort config
+    val oSink = new ColumnarSink(Files.createTempDirectory("cr5_oracle").toString)
+    val oq = IngestStream.start(spark, IngestStream.fileSource(spark, inDir.toString),
+      new EventSchema.Registry(), oSink, None,
+      Files.createTempDirectory("cr5_ockpt").toString, cohortCfg)
+    try oq.processAllAvailable() finally oq.stop()
+
+    val got = contentOf(new ColumnarSink(sinkDir))
+    val want = contentOf(oSink)
+    assert(got == want, s"cohort crash recovery diverged:\n$got\nvs\n$want")
+    assert(got.keySet == collections.map(_.collection).toSet)
   }
 
   test("crash under schema churn: recovery replays the evolution and the registry converges") {
