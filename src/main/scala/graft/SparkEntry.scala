@@ -263,6 +263,16 @@ object SparkEntry {
         .cast("long").as("recall_ok"))
   }
 
+  /** One-row degenerate result for ann_ivf_incremental on a corpus with
+    * zero usable vectors: nothing to train, append, or certify — all
+    * contracts trivially hold, matching the oracle's aggregate row.
+    */
+  private def emptyAnnIncrementalResult(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, 0L, 5000L, 1L, 0L, 1L)).toDF("n_queries", "n_exact",
+      "recall_floor_bp", "recall_ok", "n_appended", "identical")
+  }
+
   /** Full JSON ingest of the events wire stream → per-collection frames. */
   private def ingested(s: SparkSession, dir: String): Map[CollectionId, DataFrame] = {
     val registry = new EventSchema.Registry()
@@ -1052,9 +1062,14 @@ object SparkEntry {
         .groupBy($"user_id", $"ts")
         .agg(max($"event_id").as("click_id"))
         .withColumnRenamed("ts", "click_ts")
-      graft.operators.AsOfJoin.asOfJoin(
+      // the AUTO entry point, probe forced on (minProbeRows = 1) so the
+      // seeded skew probe + two-part gate run under this oracle every
+      // round; at this SF the gate correctly picks the single-window plan
+      // (hot-row count below the measured crossover), and the plan-level
+      // auto≡manual parity across bucket counts is pinned by AsOfJoinSpec
+      graft.operators.AsOfJoin.asOfJoinAuto(
           purchases, clicks, Seq("user_id"), "ts", "click_ts",
-          skewBuckets = 8)
+          minProbeRows = 1)
         .select($"event_id", $"click_id")
         .orderBy($"event_id")
     }),
@@ -2170,6 +2185,60 @@ object SparkEntry {
           cells = 16, nProbe = 4),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
         recallFloorBp = 3000, emb, probes, "embedding", "vec_id", 5)
+    }),
+
+    // Incremental IVF maintenance — the nightly-crawl shape: the quantizer
+    // trains ONCE on the historical half (even vec_ids) and persists; the
+    // new half (odd vec_ids) is assigned against the PERSISTED centroids
+    // and APPENDED to the inverted file — no retrain, no rebuild. The
+    // query certifies BOTH contracts: search over the incrementally-grown
+    // inverted file is row-identical to search over a from-scratch
+    // assignment of the union corpus (`identical`), and recall against
+    // in-query brute force holds the same floor as ann_ivf_topk.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val usable = emb.where(SimilarityFunctions.finiteVec("embedding"))
+      if (usable.isEmpty)
+        emptyAnnIncrementalResult(s)
+      else {
+        val probes = emb.filter($"vec_id" < 20)
+        val old = usable.filter($"vec_id" % 2 === 0)
+        val fresh = usable.filter($"vec_id" % 2 =!= 0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfinc").toString
+        val oldNonEmpty = !old.isEmpty
+        // degenerate corpora (one parity absent) bootstrap the quantizer
+        // from whatever exists; the primary corpus trains on the old half
+        val ivf = SimilarityFunctions.ivfTrain(
+          if (oldNonEmpty) old else usable, "embedding", cells = 16)
+        ivf.save(s"$tmp/quantizer")
+        // everything below serves from the PERSISTED artifacts — the
+        // driver-restart shape at scale
+        val loaded = SimilarityFunctions.ivfLoad(s"$tmp/quantizer")
+        val invPath = s"$tmp/inv"
+        if (oldNonEmpty)
+          loaded.assign(old, "vec_id", "embedding")
+            .write.mode("overwrite").parquet(invPath)
+        val nAppended = fresh.count()
+        if (nAppended > 0)
+          SimilarityFunctions.ivfAppend(loaded, invPath, fresh,
+            "vec_id", "embedding")
+        val inv = s.read.parquet(invPath)
+        val incr = SimilarityFunctions.ivfSearch(inv, probes, loaded,
+          "vec_id", "embedding", 5, nProbe = 4)
+        val rebuilt = SimilarityFunctions.ivfSearch(
+          loaded.assign(usable, "vec_id", "embedding"), probes, loaded,
+          "vec_id", "embedding", 5, nProbe = 4)
+        val outCols = Seq("query_id", "neighbor_id", "cosine_bp", "rank").map(col)
+        val a = incr.select(outCols: _*)
+        val b = rebuilt.select(outCols: _*)
+        val identical = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        recallCertificate(incr,
+            SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
+            recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
+          .withColumn("n_appended", lit(nAppended))
+          .withColumn("identical", lit(if (identical) 1L else 0L))
+      }
     }),
 
     // Multi-probe LSH ANN. Recall certificate vs in-query brute force
@@ -4208,6 +4277,22 @@ object SparkEntry {
     "ann_pq_topk" -> annRecallOracleSql(4000),
     "ann_ivfpq_topk" -> annRecallOracleSql(3000),
     "ann_lsh_topk" -> annRecallOracleSql(5000),
+    // ann_ivf_incremental adds two facts to the recall certificate: the
+    // appended-increment size (data-derived: odd vec_ids) and the
+    // incremental≡rebuilt identity flag the Spark side proves by
+    // two-way exceptAll over the search results.
+    "ann_ivf_incremental" ->
+      s"""WITH femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+         |q AS (SELECT count(DISTINCT vec_id)::BIGINT AS nq FROM femb WHERE vec_id < 20),
+         |c AS (SELECT count(*)::BIGINT AS nc FROM femb),
+         |a AS (SELECT count(*)::BIGINT AS na FROM femb WHERE vec_id % 2 <> 0)
+         |SELECT q.nq AS n_queries,
+         |       (q.nq * least(5, greatest(c.nc - 1, 0)))::BIGINT AS n_exact,
+         |       5000::BIGINT AS recall_floor_bp,
+         |       1::BIGINT AS recall_ok,
+         |       a.na AS n_appended,
+         |       1::BIGINT AS identical
+         |FROM q, c, a""".stripMargin,
 
     // Double Rabin-Karp over the normalized text's UTF-8 BYTES — the
     // byte stream comes back through hex(encode(t)) so multibyte text

@@ -206,6 +206,37 @@ object StressBench {
       out("semantic_kept") = semKept.toString
     }
 
+    if (want("annpq")) {
+      // ---- IVF-PQ at factor× embeddings: both quantizers train on
+      // bounded samples, the full corpus is assigned + PQ-encoded in one
+      // pass each, and 20 queries serve through cell probing + ADC with a
+      // tie-aware recall grade vs in-section brute force (the jittered
+      // copies make every top-k boundary a tie flood on purpose)
+      import graft.functions.SimilarityFunctions
+      val emb = tenXEmbeddings(spark, sfDir, factor)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      out("annpq_vectors") = emb.count().toString
+      val probes = emb.filter(col("vec_id") < 20).localCheckpoint(true)
+      val k = 10
+      val approx = timed("annpq_topk_sec") {
+        SimilarityFunctions.ivfPqTopK(emb, probes, "vec_id", "embedding", k,
+          cells = 64, nProbe = 8).localCheckpoint(true)
+      }
+      val exact = timed("annpq_brute_sec") {
+        SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", k)
+          .localCheckpoint(true)
+      }
+      val nExact = exact.count()
+      val thresh = exact.groupBy(col("query_id"))
+        .agg(min(col("cosine_bp")).as("_min_bp"))
+      val hits = approx.join(thresh, Seq("query_id"))
+        .where(col("cosine_bp") >= col("_min_bp")).count()
+      out("annpq_recall_bp") = (hits * 10000 / math.max(1L, nExact)).toString
+      require(hits * 10000 >= nExact * 3000,
+        s"IVF-PQ recall collapsed at factor=$factor: $hits/$nExact")
+    }
+
     if (want("bloom")) {
       // ---- Bloom incremental: 10× batch vs original corpus (exact matches
       // = the verbatim copy-0 docs; boilerplate originals differ)
@@ -461,10 +492,9 @@ object StressBench {
       timed("statsincr_on_insert_sec") {
         (0 until inserts).foreach(b => sink.insertBatch(id, slice(b), b.toLong))
       }
-      val fs = new org.apache.hadoop.fs.Path(sink.statsIndexPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      out("statsincr_index_slices") = fs.listStatus(
-        new org.apache.hadoop.fs.Path(sink.statsIndexPath))
+      val shardPath = new org.apache.hadoop.fs.Path(sink.statsShardPath(id))
+      val fs = shardPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      out("statsincr_index_slices") = fs.listStatus(shardPath)
         .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith(".")).toString
       out("statsincr_index_rows") =
@@ -484,6 +514,189 @@ object StressBench {
       out("statsincr_files_total") = (inserts * filesPer).toString
       out("statsincr_files_kept") = prunedDf
         .select(input_file_name()).distinct().count().toString
+    }
+
+    if (want("statsshard")) {
+      // ---- manifest sharding at 100-TB-shaped file counts: a 30k-file
+      // sibling collection must NOT slow the planning of a small
+      // collection's pruned read. v1 (unsharded) collected the WHOLE
+      // manifest per read — planning grew with total file count; v2
+      // shards per collection, so planning is bounded by the target
+      // collection's own files. Measured three ways on one layout:
+      // the small shard next to 30k sibling files, the big shard itself,
+      // and a v1-style unsharded manifest over the same files.
+      import graft.schema.CollectionId
+      val base = s"$tmp/statsshard"
+      val sink = new ColumnarSink(base, statsColumns = Seq("x"),
+        maxRecordsPerFile = 1) // 1 row per file → 30k files from 32 tasks
+      val big = CollectionId("p", "big")
+      val small = CollectionId("p", "small")
+      val bigFiles = 30000L
+      timed("statsshard_write_sec") {
+        sink.insertBatch(big,
+          spark.range(bigFiles).select(col("id").as("x"), (col("id") * 3).as("v"))
+            .repartition(32), 0L)
+        sink.insertBatch(small,
+          spark.range(100).select(col("id").as("x"), (col("id") * 3).as("v"))
+            .repartition(4), 0L)
+      }
+      out("statsshard_files_total") = (bigFiles + 100).toString
+      def planMs(f: => DataFrame): (DataFrame, Double) = {
+        val t0 = System.nanoTime(); val df = f
+        (df, (System.nanoTime() - t0) / 1e6)
+      }
+      // warm the FS/session once so the first measurement isn't cold-path
+      sink.prunedRead(spark, small, Seq(("x", 10L, 20L))).count()
+      val (smallDf, smallMs) = planMs(
+        sink.prunedRead(spark, small, Seq(("x", 10L, 20L))))
+      out("statsshard_small_plan_ms") = f"$smallMs%.0f"
+      val (bigDf, bigMs) = planMs(
+        sink.prunedRead(spark, big, Seq(("x", 1000L, 1099L))))
+      out("statsshard_big_plan_ms") = f"$bigMs%.0f"
+      // v1 simulation: ONE unsharded manifest over all 30.1k files; a
+      // small-collection read must collect every sibling's rows
+      val v1idx = s"$tmp/statsshard_v1idx"
+      val allFiles = {
+        val root = new org.apache.hadoop.fs.Path(base)
+        graft.util.FsWalk.dataFiles(
+          root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+      }
+      timed("statsshard_v1_build_sec") {
+        graft.layout.StatsIndex.appendFor(spark, v1idx, base, allFiles, Seq("x"))
+      }
+      val (v1Df, v1Ms) = planMs(
+        graft.layout.StatsIndex.prunedReadWith(spark, sink.path(small), v1idx,
+          Seq(("x", 10L, 20L)), Map("mergeSchema" -> "true")))
+      out("statsshard_v1_small_plan_ms") = f"$v1Ms%.0f"
+      // parity: all three prune exactly
+      require(smallDf.filter(col("x").between(10, 20)).count() == 11)
+      require(v1Df.filter(col("x").between(10, 20)).count() == 11)
+      require(bigDf.filter(col("x").between(1000, 1099)).count() == 100)
+      out("statsshard_big_files_kept") = bigDf
+        .select(input_file_name()).distinct().count().toString
+    }
+
+    if (want("crashsoak")) {
+      // ---- crash drill × 1k-collection soak: kill the consolidated
+      // streaming soak mid-run (batch ~49, BETWEEN the two cohort writes
+      // of the batch — the partial-commit case at cardinality), restart
+      // from the same checkpoint, and hash-match the 10M-record at-rest
+      // content + registry against an uninterrupted soak. This is the
+      // CrashRecoverySpec drill at the cardinality where the consolidated
+      // path (not the per-table marker path) does the work continuously.
+      import graft.schema.EventSchema
+      import graft.sinks.EventSink
+      import graft.schema.CollectionId
+      import org.apache.spark.sql.types.StructType
+      import spark.implicits._
+      val nRec = 10000000L
+      val chunksCS = 100
+      val filesPerBatch = 8
+      val now = System.currentTimeMillis()
+      val input = s"$tmp/crashsoak_in"
+      timed("crashsoak_stage_sec") {
+        // 1000 live collections, TWO schema shapes (even suffixes carry
+        // "x") → two same-schema cohorts per micro-batch
+        spark.range(nRec).select(concat(
+            lit("""{"data":{"_project":"demo","_collection":"c"""),
+            col("id") % 1000, lit("\","),
+            when((col("id") % 1000) % 2 === 0,
+              concat(lit(""""x":"""), col("id") % 7, lit(",")))
+              .otherwise(lit("")),
+            lit(""""_time":"""), lit(now), lit(","),
+            lit(""""_user":"u"""), col("id") % 97, lit("\","),
+            lit(""""n":"""), col("id"), lit("}}")).as("value")).as[String]
+          .repartition(chunksCS * filesPerBatch).write.text(input)
+      }
+      val cfgCS = IngestConfig(availableNow = true, commitRetries = 0,
+        consolidateThreshold = 64, writeParallelism = 1)
+      // kill between the two cohort writes of batch 49: calls 2b+1, 2b+2
+      // belong to batch b, so call #100 is batch 49's SECOND cohort
+      final class KillAt(inner: graft.sinks.ColumnarSink, failAt: Int)
+          extends EventSink {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def getColumns(id: CollectionId): Option[StructType] =
+          inner.getColumns(id)
+        override def insert(id: CollectionId, df: DataFrame): Unit =
+          inner.insert(id, df)
+        override def insert(id: CollectionId, df: DataFrame, b: Long): Unit =
+          inner.insert(id, df, b)
+        override def supportsConsolidated: Boolean = true
+        override def insertConsolidated(rows: DataFrame, b: Long): Unit = {
+          if (n.incrementAndGet() == failAt)
+            throw new RuntimeException("injected crash inside batch")
+          inner.insertConsolidated(rows, b)
+        }
+      }
+      def latencies(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[Long] =
+        q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      def p50(xs: Seq[Long]): Long =
+        if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+      val sinkDir = s"$tmp/crashsoak_sink"
+      val ckpt = s"$tmp/crashsoak_ckpt"
+      def src = IngestStream.fileSource(spark, input,
+        maxFilesPerTrigger = Some(filesPerBatch))
+      val lat1 = timed("crashsoak_run1_sec") {
+        val q1 = IngestStream.start(spark, src, new EventSchema.Registry(),
+          new KillAt(new ColumnarSink(sinkDir), failAt = 100), None, ckpt, cfgCS)
+        try { q1.processAllAvailable(); q1.awaitTermination() }
+        catch { case _: Throwable => () } finally q1.stop()
+        latencies(q1)
+      }
+      require(lat1.size >= 45, s"crash came too early: ${lat1.size} batches ran")
+      val lat2 = timed("crashsoak_resume_sec") {
+        val q2 = IngestStream.start(spark, src, new EventSchema.Registry(),
+          new ColumnarSink(sinkDir), None, ckpt, cfgCS)
+        try q2.processAllAvailable() finally q2.stop()
+        latencies(q2)
+      }
+      out("crashsoak_batches_run1") = lat1.size.toString
+      out("crashsoak_batches_resume") = lat2.size.toString
+      out("crashsoak_p50_run1_ms") = p50(lat1).toString
+      out("crashsoak_restart_batch_ms") = lat2.headOption.getOrElse(0L).toString
+      out("crashsoak_p50_resume_ms") = p50(lat2.drop(1)).toString
+      val oSinkDir = s"$tmp/crashsoak_oracle_sink"
+      val oCkpt = s"$tmp/crashsoak_oracle_ckpt"
+      val lat3 = timed("crashsoak_oracle_sec") {
+        val q3 = IngestStream.start(spark, src, new EventSchema.Registry(),
+          new ColumnarSink(oSinkDir), None, oCkpt, cfgCS)
+        try q3.processAllAvailable() finally q3.stop()
+        latencies(q3)
+      }
+      out("crashsoak_p50_oracle_ms") = p50(lat3).toString
+      // at-rest content: order/layout-insensitive (collection-keyed row
+      // JSON with wall-clock _shard_time and the batch dir column out),
+      // count + order-insensitive hash sum
+      def contentHash(base: String): (Long, java.math.BigDecimal) = {
+        val df = new ColumnarSink(base).readAll(spark)
+        val cols = df.columns
+          .filterNot(c => c == "_shard_time" || c == "batch").sorted
+        val r = df
+          .select(xxhash64(to_json(struct(cols.map(col).toIndexedSeq: _*))).as("_h"))
+          .agg(count(lit(1)), sum(col("_h").cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val (nA, hA) = contentHash(sinkDir)
+      val (nB, hB) = contentHash(oSinkDir)
+      require(nA == nRec && nB == nRec,
+        s"crashsoak row counts: recovered=$nA oracle=$nB expected=$nRec")
+      require(hA == hB, s"crashsoak content hash diverged: $hA vs $hB")
+      // registry column-order authority survives the crash+replay
+      val regA = new EventSchema.Registry()
+      regA.loadSharded(IngestStream.registryPath(ckpt),
+        spark.sparkContext.hadoopConfiguration)
+      val regB = new EventSchema.Registry()
+      regB.loadSharded(IngestStream.registryPath(oCkpt),
+        spark.sparkContext.hadoopConfiguration)
+      require(regA.all.map { case (id, st) => id -> st.json } ==
+        regB.all.map { case (id, st) => id -> st.json },
+        "crashsoak registry diverged from uninterrupted soak")
+      require(regA.all.size == 1000)
+      out("crashsoak_rows") = nA.toString
+      out("crashsoak_hash_match") = "true"
+      out("crashsoak_registry_match") = "true"
     }
 
     println(out.map { case (k, v) =>

@@ -748,6 +748,38 @@ object SimilarityFunctions {
     ivfPqSearch(inv, queries, ivf, pq, idCol, vecCol, k, nProbe, shortlist)
   }
 
+  // ------------------------------------------- incremental maintenance
+
+  /** Incremental inverted-file maintenance — the nightly-crawl shape: NEW
+    * vectors are assigned against the PERSISTED spherical centroids (no
+    * retrain, one map-only pass over just the increment) and appended to
+    * the inverted file at `invPath`; with a [[PqIndex]] given, their PQ
+    * codes are encoded with the persisted codebooks and ride the same
+    * rows ([[ivfPqSearch]]'s `(neighbor_id, _cell, _cv, _codes)` layout).
+    * Because assignment is a pure function of (centroids, vector), an
+    * incrementally-grown inverted file is ROW-IDENTICAL to one rebuilt
+    * from scratch over the union corpus — searches cannot diverge (the
+    * `ann_ivf_incremental` oracle and AnnIncrementalSpec pin it). This is
+    * what makes the index a long-lived artifact at 100 TB: the quantizer
+    * trains once, and each crawl pays one pass over its own increment
+    * instead of a full rebuild. Quantizer drift (corpus distribution
+    * moving away from the trained centroids) degrades RECALL only, never
+    * correctness — retrain + rebuild when the recall certificate says so.
+    * Caller contract: increment ids are new (route the crawl through the
+    * dedup family first); replaying an increment would duplicate rows.
+    */
+  def ivfAppend(index: IvfIndex, invPath: String, newCorpus: DataFrame,
+                idCol: String, vecCol: String,
+                pq: Option[PqIndex] = None): Unit = {
+    val assigned = index.assign(newCorpus, idCol, vecCol)
+    val rows = pq match {
+      case Some(p) =>
+        assigned.join(p.encode(newCorpus, idCol, vecCol), Seq("neighbor_id"))
+      case None => assigned
+    }
+    rows.write.mode("append").parquet(invPath)
+  }
+
   // ------------------------------------------------ vector aggregation
 
   /** Per-group embedding centroids, QUANTIZED to integer micro-units

@@ -24,6 +24,27 @@ import org.apache.spark.sql.functions._
   * directory (one listing, not per-file footer reads) and any file the
   * index does not know is included unconditionally — new data is never
   * silently missed, it just doesn't prune until the next [[build]].
+  *
+  * Each manifest row records WHICH columns were in the indexed set when
+  * its slice was written (`_stat_cols`), so two distinct situations that
+  * both surface as a null min/max after a merged-schema read stay
+  * distinguishable:
+  *   - column in `_stat_cols`, null stats → the file holds NO values of
+  *     the column (pre-evolution or all-null) → pruning it is EXACT;
+  *   - column NOT in `_stat_cols` (indexed by an earlier writer with a
+  *     narrower column set) → UNKNOWN → the file is read conservatively.
+  * Without the marker, a later writer widening the indexed set would
+  * silently drop earlier files' matching rows from every pruned read.
+  *
+  * Durability model: every append lands as ONE atomically-renamed slice
+  * file staged in a slice-private hidden directory — no two writers (even
+  * in different JVMs over the same store) ever share committer staging,
+  * so concurrent appends cannot collide. Self-compaction writes the
+  * merged slice FIRST and deletes the inputs after: the manifest is never
+  * missing mid-rewrite, racing readers at worst see duplicate rows per
+  * file (deduplicated in [[prunedReadWith]]), and a reader that loses the
+  * race to a slice delete degrades to a full read via the catch-all
+  * fallback — never a crash, never a lost row.
   */
 object StatsIndex {
 
@@ -36,13 +57,48 @@ object StatsIndex {
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c =>
+  private def fsOf(p: org.apache.hadoop.fs.Path,
+                   spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Per-file stats rows: min/max for each PRESENT column + row count +
+    * the full REQUESTED column set as the `_stat_cols` marker (a column
+    * requested but absent from every input file yields no stats columns
+    * here, yet is still recorded as indexed — exact: those files hold no
+    * such values).
+    */
+  private def statsOf(df: DataFrame, present: Seq[String],
+                      requested: Seq[String]): DataFrame = {
+    val aggs = present.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    df.select(input_file_name().as("_file") +: cols.map(col): _*)
+    df.select(input_file_name().as("_file") +: present.map(col): _*)
       .groupBy(col("_file"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_stat_cols", array(requested.map(lit): _*))
+  }
+
+  /** Land `df` as ONE slice file `indexDir/slice-<uuid>.parquet` via a
+    * slice-private hidden staging directory + rename. Unlike a Spark
+    * append job, two concurrent writers (same or different JVMs) never
+    * touch shared `_temporary` staging, so cross-instance appends over
+    * one basePath cannot collide or drop each other's slices.
+    */
+  private def writeSlice(spark: SparkSession, indexDir: String,
+                         df: DataFrame): Unit = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/.staging-$uuid")
+    val fs = fsOf(staging, spark)
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging).find(st => st.isFile &&
+      st.getPath.getName.startsWith("part-"))
+    part.foreach { st =>
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(s"$indexDir/slice-$uuid.parquet"))
+      ()
+    }
+    fs.delete(staging, true)
+    ()
   }
 
   /** One pass over `dir`: per-file min/max for `cols` + row count, written
@@ -50,57 +106,126 @@ object StatsIndex {
     */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
     require(cols.nonEmpty, "index needs at least one column")
-    statsOf(spark.read.parquet(dir), cols)
+    statsOf(spark.read.parquet(dir), cols, cols)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$IndexDirName")
     spark.read.parquet(s"$dir/$IndexDirName").count()
   }
 
   /** Incremental manifest maintenance — index ONLY the given just-written
-    * files and APPEND their stats rows to `indexDir`. This is the
-    * write-time path ([[graft.sinks.ColumnarSink]] calls it after each
-    * insert, the way the reference computes shard stats at write —
+    * files and land their stats rows as one new slice in `indexDir`. This
+    * is the write-time path ([[graft.sinks.ColumnarSink]] calls it after
+    * each insert, the way the reference computes shard stats at write —
     * InMemoryOrcStorageManager.java:188-207): one small job over files
     * that are still hot, columns pruned to the indexed set. A column
     * missing from a file's schema (pre-evolution batches) reads as all
-    * nulls → null min/max, which [[prunedRead]] correctly prunes: no row
-    * in that file can satisfy a range on the column.
+    * nulls → null min/max WITH the column in `_stat_cols`, which
+    * [[prunedRead]] correctly prunes: no row in that file can satisfy a
+    * range on the column. Columns outside `cols` are recorded as
+    * not-indexed for these rows and read conservatively by later, wider
+    * indexes.
     */
   def appendFor(spark: SparkSession, indexDir: String, basePath: String,
                 files: Seq[String], cols: Seq[String]): Unit = {
     if (files.isEmpty) return
     val df = spark.read.option("basePath", basePath).parquet(files: _*)
-    // a column a pre-evolution batch never had can't be selected — index
-    // what exists; the file still gets a row (so it isn't "unknown" and
-    // read unconditionally), and a null/absent min/max prunes it under any
-    // range on that column, which is exact: it holds no such values
     val present = cols.filter(df.columns.contains)
-    statsOf(df, present).coalesce(1).write.mode("append").parquet(indexDir)
+    writeSlice(spark, indexDir, statsOf(df, present, cols))
+  }
+
+  /** Sharded multi-collection append — the consolidated-cohort companion
+    * to [[appendFor]]: ONE stats job over every just-written file of a
+    * cohort, staged partitioned by the layout's own (project, collection)
+    * directory columns, then each staged file renamed into its
+    * per-collection shard `indexRoot/project=…/collection=…/slice-….parquet`.
+    * Sharding is what keeps pruned-read planning flat at 100 TB file
+    * counts: a one-collection [[prunedReadWith]] reads ONLY its own shard
+    * and never collects sibling collections' manifest rows. The staging
+    * dir is append-private (hidden, uuid-named), so cross-instance cohort
+    * appends cannot collide either. Returns the touched shard dirs (for
+    * per-shard self-compaction).
+    */
+  def appendSharded(spark: SparkSession, indexRoot: String, basePath: String,
+                    files: Seq[String], cols: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Nil
+    val df = spark.read.option("basePath", basePath).parquet(files: _*)
+    require(df.columns.contains("project") && df.columns.contains("collection"),
+      s"appendSharded needs a project=/collection= partitioned layout under $basePath")
+    val present = cols.filter(df.columns.contains)
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      Seq(count(lit(1)).as("n_rows"),
+        first(col("project")).as("project"),
+        first(col("collection")).as("collection"))
+    val stats = df.select(input_file_name().as("_file") +:
+        (present.map(col) ++ Seq(col("project"), col("collection"))): _*)
+      .groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_stat_cols", array(cols.map(lit): _*))
+    val uuid = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(s"$indexRoot/.staging-$uuid")
+    val fs = fsOf(staging, spark)
+    // coalesce(1): the stats frame is one row per data file — a single
+    // task writes one file per (project, collection) with no shuffle, and
+    // partitionBy applies the SAME path escaping as the data layout, so
+    // staged dir names match the shard dirs exactly
+    stats.coalesce(1).write.partitionBy("project", "collection")
+      .mode("overwrite").parquet(staging.toString)
+    val touched = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (proj <- fs.listStatus(staging)
+         if proj.isDirectory && proj.getPath.getName.startsWith("project="))
+      for (coll <- fs.listStatus(proj.getPath)
+           if coll.isDirectory && coll.getPath.getName.startsWith("collection=")) {
+        val shard = new org.apache.hadoop.fs.Path(
+          s"$indexRoot/${proj.getPath.getName}/${coll.getPath.getName}")
+        fs.mkdirs(shard)
+        fs.listStatus(coll.getPath)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(s"$shard/slice-$uuid-$i.parquet"))
+          }
+        touched += shard.toString
+      }
+    fs.delete(staging, true)
+    touched.toSeq
   }
 
   /** Self-compaction for an append-maintained index: when the slice-file
-    * count exceeds `maxSlices`, rewrite the whole index (tiny — one row
-    * per data file) into ONE file. Append-mode maintenance would otherwise
+    * count exceeds `maxSlices`, merge every CURRENT slice into one new
+    * slice and delete the inputs. Append-mode maintenance would otherwise
     * recreate the small-files problem inside the manifest itself: 10k
     * triggers = 10k slice parquets = 10k footer opens per [[prunedRead]]
-    * plan. Readers racing the overwrite stay CORRECT, merely less pruned:
-    * a missing or partially-listed index makes [[prunedReadWith]] read
-    * unmatched files conservatively; it never loses rows.
+    * plan. Ordering makes the race window benign: the merged slice lands
+    * (rename) BEFORE any input is deleted, so the manifest is never
+    * missing — a racing reader at worst sees a file's row twice
+    * (deduplicated in [[prunedReadWith]]) or loses a slice mid-scan and
+    * falls back to the conservative full read. Slices appended
+    * concurrently by another writer are untouched: the merge reads an
+    * explicit snapshot file list, not the directory.
     *
-    * mergeSchema on the rewrite read: slices may carry different stat
-    * columns (schema evolution) — the compacted file carries the union.
+    * mergeSchema on the snapshot read: slices may carry different stat
+    * columns (schema evolution / widened index sets) — the compacted
+    * slice carries the union. Compaction failure (e.g. two instances
+    * compacting one shard concurrently) is swallowed: the manifest is
+    * advisory and the next append retries.
     */
   def compactIfNeeded(spark: SparkSession, indexDir: String,
-                      maxSlices: Int = 256): Boolean = {
+                      maxSlices: Int = 256): Boolean = try {
     val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(p, spark)
     if (!fs.exists(p)) return false
-    val slices = fs.listStatus(p).count(st => st.isFile &&
+    val slices = fs.listStatus(p).filter(st => st.isFile &&
       !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    if (slices <= maxSlices) return false
-    val all = spark.read.option("mergeSchema", "true").parquet(indexDir)
-      .localCheckpoint(true) // cut lineage off the dir being overwritten
-    all.coalesce(1).write.mode("overwrite").parquet(indexDir)
+    if (slices.length <= maxSlices) return false
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(slices.map(_.getPath.toString).toIndexedSeq: _*)
+    writeSlice(spark, indexDir, merged)
+    slices.foreach(st => fs.delete(st.getPath, false))
     true
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] stats-index compaction skipped for $indexDir: $e")
+      false
   }
 
   /** Closed-interval predicates per column: (name, lo, hi). A file is
@@ -115,9 +240,13 @@ object StatsIndex {
 
   /** [[prunedRead]] with an explicit index location and reader options —
     * the sink-integration form ([[graft.sinks.ColumnarSink.prunedRead]]
-    * keeps one base-level index for its whole layout and scopes reads to
-    * one collection directory here). A missing index is the conservative
-    * no-op: full read of `dataDir`.
+    * keeps one per-collection shard for its whole layout and passes the
+    * shard dir here). A missing index is the conservative no-op: full
+    * read of `dataDir`. Any failure reading the manifest itself (a slice
+    * deleted by a racing self-compaction, a torn slice) degrades the SAME
+    * way — full read, never a crashed query; only a range over a column
+    * the index never carried fails loudly (pruning on it would silently
+    * drop every indexed file's rows).
     */
   def prunedReadWith(spark: SparkSession, dataDir: String, indexDir: String,
                      ranges: Seq[(String, Any, Any)],
@@ -125,59 +254,84 @@ object StatsIndex {
     require(ranges.nonEmpty, "prunedRead needs at least one range")
     def full = spark.read.options(options).option("basePath", dataDir)
       .parquet(dataDir)
-    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-    val fsIdx = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fsIdx.exists(idxPath)) return full // no manifest yet: never lose data
-    // mergeSchema: appended index slices may carry different stat columns
-    // (schema evolution; a column absent from a slice reads as null there)
-    val idx = spark.read.option("mergeSchema", "true").parquet(indexDir)
     val dataPrefix = normalize(dataDir).stripSuffix("/") + "/"
-    val keep = ranges.map { case (c, lo, hi) =>
-      // a range over a never-indexed column must fail LOUDLY — pruning on
-      // it would silently drop every indexed file's rows
-      require(idx.columns.contains(s"min_$c"),
-        s"column $c is not in the stats index at $indexDir")
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
-    }.reduce(_ && _)
-    // driver-side reads of the per-file manifest: one small table, bounded
-    // by file count (shard the index itself before this is ever large).
-    // Scope to dataDir (a shared index covers sibling collections) and
-    // de-dup: a file must never be read twice because two index slices
-    // both know it.
-    val inScope = idx.filter(col("_file").isNotNull)
-      .collect().map(_.getAs[String]("_file"))
-      .filter(f => normalize(f).startsWith(dataPrefix)).distinct
-    val indexedKeys = inScope.map(normalize).toSet
-    val matchSet = idx.filter(keep).select(col("_file")).collect()
-      .map(r => normalize(r.getString(0))).toSet
-    val matching = inScope.filter(f => matchSet.contains(normalize(f)))
-
-    // conservative two-way staleness sweep against ONE directory listing:
-    // files unknown to the index ride along unpruned, and index entries
-    // whose file no longer exists (compaction, overwrite) are skipped
-    // instead of crashing the read
-    val root = new org.apache.hadoop.fs.Path(dataDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(root, true)
-    val unknown = scala.collection.mutable.ArrayBuffer.empty[String]
-    val present = scala.collection.mutable.HashSet.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      val partOfIndex = normalize(p.toString).contains(s"/$IndexDirName/")
-      val hiddenPath = p.toString.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (st.isFile && !partOfIndex && !hiddenPath) {
-        present += normalize(p.toString)
-        if (!indexedKeys.contains(normalize(p.toString)))
-          unknown += p.toString
+    // (matching files, every indexed file key) — None when the manifest is
+    // absent or unreadable (racing compaction): conservative full read
+    val planned: Option[(Seq[String], Set[String])] = try {
+      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+      if (!fsOf(idxPath, spark).exists(idxPath)) None
+      else {
+        // mergeSchema: appended index slices may carry different stat
+        // columns (schema evolution; a column absent from a slice reads as
+        // null there)
+        val idx = spark.read.option("mergeSchema", "true").parquet(indexDir)
+        // rows from slices written before `_stat_cols` existed carry null
+        // → treated as not-indexed → conservative keep
+        val hasMarker = idx.columns.contains("_stat_cols")
+        val keep = ranges.map { case (c, lo, hi) =>
+          // a range over a never-indexed column must fail LOUDLY — pruning
+          // on it would silently drop every indexed file's rows
+          require(idx.columns.contains(s"min_$c"),
+            s"column $c is not in the stats index at $indexDir")
+          val inRange = col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+          if (!hasMarker) inRange
+          else {
+            // `c` indexed for this row → null stats mean the file holds no
+            // `c` values at all (exact prune); `c` NOT indexed (earlier
+            // writer, narrower statsColumns) → unknown → keep the file
+            val indexedC =
+              coalesce(array_contains(col("_stat_cols"), lit(c)), lit(false))
+            !indexedC || inRange
+          }
+        }.reduce(_ && _)
+        // driver-side reads of the per-file manifest: one small table,
+        // bounded by the SHARD's file count (ColumnarSink shards the index
+        // per collection, so sibling collections' rows are never loaded).
+        // Scope to dataDir (defense for unsharded/legacy indexes) and
+        // de-dup: a file must never be read twice because two index slices
+        // both know it.
+        val inScope = idx.filter(col("_file").isNotNull)
+          .collect().map(_.getAs[String]("_file"))
+          .filter(f => normalize(f).startsWith(dataPrefix)).distinct
+        val indexedKeys = inScope.map(normalize).toSet
+        val matchSet = idx.filter(keep).select(col("_file")).collect()
+          .map(r => normalize(r.getString(0))).toSet
+        Some((inScope.filter(f => matchSet.contains(normalize(f))).toSeq,
+          indexedKeys))
       }
+    } catch {
+      case e: IllegalArgumentException => throw e // never-indexed column
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] stats index unreadable at $indexDir (racing compaction?): " +
+            s"$e — degrading to full read")
+        None
     }
-    val files = matching.filter(p => present.contains(normalize(p))) ++ unknown
-    if (files.isEmpty) full.limit(0) // schema-preserving
-    // basePath keeps directory-derived (Hive partition) columns in the
-    // schema, identical to a whole-directory read
-    else spark.read.options(options).option("basePath", dataDir)
-      .parquet(files.toIndexedSeq: _*)
+    planned match {
+      case None => full
+      case Some((matching, indexedKeys)) =>
+        // conservative two-way staleness sweep against ONE directory
+        // walk (per-directory listStatus via FsWalk — Hadoop's recursive
+        // listFiles costs 4 ms/file locally, 120 s measured at 30k
+        // files; the hidden `_graft_stats_index` subtree prunes at
+        // directory level): files unknown to the index ride along
+        // unpruned, and index entries whose file no longer exists
+        // (compaction, overwrite) are skipped instead of crashing the
+        // read
+        val root = new org.apache.hadoop.fs.Path(dataDir)
+        val fs = fsOf(root, spark)
+        val unknown = scala.collection.mutable.ArrayBuffer.empty[String]
+        val present = scala.collection.mutable.HashSet.empty[String]
+        graft.util.FsWalk.dataFiles(fs, root).foreach { f =>
+          present += normalize(f)
+          if (!indexedKeys.contains(normalize(f))) unknown += f
+        }
+        val files = matching.filter(p => present.contains(normalize(p))) ++ unknown
+        if (files.isEmpty) full.limit(0) // schema-preserving
+        // basePath keeps directory-derived (Hive partition) columns in the
+        // schema, identical to a whole-directory read
+        else spark.read.options(options).option("basePath", dataDir)
+          .parquet(files.toIndexedSeq: _*)
+    }
   }
 }

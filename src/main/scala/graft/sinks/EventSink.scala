@@ -85,15 +85,33 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
 
   /** Write-time stats manifest (layout/StatsIndex): with `statsColumns`
     * set, every insert appends per-file min/max rows for the just-written
-    * files to ONE base-level index — the reference computes shard stats
-    * at write the same way (InMemoryOrcStorageManager.java:188-207). At
-    * 100 TB this manifest is the driver's scan-prune tool: [[prunedRead]]
-    * drops non-matching files before any parquet footer is opened.
-    * Maintenance is one driver listing of the new files + one small
-    * column-pruned job per insert; replays/compaction leave stale entries
-    * that the conservative sweep in `StatsIndex.prunedReadWith` skips.
+    * files — the reference computes shard stats at write the same way
+    * (InMemoryOrcStorageManager.java:188-207). At 100 TB this manifest is
+    * the driver's scan-prune tool: [[prunedRead]] drops non-matching
+    * files before any parquet footer is opened.
+    *
+    * The manifest is SHARDED per collection, mirroring the data layout:
+    * `_graft_stats_index/project=<p>/collection=<c>/slice-*.parquet`. A
+    * pruned read of one collection loads ONLY its own shard's rows, so
+    * planning cost is bounded by that collection's file count — flat as
+    * sibling collections grow to 100 TB file counts (the unsharded v1
+    * layout collected every sibling's rows per read). Maintenance is one
+    * driver listing of the new files + one small column-pruned job per
+    * insert (ONE job per consolidated cohort, fanned into shards by
+    * rename); replays/compaction leave stale entries that the
+    * conservative sweep in `StatsIndex.prunedReadWith` skips. A v1
+    * base-level index (slices directly under `_graft_stats_index/`) is
+    * not read by the sharded path — rebuild by re-inserting or drop the
+    * old index dir; mixing the layouts would hide the root slices from
+    * partition discovery.
     */
   val statsIndexPath = s"$basePath/${graft.layout.StatsIndex.IndexDirName}"
+
+  /** The per-collection manifest shard — same path components (and the
+    * same escaping) as the collection's data directory.
+    */
+  def statsShardPath(id: CollectionId): String =
+    s"$statsIndexPath/project=${esc(id.project)}/collection=${esc(id.collection)}"
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path,
                        spark: SparkSession): org.apache.hadoop.fs.FileSystem =
@@ -101,45 +119,59 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
 
   /** Recursive data-file listing under `dir` — skips hidden/metadata
     * segments (`_graft_commits`, `_graft_stats_index`, `.crc`, `_SUCCESS`)
-    * the same way Spark's own file listing does.
+    * the same way Spark's own file listing does. Walks via
+    * [[graft.util.FsWalk]] (per-directory listStatus): Hadoop's recursive
+    * `listFiles` costs 4 ms/file on local fs — 120 s measured at 30k
+    * files, paid on EVERY stats-maintaining insert.
     */
   private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = hadoopFs(root, spark)
-    if (!fs.exists(root)) return Nil
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val hidden = st.getPath.toUri.getPath.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (st.isFile && !hidden) out += st.getPath.toString
-    }
-    out.toSeq
+    graft.util.FsWalk.dataFiles(hadoopFs(root, spark), root)
   }
 
-  /** Serializes manifest appends: the per-batch writer pool
-    * (`util/ParallelWrites`) runs per-collection inserts CONCURRENTLY,
-    * and two simultaneous parquet appends into the one index directory
-    * would collide in the committer's shared `_temporary` staging. The
-    * slices are tiny (coalesce(1) of a per-file aggregate), so the lock
-    * costs microseconds of queueing, not parallelism.
+  /** Cross-instance safety is structural now (every slice lands via a
+    * slice-private staging dir + rename — StatsIndex.writeSlice — so no
+    * two appends, even from different JVMs over one basePath, share
+    * committer staging). This lock only keeps ONE instance's writer pool
+    * from racing its own per-shard self-compactions; it costs
+    * microseconds of queueing on tiny driver-side jobs.
     */
   private val statsAppendLock = new Object
+
+  private val shardRe = "(/project=[^/]+/collection=[^/]+)/".r
 
   private def appendStats(spark: SparkSession, files: Seq[String]): Unit =
     if (statsColumns.nonEmpty && files.nonEmpty)
       statsAppendLock.synchronized {
-        graft.layout.StatsIndex.appendFor(spark, statsIndexPath, basePath,
-          files, statsColumns)
-        // every append lands one slice file — after 10k triggers the
-        // manifest would itself be 10k tiny parquets (the small-files
-        // problem recreated inside the tool that exists to absorb it)
-        // and prunedRead's planning would pay 10k footer opens. Rewrite
-        // to one file past the threshold; racing readers stay correct
-        // (missing/partial index = conservative full read, never loss).
-        graft.layout.StatsIndex.compactIfNeeded(spark, statsIndexPath,
-          maxSlices = statsCompactSlices)
+        // shard by the (project, collection) segments of each file's own
+        // path — per-collection inserts hit exactly one shard (one small
+        // job); a consolidated cohort fans into its shards from ONE job
+        val byShard = files.groupBy { f =>
+          shardRe.findFirstMatchIn(f) match {
+            case Some(m) => m.group(1)
+            case None => throw new IllegalStateException(
+              s"data file outside the project=/collection= layout: $f")
+          }
+        }
+        val touched: Seq[String] =
+          if (byShard.size == 1) {
+            val (rel, fs) = byShard.head
+            val shard = s"$statsIndexPath$rel"
+            graft.layout.StatsIndex.appendFor(spark, shard, basePath, fs,
+              statsColumns)
+            Seq(shard)
+          } else
+            graft.layout.StatsIndex.appendSharded(spark, statsIndexPath,
+              basePath, files, statsColumns)
+        // every append lands one slice file per shard — after 10k triggers
+        // a shard would itself be 10k tiny parquets (the small-files
+        // problem recreated inside the tool that exists to absorb it) and
+        // prunedRead's planning would pay 10k footer opens. Merge a shard
+        // past the threshold; racing readers stay correct (the merged
+        // slice lands before the inputs are deleted, and a reader losing
+        // the race degrades to a conservative full read, never loss).
+        touched.foreach(shard => graft.layout.StatsIndex.compactIfNeeded(
+          spark, shard, maxSlices = statsCompactSlices))
       }
 
   /** Manifest-pruned read of one collection: file-level min/max skipping on
@@ -151,7 +183,7 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
   def prunedRead(spark: SparkSession, id: CollectionId,
                  ranges: Seq[(String, Any, Any)]): DataFrame =
     unescapeReserved(graft.layout.StatsIndex.prunedReadWith(
-      spark, path(id), statsIndexPath, ranges,
+      spark, path(id), statsShardPath(id), ranges,
       Map("mergeSchema" -> "true")))
 
   /** Hive-style partition-value escaping (':' → %3A etc.) — the SAME
@@ -231,16 +263,29 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
         listDataFiles(df.sparkSession, path(id)).filterNot(before))
   }
 
+  /** A guard pass is cached per (collection, expected shape): every write
+    * that could invalidate it goes through this instance and is itself
+    * guarded in the OPPOSITE direction (a plain insert refuses once
+    * `batch=` dirs exist; a batch insert refuses once root files exist),
+    * so a collection that passed once cannot be flipped by this sink.
+    * Cross-instance writers bypass the cache — the guard is
+    * defense-in-depth, not a lock. At 1k live collections this turns C
+    * shallow listings per trigger into C on the FIRST trigger only.
+    */
+  private val layoutGuardPassed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(CollectionId, Boolean)]()
+
   /** Fails loudly when an insert would mix the root-level and batch-keyed
     * layouts in one collection directory (data loss on read: partition
     * inference ignores root files next to `batch=` dirs). One SHALLOW
-    * listStatus of the collection dir.
+    * listStatus of the collection dir, amortized away by the pass cache.
     */
   private def layoutGuard(spark: SparkSession, id: CollectionId,
                           expectBatchDirs: Boolean): Unit = {
+    if (layoutGuardPassed.contains((id, expectBatchDirs))) return
     val dir = new org.apache.hadoop.fs.Path(path(id))
     val fs = hadoopFs(dir, spark)
-    if (!fs.exists(dir)) return
+    if (!fs.exists(dir)) return // nothing to mix with; nothing to cache yet
     val entries = fs.listStatus(dir)
       .filterNot(st => st.getPath.getName.startsWith("_") ||
         st.getPath.getName.startsWith("."))
@@ -255,6 +300,10 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
           "layout — mixing layouts makes partition inference silently drop " +
           "the root-level files; use one insert shape per collection " +
           s"(first offender: ${offending.head.getPath})")
+    // an EMPTY dir passes both shapes but pins neither — caching it would
+    // let a later write of the other shape slip past; only a pass observed
+    // against committed entries of this shape is durable
+    if (entries.nonEmpty) { layoutGuardPassed.add((id, expectBatchDirs)); () }
   }
 
   /** Idempotent variant for streaming replays: `foreachBatch` is
@@ -335,10 +384,13 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .withColumnRenamed("_project", "project")
       .withColumnRenamed("_collection", "collection")
       .repartition(col("project"), col("collection"))
-    // append-mode cohort stats need a before/after snapshot (new files
-    // land among old ones); the batch-keyed path finds its files by glob
+    // append-mode cohort stats AND the layout guard need a before/after
+    // snapshot of root-level files (new files land among old ones); the
+    // batch-keyed path finds its files by batch glob instead. Depth-3
+    // matches only files at collection ROOTS — in a streaming layout that
+    // set is empty, so the glob stays a metadata no-op at cardinality.
     val beforeAll =
-      if (statsColumns.isEmpty || batchId >= 0) Set.empty[String]
+      if (batchId >= 0) Set.empty[String]
       else globDataFiles(rows.sparkSession, s"$basePath/*/*/*").toSet
     val w =
       if (batchId >= 0)
@@ -353,14 +405,65 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .save(basePath)
-    if (statsColumns.nonEmpty) {
-      val spark = rows.sparkSession
-      val newFiles =
-        if (batchId >= 0) // this batch's dirs are exclusively this write's
-          globDataFiles(spark, s"$basePath/*/*/batch=$batchId/*")
-        else globDataFiles(spark, s"$basePath/*/*/*").filterNot(beforeAll)
-      appendStats(spark, newFiles)
+    // the same layout-mixing guard as insert()/insertBatch(), run against
+    // the cohort's own output dirs (discovering the targets pre-write
+    // would cost a distinct() job over the batch; one glob + C cached
+    // shallow listings is cheaper). POST-write but pre-commit — and
+    // self-healing: an offending collection's just-written output is
+    // REMOVED before the loud failure, so the mix never persists and
+    // reads of the pre-existing data stay whole. Deleting this batch's
+    // own uncommitted output is exactly what a replay overwrite would do.
+    val spark = rows.sparkSession
+    val expectBatchDirs = batchId >= 0
+    val newFiles =
+      if (expectBatchDirs) // this batch's dirs are exclusively this write's
+        globDataFiles(spark, s"$basePath/*/*/batch=$batchId/*")
+      else globDataFiles(spark, s"$basePath/*/*/*").filterNot(beforeAll)
+    val byColl = newFiles.groupBy { f =>
+      val p = new org.apache.hadoop.fs.Path(f).getParent
+      if (expectBatchDirs) p.getParent else p // strip batch=N level
     }
+    val offending = byColl.keys.toSeq.filter { collDir =>
+      def unesc(seg: String) = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(seg.split("=", 2)(1))
+      val cid = CollectionId(unesc(collDir.getParent.getName),
+        unesc(collDir.getName))
+      if (layoutGuardPassed.contains((cid, expectBatchDirs))) false
+      else {
+        val fs = hadoopFs(collDir, spark)
+        val entries = fs.listStatus(collDir)
+          .filterNot(st => st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith("."))
+        // the bulk (batchId<0) write lands only root files, so any batch=
+        // dir seen here is pre-existing; the batch-keyed write lands only
+        // its batch dir, so any root file seen here is pre-existing
+        val bad =
+          if (expectBatchDirs) entries.exists(_.isFile)
+          else entries.exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch="))
+        if (!bad) { layoutGuardPassed.add((cid, expectBatchDirs)); () }
+        bad
+      }
+    }
+    if (offending.nonEmpty) {
+      offending.foreach { collDir =>
+        val fs = hadoopFs(collDir, spark)
+        if (expectBatchDirs) // drop this batch's whole dir for the offender
+          fs.delete(new org.apache.hadoop.fs.Path(collDir,
+            s"batch=$batchId"), true)
+        else // drop exactly the root files this write appended
+          byColl(collDir).foreach(f =>
+            fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      }
+      throw new IllegalStateException(
+        s"consolidated insert: collection(s) [${offending.mkString(", ")}] " +
+          s"already use the ${if (expectBatchDirs) "root-level (plain insert)"
+            else "batch-keyed (streaming insert)"} layout — mixing layouts " +
+          "makes partition inference silently drop the root-level files; " +
+          "this batch's output for the offenders was removed and the batch " +
+          "must not commit")
+    }
+    if (statsColumns.nonEmpty) appendStats(spark, newFiles)
   }
 
   /** Driver-side glob over the partitioned layout — one namenode/object
@@ -403,10 +506,13 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     val dir = new org.apache.hadoop.fs.Path(path(id))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
+    // compaction FLIPS a root-shaped collection to batch-keyed (the
+    // rewrite lands under batch=compact-*) — cached layout-guard passes
+    // for this collection are void either way
+    layoutGuardPassed.removeIf(e => e._1 == id)
     val oldEntries = fs.listStatus(dir).toSeq // snapshot before the rewrite
     var bytes = 0L
-    val files = fs.listFiles(dir, true)
-    while (files.hasNext) bytes += files.next().getLen
+    graft.util.FsWalk.dataFileStatuses(fs, dir).foreach(bytes += _.getLen)
     val nFiles = math.max(1, (bytes / targetBytes).toInt)
     val df = {
       // at-rest view: the inferred `batch` DIRECTORY column goes away with

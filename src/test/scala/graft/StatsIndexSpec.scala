@@ -150,7 +150,7 @@ class StatsIndexSpec extends SparkSpec {
       sink.insertBatch(id,
         spark.range(b * 100L, b * 100L + 100).select($"id".as("x")), b.toLong)
     }
-    val p = new org.apache.hadoop.fs.Path(sink.statsIndexPath)
+    val p = new org.apache.hadoop.fs.Path(sink.statsShardPath(id))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val slices = fs.listStatus(p).count(st => st.isFile &&
       !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
@@ -192,6 +192,115 @@ class StatsIndexSpec extends SparkSpec {
     ids.foreach { id =>
       assert(sink.prunedRead(spark, id, Seq(("x", 0L, 99L)))
         .where($"x" <= 99).count() == 100)
+    }
+  }
+
+  test("sharded manifest: each collection's slices land in its own shard dir") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_shard").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val a = graft.schema.CollectionId("p", "aaa")
+    val b = graft.schema.CollectionId("p", "bbb")
+    sink.insertBatch(a, spark.range(100).select($"id".as("x")), 0L)
+    sink.insertBatch(b, spark.range(100, 200).select($"id".as("x")), 0L)
+    for ((id, other) <- Seq((a, "bbb"), (b, "aaa"))) {
+      val shard = spark.read.parquet(sink.statsShardPath(id))
+      // a one-collection pruned read plans against ONLY its shard — no
+      // sibling rows to collect, which is what keeps planning flat as
+      // sibling collections grow to 100 TB file counts
+      assert(shard.select("_file").as[String].collect()
+        .forall(f => f.contains(s"collection=${id.collection}") &&
+          !f.contains(s"collection=$other")),
+        s"shard for ${id.collection} holds sibling rows")
+    }
+    assert(sink.prunedRead(spark, a, Seq(("x", 10L, 19L)))
+      .where($"x".between(10, 19)).count() == 10)
+    assert(sink.prunedRead(spark, b, Seq(("x", 110L, 129L)))
+      .where($"x".between(110, 129)).count() == 20)
+  }
+
+  test("a later sink widening statsColumns must not prune files indexed under the narrower set") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_widen").toString
+    val id = graft.schema.CollectionId("p", "ev")
+    // sink v1 indexes only x — but the DATA already carries y
+    val sinkV1 = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    sinkV1.insertBatch(id,
+      spark.range(100).select($"id".as("x"), ($"id" + 5000).as("y")), 0L)
+    // sink v2 over the SAME basePath widens the indexed set to (x, y)
+    val sinkV2 = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x", "y"))
+    sinkV2.insertBatch(id,
+      spark.range(100, 200).select($"id".as("x"), ($"id" + 5000).as("y")), 1L)
+    // a y-range matching ONLY batch-0 rows: batch 0's manifest rows carry
+    // no y stats because v1 never indexed y — NOT because the files hold
+    // no y values. The `_stat_cols` marker keeps the two cases apart;
+    // without it this read would silently return 0 rows.
+    val got = sinkV2.prunedRead(spark, id, Seq(("y", 5000L, 5099L)))
+      .where($"y".between(5000, 5099)).count()
+    assert(got == 100, s"widened index dropped narrow-indexed files: $got")
+    // and the exact-prune case still holds: a range nothing matches reads 0
+    assert(sinkV2.prunedRead(spark, id, Seq(("y", 9000L, 9999L)))
+      .where($"y".between(9000, 9999)).count() == 0)
+  }
+
+  test("pruned reads racing appends + self-compaction never crash or lose rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_race").toString
+    // threshold 2 → compaction fires on nearly every append
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"),
+      statsCompactSlices = 2)
+    val id = graft.schema.CollectionId("p", "ev")
+    sink.insertBatch(id, spark.range(100).select($"id".as("x")), 0L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        var b = 1L
+        while (!stop.get() && b < 18) {
+          sink.insertBatch(id,
+            spark.range(b * 100, b * 100 + 100).select($"id".as("x")), b)
+          b += 1
+        }
+      } catch { case t: Throwable => failure.set(t) } finally stop.set(true)
+    })
+    writer.start()
+    try {
+      // batch 0's rows are stable the whole run: every racing read must
+      // see exactly 50 of them — pruned or degraded-to-full, never fewer
+      while (!stop.get()) {
+        val n = sink.prunedRead(spark, id, Seq(("x", 0L, 49L)))
+          .where($"x" <= 49).count()
+        assert(n == 50, s"racing pruned read lost rows: $n")
+      }
+    } finally { stop.set(true); writer.join(60000) }
+    assert(failure.get() == null, s"writer failed: ${failure.get()}")
+    // converged state: everything written is pruned-readable
+    assert(sink.prunedRead(spark, id, Seq(("x", 0L, 1799L)))
+      .where($"x" <= 1799).count() == 1800)
+  }
+
+  test("an unreadable manifest degrades to a conservative full read, not a crash") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_corrupt").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val id = graft.schema.CollectionId("p", "ev")
+    sink.insertBatch(id, spark.range(1000).select($"id".as("x")), 0L)
+    // torn slice: not parquet at all — the manifest read throws
+    val bad = new org.apache.hadoop.fs.Path(
+      s"${sink.statsShardPath(id)}/slice-torn.parquet")
+    val fs = bad.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(bad, true)
+    os.write("this is not parquet".getBytes("UTF-8")); os.close()
+    val out = sink.prunedRead(spark, id, Seq(("x", 0L, 99L)))
+    assert(out.where($"x" <= 99).count() == 100,
+      "fallback full read must still serve every row")
+    // loud failure is RESERVED for the caller bug a fallback would mask:
+    // pruning on a never-indexed column (checked against a healthy index)
+    val base2 = java.nio.file.Files.createTempDirectory("sidx_loud").toString
+    val sink2 = new graft.sinks.ColumnarSink(base2, statsColumns = Seq("x"))
+    sink2.insertBatch(id, spark.range(10).select($"id".as("x")), 0L)
+    intercept[IllegalArgumentException] {
+      sink2.prunedRead(spark, id, Seq(("zzz", 0L, 9L)))
     }
   }
 
