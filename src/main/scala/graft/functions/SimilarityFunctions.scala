@@ -771,6 +771,7 @@ object SimilarityFunctions {
   def ivfAppend(index: IvfIndex, invPath: String, newCorpus: DataFrame,
                 idCol: String, vecCol: String,
                 pq: Option[PqIndex] = None): Unit = {
+    invGuard(newCorpus.sparkSession, invPath, expectBatchDirs = false)
     val assigned = index.assign(newCorpus, idCol, vecCol)
     val rows = pq match {
       case Some(p) =>
@@ -778,6 +779,83 @@ object SimilarityFunctions {
       case None => assigned
     }
     rows.write.mode("append").parquet(invPath)
+  }
+
+  /** Effectively-once streaming variant of [[ivfAppend]] — the crawl as a
+    * `foreachBatch` consumer: the increment lands under
+    * `invPath/batch=<batchId>` in OVERWRITE mode, so an at-least-once
+    * replay supersedes its own partial first attempt in place instead of
+    * duplicating inverted-file rows (the same batch-keyed idempotence as
+    * `ColumnarSink.insertBatch`). The whole inverted file must be
+    * batch-keyed: build the base with `batchId = 0` and feed increments
+    * at 1, 2, … — partition inference silently DROPS root-level files
+    * once `batch=` dirs exist, so mixing the two shapes is refused
+    * loudly here (and [[ivfAppend]] refuses the reverse). Read the index
+    * back with a plain `spark.read.parquet(invPath)`; the inferred
+    * `batch` directory column rides along harmlessly (searches select
+    * only `neighbor_id`/`_cell`/`_cv`/`_codes`).
+    */
+  def ivfAppendBatch(index: IvfIndex, invPath: String, newCorpus: DataFrame,
+                     idCol: String, vecCol: String, batchId: Long,
+                     pq: Option[PqIndex] = None): Unit = {
+    invGuard(newCorpus.sparkSession, invPath, expectBatchDirs = true)
+    val assigned = index.assign(newCorpus, idCol, vecCol)
+    val rows = pq match {
+      case Some(p) =>
+        assigned.join(p.encode(newCorpus, idCol, vecCol), Seq("neighbor_id"))
+      case None => assigned
+    }
+    rows.write.mode("overwrite").parquet(s"$invPath/batch=$batchId")
+  }
+
+  /** Refuses mixing root-level and batch-keyed inverted-file layouts (one
+    * shallow listing; same data-loss mechanics as the sink's layoutGuard:
+    * partition inference drops root files once `batch=` dirs exist).
+    */
+  private def invGuard(spark: org.apache.spark.sql.SparkSession,
+                       invPath: String, expectBatchDirs: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(invPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val entries = fs.listStatus(p).filterNot(st =>
+      st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+    val offending =
+      if (expectBatchDirs) entries.filter(_.isFile)
+      else entries.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch="))
+    if (offending.nonEmpty)
+      throw new IllegalStateException(
+        s"inverted file at $invPath already uses the " +
+          s"${if (expectBatchDirs) "root-level (ivfAppend)" else "batch-keyed (ivfAppendBatch)"} " +
+          "layout — mixing layouts makes partition inference silently drop " +
+          s"the root-level rows (first offender: ${offending.head.getPath})")
+  }
+
+  /** Mean squared quantization error of `df`'s vectors against the
+    * index's (unit-sphere) centroids, in basis points of the unit sphere
+    * (`floor(mean minDist² × 10⁴)` — integer, so comparable across runs
+    * and engines). This is the RETRAIN TRIGGER for the incremental
+    * lifecycle ([[ivfAppend]]/[[ivfAppendBatch]]): assignment against
+    * frozen centroids stays CORRECT under distribution drift (searches
+    * never lose rows — AnnIncrementalSpec pins identity), but recall
+    * decays as new vectors land far from every cell; an increment whose
+    * error runs well above the base corpus's own error is the signal to
+    * retrain + rebuild. One map-only aggregate over the (bounded or
+    * full) input — no shuffle, no collect beyond the single result row.
+    */
+  def quantizationErrorBp(index: IvfIndex, df: DataFrame,
+                          vecCol: String): Long = {
+    val nv = l2Normalize(col(vecCol).cast("array<double>"))
+    val dists = array(index.model.clusterCenters.map { v =>
+      val cent = typedlit(v.toArray.toSeq)
+      aggregate(zip_with(col("_nv"), cent, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    }: _*)
+    val r = df.where(finiteVec(vecCol))
+      .select(nv.as("_nv"))
+      .select(array_min(dists).as("_d2"))
+      .agg(avg(col("_d2"))).head()
+    if (r.isNullAt(0)) 0L else math.floor(r.getDouble(0) * 10000).toLong
   }
 
   // ------------------------------------------------ vector aggregation

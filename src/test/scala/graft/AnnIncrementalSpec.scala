@@ -54,6 +54,73 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(a.count() > 0, "empty search proves nothing")
   }
 
+  test("batch-keyed crawl: a replayed increment supersedes in place, never duplicates") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_incr_b").toString
+    val inv = s"$tmp/inv"
+    val base = vecs(0, 400)
+    val ivf = SimilarityFunctions.ivfTrain(base, "embedding", cells = 8)
+    // the streaming (foreachBatch) shape: base is batch 0, crawls 1..2
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, base, "vec_id", "embedding", 0L)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(400, 700),
+      "vec_id", "embedding", 1L)
+    // at-least-once replay of batch 1 (crash before the offsets commit):
+    // the overwrite rewrites its own batch=1 dir — no duplicate rows
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(400, 700),
+      "vec_id", "embedding", 1L)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(700, 900),
+      "vec_id", "embedding", 2L)
+    val grown = spark.read.parquet(inv)
+    assert(grown.count() == 900, "replayed batch duplicated inverted-file rows")
+    val rebuilt = ivf.assign(vecs(0, 900), "vec_id", "embedding")
+    assert(sortedRows(grown.select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(rebuilt.select(col("neighbor_id"), col("_cell"), col("_cv"))))
+    // search through the batch-keyed index (inferred `batch` column rides
+    // along harmlessly)
+    val probes = vecs(0, 900).filter(col("vec_id") % 89 === 0)
+    val a = SimilarityFunctions.ivfSearch(grown, probes, ivf,
+      "vec_id", "embedding", 5, nProbe = 3)
+    val b = SimilarityFunctions.ivfSearch(rebuilt, probes, ivf,
+      "vec_id", "embedding", 5, nProbe = 3)
+    assert(sortedRows(a) == sortedRows(b) && a.count() > 0)
+
+    // layout-mixing refused BOTH ways (partition inference would silently
+    // drop root-level rows next to batch= dirs)
+    intercept[IllegalStateException] {
+      SimilarityFunctions.ivfAppend(ivf, inv, vecs(900, 950),
+        "vec_id", "embedding")
+    }
+    val rootInv = s"$tmp/inv_root"
+    SimilarityFunctions.ivfAppend(ivf, rootInv, vecs(0, 100),
+      "vec_id", "embedding")
+    intercept[IllegalStateException] {
+      SimilarityFunctions.ivfAppendBatch(ivf, rootInv, vecs(100, 200),
+        "vec_id", "embedding", 1L)
+    }
+  }
+
+  test("quantization error flags distribution drift (the retrain trigger)") {
+    import spark.implicits._
+    val base = vecs(0, 800)
+    val ivf = SimilarityFunctions.ivfTrain(base, "embedding", cells = 8)
+    val baseErr = SimilarityFunctions.quantizationErrorBp(ivf, base, "embedding")
+    // in-distribution increment: same generator, new ids → error ~ base
+    val inDist = SimilarityFunctions.quantizationErrorBp(ivf,
+      vecs(800, 1600), "embedding")
+    // drifted increment: a different vector family (axis-concentrated
+    // instead of the trig mix) lands far from every trained centroid
+    val drifted = spark.range(2000, 2400).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => when(d === ($"id" % 8).cast("int"), lit(100.0)).otherwise(lit(0.001)))
+        .as("embedding"))
+    val driftErr = SimilarityFunctions.quantizationErrorBp(ivf, drifted, "embedding")
+    info(s"base=$baseErr inDist=$inDist drifted=$driftErr (bp of unit sphere)")
+    assert(inDist <= baseErr * 2 + 50, s"in-distribution error exploded: $inDist vs $baseErr")
+    assert(driftErr > inDist * 2, s"drift not flagged: $driftErr vs $inDist")
+    // degenerate: no usable vectors → 0, not a crash
+    assert(SimilarityFunctions.quantizationErrorBp(ivf,
+      base.limit(0), "embedding") == 0L)
+  }
+
   test("IVF-PQ: appended codes serve identically to a rebuilt inverted file") {
     val tmp = java.nio.file.Files.createTempDirectory("ann_incr_pq").toString
     val base = vecs(0, 500)
