@@ -304,6 +304,38 @@ class StatsIndexSpec extends SparkSpec {
     }
   }
 
+  test("consolidated cohort maintains every member's shard from ONE stats job") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_cohort").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    // a 6-collection cohort lands via insertConsolidated → appendSharded
+    // fans the single stats job's slices into per-collection shards
+    val cohort = spark.range(600).select(
+      lit("p").as("_project"),
+      concat(lit("c"), $"id" % 6).as("_collection"),
+      $"id".as("x"), ($"id" * 3).as("v"))
+    sink.insertConsolidated(cohort, batchId = 0L)
+    val ids = (0 until 6).map(c => graft.schema.CollectionId("p", s"c$c"))
+    for (id <- ids) {
+      val shard = spark.read.parquet(sink.statsShardPath(id))
+      assert(shard.count() >= 1, s"cohort left ${id.collection}'s shard empty")
+      assert(shard.select("_file").as[String].collect()
+        .forall(_.contains(s"collection=${id.collection}")),
+        s"${id.collection}'s shard holds foreign rows")
+      // pruned read through the cohort-built shard stays exact
+      val want = sink.read(spark, id).where($"x".between(100, 300))
+        .agg(count(lit(1)), sum($"v")).head()
+      val got = sink.prunedRead(spark, id, Seq(("x", 100L, 300L)))
+        .where($"x".between(100, 300)).agg(count(lit(1)), sum($"v")).head()
+      assert(got == want)
+    }
+    // a replayed cohort batch leaves stale entries the sweep skips — row
+    // parity must hold after the overwrite supersedes the files
+    sink.insertConsolidated(cohort, batchId = 0L)
+    assert(sink.prunedRead(spark, ids.head, Seq(("x", 0L, 599L)))
+      .where($"x" <= 599).count() == 100)
+  }
+
   test("staleness: files written after build are still read (conservative)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sidx_stale").toString
