@@ -214,7 +214,17 @@ object StatsIndex {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = fsOf(p, spark)
     if (!fs.exists(p)) return false
-    val slices = fs.listStatus(p).filter(st => st.isFile &&
+    val entries = fs.listStatus(p)
+    // a writer that crashed between staging and rename leaves its hidden
+    // `.staging-<uuid>` dir behind forever (its slice never landed —
+    // degraded pruning only, the data files read conservatively as
+    // unknown). Reap ones old enough that no live append can own them;
+    // this piggybacks on the listing every append already pays for.
+    entries.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".staging-") &&
+        st.getModificationTime < System.currentTimeMillis() - 3600000L)
+      .foreach(st => fs.delete(st.getPath, true))
+    val slices = entries.filter(st => st.isFile &&
       !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
     if (slices.length <= maxSlices) return false
     val merged = spark.read.option("mergeSchema", "true")

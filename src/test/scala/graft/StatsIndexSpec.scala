@@ -304,6 +304,27 @@ class StatsIndexSpec extends SparkSpec {
     }
   }
 
+  test("orphaned staging dirs from crashed appends are reaped; fresh ones survive") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_reap").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val id = graft.schema.CollectionId("p", "ev")
+    sink.insertBatch(id, spark.range(100).select($"id".as("x")), 0L)
+    val shard = new org.apache.hadoop.fs.Path(sink.statsShardPath(id))
+    val fs = shard.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed append's leftover (old) and a live append's staging (new)
+    val orphan = new org.apache.hadoop.fs.Path(shard, ".staging-orphan")
+    val live = new org.apache.hadoop.fs.Path(shard, ".staging-live")
+    fs.mkdirs(orphan); fs.mkdirs(live)
+    fs.setTimes(orphan, System.currentTimeMillis() - 2 * 3600000L, -1)
+    graft.layout.StatsIndex.compactIfNeeded(spark, shard.toString, maxSlices = 0)
+    assert(!fs.exists(orphan), "stale staging dir not reaped")
+    assert(fs.exists(live), "live staging dir must not be touched")
+    // and the reap never broke the manifest: pruning still exact
+    assert(sink.prunedRead(spark, id, Seq(("x", 10L, 19L)))
+      .where($"x".between(10, 19)).count() == 10)
+  }
+
   test("consolidated cohort maintains every member's shard from ONE stats job") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sidx_cohort").toString
