@@ -134,103 +134,156 @@ object SimilarityFunctions {
     * artifact: train ONCE ([[ivfTrain]]), materialize the inverted file
     * once ([[IvfIndex.assign]] → write to storage), then serve every query
     * batch with [[ivfSearch]] against the stored assignment — never
-    * retrain per query. `model.save(path)` / `KMeansModel.load` persist
-    * the quantizer itself across drivers.
+    * retrain per query. `save(path)` / [[ivfLoad]] persist the quantizer
+    * itself across drivers (tiny JSON, any Hadoop scheme — the same
+    * artifact lifecycle as [[PqIndex]]).
     */
   final class IvfIndex private[functions] (
-      val model: org.apache.spark.ml.clustering.KMeansModel) extends Serializable {
+      val clusterCenters: Array[Array[Double]]) extends Serializable {
 
     /** Centroids as a tiny (cell, vector) frame — always broadcast-sized. */
     def centroids(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       import spark.implicits._
-      model.clusterCenters.zipWithIndex
-        .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      clusterCenters.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("_cell", "_centroid")
     }
 
     /** Assign every corpus vector to its nearest cell — ONE distributed
-      * map-only pass (the model broadcasts with the task closure). The
+      * map-only pass through the native [[expressions.IvfKernel]] ranking
+      * (the centroids ship inside the plan like the PQ codebooks). The
       * result is the inverted file; persist it to storage at scale.
       */
     def assign(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
-      import org.apache.spark.ml.functions.array_to_vector
       // unusable (null / non-finite) vectors skipped — see finiteVec.
-      // SPHERICAL assignment: the model was trained on unit vectors (the
-      // served metric is cosine, which is direction-only — Euclidean
+      // SPHERICAL assignment: the quantizer was trained on unit vectors
+      // (the served metric is cosine, which is direction-only — Euclidean
       // cells over raw vectors partition by MAGNITUDE and strand a
       // query's cosine neighbors in far cells on mixed-norm corpora, an
-      // all-or-nothing recall loss found by XL fuzz), so the features
-      // normalize here too; `_cv` stays raw for downstream scoring
-      // (cosine is scale-invariant).
+      // all-or-nothing recall loss found by XL fuzz), so the kernel
+      // normalizes internally; `_cv` stays raw for downstream scoring
+      // (cosine is scale-invariant). Ties break to the smallest cell id —
+      // the same first-index rule as the trainer's own assignment step.
       val c = corpus.where(finiteVec(vecCol))
         .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
-      model.transform(
-          c.withColumn("features", array_to_vector(l2Normalize(col("_cv")))))
-        .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
+      c.select(col("neighbor_id"), col("_cv"),
+        element_at(expressions.IvfExpressions.ivf_rank_cells(
+          col("_cv"), clusterCenters, 1), 1).as("_cell"))
     }
 
     /** Assign every vector to its `probes` nearest cells (by the same
       * squared-euclidean metric k-means partitions on, so probe 1 IS the
-      * model's cell and probe p strictly widens it) in ONE map-only
+      * assignment cell and probe p strictly widens it) in ONE map-only
       * pass — the dedup-side analogue of query-side nProbe: a near-dup
       * pair is caught if ANY probed cell is shared, which is the recall
       * lever for cluster-partitioned dedup without changing the
       * equi-join shape (input grows ×probes, still no shuffle here).
-      * The centroid ranking is an in-row `array_sort` over literal
-      * centroids, so the expression scales with `cells` — right for the
-      * moderate cell counts dedup uses; at extreme cell counts (100k+)
-      * rank via the broadcast-join + window form instead.
+      * The native kernel's per-row cost scales with `cells` — right for
+      * the moderate cell counts dedup uses; at extreme cell counts
+      * (100k+) rank via the broadcast-join + window form instead.
       */
     def assignProbes(corpus: DataFrame, idCol: String, vecCol: String,
                      probes: Int): DataFrame = {
       val c = corpus.where(finiteVec(vecCol)) // unusable vectors: no cell
         .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
-      // same spherical metric as [[assign]]: distances to the (unit-
-      // trained) centroids are taken from the NORMALIZED vector, so probe
-      // 1 is still exactly the model's cell. Normalize ONCE into a real
-      // column — embedding the (interpreted, higher-order) normalize tree
-      // inside each of the `cells` distance terms re-evaluates it per
-      // centroid and measured 7× on the semantic-dedup bench.
-      val nv = col("_nv")
-      val ranked = array(model.clusterCenters.zipWithIndex.map { case (v, i) =>
-        val cent = typedlit(v.toArray.toSeq)
+      c.withColumn("_cell",
+          explode(expressions.IvfExpressions.ivf_rank_cells(
+            col("_cv"), clusterCenters, probes)))
+        .select(col("neighbor_id"), col("_cv"), col("_cell"))
+    }
+
+    /** Composed-builtin probe ranking, kept ONLY as the parity reference
+      * for the native kernel (same normalization, same left-to-right
+      * distance sums, same smallest-cell tie rule).
+      */
+    private[graft] def assignProbesComposed(corpus: DataFrame, idCol: String,
+                                            vecCol: String, probes: Int): DataFrame = {
+      val c = corpus.where(finiteVec(vecCol))
+        .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      val ranked = array(clusterCenters.zipWithIndex.map { case (v, i) =>
+        val cent = typedlit(v.toSeq)
         struct(
-          aggregate(zip_with(nv, cent, (x, y) => (x - y) * (x - y)),
+          aggregate(zip_with(col("_nv"), cent, (x, y) => (x - y) * (x - y)),
             lit(0.0d), (acc, x) => acc + x).as("_d2"),
           lit(i).as("_cell"))
       }: _*)
       c.withColumn("_nv", l2Normalize(col("_cv")))
-        .withColumn("_probe",
-          explode(slice(array_sort(ranked), 1, probes)))
+        .withColumn("_probe", explode(slice(array_sort(ranked), 1, probes)))
         .select(col("neighbor_id"), col("_cv"), col("_probe._cell").as("_cell"))
     }
 
-    /** Persist the coarse quantizer (Spark ML persistence — works on any
-      * Hadoop scheme). With the inverted file written to parquet by the
-      * caller, the whole index survives a driver restart: [[ivfLoad]] +
-      * `spark.read.parquet` resume serving without retraining — the
+    /** JSON form of the quantizer. `Double.toString` round-trips every
+      * finite double exactly, so save → load is bit-identical (the same
+      * contract as [[PqIndex.toJson]]).
+      */
+    def toJson: String =
+      clusterCenters.map(_.mkString("[", ",", "]"))
+        .mkString("""{"centroids":[""", ",", "]}")
+
+    /** Persist the coarse quantizer (tiny JSON — cells·dim doubles — on
+      * any Hadoop scheme). With the inverted file written to parquet by
+      * the caller, the whole index survives a driver restart: [[ivfLoad]]
+      * + `spark.read.parquet` resume serving without retraining — the
       * operational shape at billion scale, where the quantizer is a
       * long-lived artifact and retraining per session is days of waste.
       */
-    def save(path: String): Unit = model.write.overwrite().save(path)
+    def save(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Load an IVF coarse quantizer persisted by [[IvfIndex.save]]. */
-  def ivfLoad(path: String): IvfIndex =
-    new IvfIndex(org.apache.spark.ml.clustering.KMeansModel.load(path))
+  def ivfLoad(path: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    import graft.ingest.JVal._
+    graft.ingest.JsonEventParser.mapperRead(body) match {
+      case o: JObj => o.toMap.get("centroids") match {
+        case Some(JArr(cents)) =>
+          new IvfIndex(cents.map {
+            case JArr(xs) => xs.map {
+              case n: JNum => n.text.toDouble
+              case other   => sys.error(s"ivfLoad: expected number, got $other")
+            }.toArray
+            case other => sys.error(s"ivfLoad: expected centroid array, got $other")
+          }.toArray)
+        case _ => sys.error(s"ivfLoad: malformed index JSON at $path")
+      }
+      case _ => sys.error(s"ivfLoad: malformed index JSON at $path")
+    }
+  }
 
   /** Train the IVF coarse quantizer on a bounded sample: k-means is
     * iterative (multiple full passes), so fitting on the whole corpus is
     * the one step that would NOT scale to 100 TB. A ~100k-row seeded
     * sample gives statistically identical centroids; assignment still
     * covers the full corpus in one pass.
+    *
+    * The bounded sample COLLECTS and fits with the same driver-local
+    * seeded [[lloyd]] the PQ codebooks use: the sample is driver-sized by
+    * construction (≤ maxTrainRows low-dim points), while a distributed
+    * iterative fit pays one full scheduler round-trip per iteration plus
+    * a multi-job init for a ≤ tens-of-MB problem — measured on the IVF
+    * bench family (ivf/ivfpq/incremental/semantic_dedup, sf0.1): the
+    * distributed fit's ~15 jobs were the dominant per-query cost, and the
+    * local fit removed them at identical recall certificates. Two jobs
+    * remain: the count and the bounded collect.
     */
   def ivfTrain(corpus: DataFrame, vecCol: String, cells: Int = 16,
                seed: Long = 42L, maxTrainRows: Long = 100000L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val all = corpus
       .where(finiteVec(vecCol)) // unusable vectors train nothing
       // SPHERICAL k-means: train on unit vectors. The index serves COSINE
@@ -243,49 +296,24 @@ object SimilarityFunctions {
       // IVF practice); assign/assignProbes/ivfSearch use the same
       // normalized metric so probe-1 is exactly the assignment cell.
       .select(l2Normalize(col(vecCol).cast("array<double>")).as("_cv"))
-      .withColumn("features", array_to_vector(col("_cv")))
     val n = all.count()
-    // Degenerate corpora must yield a SERVABLE index, not a crash:
-    // Spark ML's KMeans needs k >= 2 and at least as many points, so a
-    // corpus with < 2 usable vectors is padded to two distinct synthetic
-    // points (one real vector at most exists to assign or probe, so the
+    val sampleDf = if (n <= maxTrainRows) all
+                   else all.sample(withReplacement = false,
+                          maxTrainRows.toDouble / n, seed)
+    // bounded collect (≤ maxTrainRows rows) — the only driver-side data
+    val sample = sampleDf.collect().map(_.getSeq[Double](0).toArray)
+    // Degenerate corpora must yield a SERVABLE index, not a crash: a
+    // corpus with < 2 usable vectors pads to two distinct synthetic
+    // points (at most one real vector exists to assign or probe, so the
     // padded centroids never influence a result), and a corpus smaller
-    // than `cells` trains one cell per point.
-    val spark = corpus.sparkSession
-    val (train, kEff) =
-      if (n >= 2) {
-        val t = if (n <= maxTrainRows) all
-                else all.sample(withReplacement = false,
-                       maxTrainRows.toDouble / n, seed)
-        (t, math.min(cells, n).toInt)
-      } else if (n == 1) {
+    // than `cells` trains one cell per point ([[lloyd]] shrinks k).
+    val points =
+      if (sample.length >= 2) sample
+      else if (sample.length == 1)
         // the real point plus itself shifted by +1 in every coordinate
-        val shifted = all.select(
-          transform(col("_cv"), x => x + lit(1.0)).as("_cv"))
-          .withColumn("features", array_to_vector(col("_cv")))
-        (all.unionByName(shifted), 2)
-      } else {
-        import spark.implicits._
-        (Seq(Tuple1(org.apache.spark.ml.linalg.Vectors.dense(0.0)),
-             Tuple1(org.apache.spark.ml.linalg.Vectors.dense(1.0)))
-          .toDF("features"), 2)
-      }
-    // k-means is iterative: an uncached input re-runs the scan + the
-    // (interpreted) normalize lineage EVERY iteration. The train sample
-    // is bounded (≤ maxTrainRows), so pin it for the fit.
-    val cached = train.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // A COARSE quantizer needs cell geometry, not convergence to the last
-    // ulp — nProbe absorbs boundary fuzz. Every iteration is one full
-    // Spark job over the sample (driver round-trip dominated at bench
-    // scale, a real pass at 100k rows), and on unit-sphere data with weak
-    // cluster structure the default (maxIter 20, tol 1e-4) runs ALL 20:
-    // measured 7.3 s of a 2k-row fit. 10 iterations at a looser tol gives
-    // indistinguishable recall (certificates pin it) at half the jobs.
-    try new IvfIndex(new KMeans().setK(kEff).setSeed(seed)
-      .setMaxIter(10).setTol(1e-3)
-      .setFeaturesCol("features").fit(cached))
-    finally { cached.unpersist(false); () }
+        Array(sample(0), sample(0).map(_ + 1.0))
+      else Array(Array(0.0), Array(1.0))
+    new IvfIndex(lloydPP(points, math.min(cells, points.length), seed))
   }
 
   /** Query an IVF index: each query ranks the (broadcast) centroids, keeps
@@ -510,40 +538,130 @@ object SimilarityFunctions {
     */
   private def lloyd(points: Array[Array[Double]], kAsked: Int, seed: Long,
                     iters: Int = 15): Array[Array[Double]] = {
-    require(points.nonEmpty, "lloyd: no training points")
     // a sample smaller than the codebook trains one centroid per point —
     // the codebook shrinks rather than the fit crashing (tiny corpora)
     val k = math.min(kAsked, points.length)
     val rnd = new java.util.Random(seed)
     val order = rnd.ints(0, points.length).distinct().limit(k).toArray
+    lloydIterate(points, order.map(i => points(i).clone()), iters)
+  }
+
+  /** Seeded kmeans++ init (Arthur & Vassilvitskii, SODA'07) + the same
+    * Lloyd's iterations — the IVF coarse quantizer's fit. Uniform random
+    * init is fine for the PQ codebooks (tiny subspaces, k=16, recall
+    * floors hold), but the full-dim cell geometry is sensitive to it:
+    * random-point init measured below the ann_ivf_incremental recall
+    * floor on a 250-vector training half, where the d²-proportional
+    * spread recovers it (the reason Spark ML defaults to k-means‖ — this
+    * is its sequential driver-local form). The d² table updates
+    * incrementally (one distance per point per NEW centroid), so init is
+    * one Lloyd-iteration-equivalent of work, sequential and seeded —
+    * deterministic.
+    */
+  private def lloydPP(points: Array[Array[Double]], kAsked: Int, seed: Long,
+                      iters: Int = 15): Array[Array[Double]] = {
+    require(points.nonEmpty, "lloydPP: no training points")
+    val k = math.min(kAsked, points.length)
+    val rnd = new java.util.Random(seed)
+    val n = points.length
     val dim = points(0).length
-    val cents = order.map(i => points(i).clone())
-    val assign = new Array[Int](points.length)
+    val cents = new Array[Array[Double]](k)
+    cents(0) = points(rnd.nextInt(n)).clone()
+    val d2 = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      var d = 0.0; var x = 0
+      while (x < dim) { val t = points(p)(x) - cents(0)(x); d += t * t; x += 1 }
+      d2(p) = d; p += 1
+    }
+    var c = 1
+    while (c < k) {
+      var sum = 0.0
+      p = 0
+      while (p < n) { sum += d2(p); p += 1 }
+      val pick =
+        if (sum <= 0.0 || !java.lang.Double.isFinite(sum)) rnd.nextInt(n)
+        else {
+          val r = rnd.nextDouble() * sum
+          var acc = 0.0; var i = 0; var chosen = n - 1
+          while (i < n) {
+            acc += d2(i)
+            if (acc >= r) { chosen = i; i = n } else i += 1
+          }
+          chosen
+        }
+      cents(c) = points(pick).clone()
+      p = 0
+      while (p < n) { // incremental d² update: distance to the NEW centroid
+        var d = 0.0; var x = 0
+        while (x < dim) { val t = points(p)(x) - cents(c)(x); d += t * t; x += 1 }
+        if (d < d2(p)) d2(p) = d
+        p += 1
+      }
+      c += 1
+    }
+    lloydIterate(points, cents, iters)
+  }
+
+  private def lloydIterate(points: Array[Array[Double]],
+                           cents: Array[Array[Double]],
+                           iters: Int): Array[Array[Double]] = {
+    val k = cents.length
+    val dim = points(0).length
+    // Assignment + partial sums run per FIXED-SIZE CHUNK, chunks in
+    // parallel across the driver's cores, partials combined in chunk-index
+    // order. Determinism is the point of the chunking: float addition is
+    // non-associative, so an unordered parallel sum would make the fit
+    // irreproducible across runs — fixed chunk boundaries + a fixed
+    // combine order give the same centroids regardless of thread
+    // scheduling. A single chunk (≤ 8192 points — every PQ subspace fit
+    // at bench scale) accumulates in exactly the historical sequential
+    // order, so small fits stay bit-identical to the pre-parallel code;
+    // the parallelism matters for the full-dim IVF fit, where a 100k-point
+    // × high-cell-count assignment is the cost of the whole train.
+    val chunkSize = 8192
+    val nChunks = (points.length + chunkSize - 1) / chunkSize
     var it = 0
     while (it < iters) {
-      var p = 0
-      while (p < points.length) { // nearest centroid, first index on ties
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < k) {
-          var d = 0.0; var x = 0
-          while (x < dim) { val t = points(p)(x) - cents(j)(x); d += t * t; x += 1 }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
+      val partials = new Array[(Array[Array[Double]], Array[Int])](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val lo = ci * chunkSize
+        val hi = math.min(lo + chunkSize, points.length)
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        var p = lo
+        while (p < hi) { // nearest centroid, first index on ties
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < k) {
+            var d = 0.0; var x = 0
+            while (x < dim) { val t = points(p)(x) - cents(j)(x); d += t * t; x += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var x = 0
+          while (x < dim) { sums(best)(x) += points(p)(x); x += 1 }
+          p += 1
         }
-        assign(p) = best; p += 1
+        partials(ci) = (sums, counts)
       }
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      p = 0
-      while (p < points.length) {
-        val a = assign(p); counts(a) += 1
-        var x = 0
-        while (x < dim) { sums(a)(x) += points(p)(x); x += 1 }
-        p += 1
+      var ci = 0
+      while (ci < nChunks) { // combine in chunk order — deterministic
+        val (cs, cc) = partials(ci)
+        var j = 0
+        while (j < k) {
+          counts(j) += cc(j)
+          var x = 0
+          while (x < dim) { sums(j)(x) += cs(j)(x); x += 1 }
+          j += 1
+        }
+        ci += 1
       }
       var j = 0
       while (j < k) {
-        if (counts(j) > 0) {
+        if (counts(j) > 0) { // empty clusters keep their previous centroid
           var x = 0
           while (x < dim) { cents(j)(x) = sums(j)(x) / counts(j); x += 1 }
         }
@@ -845,15 +963,9 @@ object SimilarityFunctions {
     */
   def quantizationErrorBp(index: IvfIndex, df: DataFrame,
                           vecCol: String): Long = {
-    val nv = l2Normalize(col(vecCol).cast("array<double>"))
-    val dists = array(index.model.clusterCenters.map { v =>
-      val cent = typedlit(v.toArray.toSeq)
-      aggregate(zip_with(col("_nv"), cent, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
-    }: _*)
     val r = df.where(finiteVec(vecCol))
-      .select(nv.as("_nv"))
-      .select(array_min(dists).as("_d2"))
+      .select(expressions.IvfExpressions.ivf_nearest_d2(
+        col(vecCol).cast("array<double>"), index.clusterCenters).as("_d2"))
       .agg(avg(col("_d2"))).head()
     if (r.isNullAt(0)) 0L else math.floor(r.getDouble(0) * 10000).toLong
   }

@@ -881,6 +881,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.9, s"mixed-magnitude recall $recall — cells split by norm?")
   }
 
+  test("ivf native cell ranking is bit-identical to the composed form") {
+    import spark.implicits._
+    // the native IvfKernel replaced the interpreted higher-order ranking
+    // in the assignment hot path — same normalization, same left-to-right
+    // distance sums, same smallest-cell tie rule; pin on the real corpus
+    // plus adversarial edges (zero vector, duplicate points → exact ties)
+    val emb = sf("embeddings")
+    val edges = Seq(
+      (100001L, Seq.fill(64)(0.0f)),             // zero norm: stays raw
+      (100002L, Seq.fill(64)(1.0f)),             // duplicate pair: every
+      (100003L, Seq.fill(64)(1.0f))              //   centroid d2 ties
+    ).toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(edges)
+    val index = SimilarityFunctions.ivfTrain(corpus, "embedding", cells = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("_cell"))).toSeq.sorted
+    val native = rows(index.assignProbes(corpus, "vec_id", "embedding", 3))
+    val composed = rows(index.assignProbesComposed(corpus, "vec_id", "embedding", 3))
+    assert(native == composed)
+    // probe-1 of the ranking IS the assignment cell
+    val a1 = rows(index.assign(corpus, "vec_id", "embedding"))
+    val p1 = rows(index.assignProbes(corpus, "vec_id", "embedding", 1))
+    assert(a1 == p1)
+  }
+
   test("ivf train-once/search-many equals the one-shot path, index reusable") {
     val emb = sf("embeddings")
     // the scale shape: train once, assign once (→ storage), search many

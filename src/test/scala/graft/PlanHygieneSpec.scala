@@ -284,6 +284,29 @@ class PlanHygieneSpec extends SparkSpec {
       s"z-order shuffle is not a range partitioning:\n${exchanges.head}")
   }
 
+  test("ivf assignment runs the native kernel, never the interpreted HOF ranking") {
+    // the r11 regression this pins: replacing the compiled assignment with
+    // aggregate(zip_with(...))/array_sort structs measured 2.6× SLOWER on
+    // the assign-heavy queries — interpreted higher-order functions have
+    // no place in a full-corpus pass
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val index = graft.functions.SimilarityFunctions.ivfTrain(
+      emb, "embedding", cells = 8)
+    for (df <- Seq(index.assign(emb, "vec_id", "embedding"),
+                   index.assignProbes(emb, "vec_id", "embedding", 2))) {
+      val p = df.queryExecution.explainString(SimpleMode)
+      assert(p.toLowerCase.contains("ivfrankcells"), s"native kernel missing:\n$p")
+      assert(!p.contains("array_sort") && !p.contains("zip_with"),
+        s"interpreted HOF ranking back in the assignment path:\n$p")
+      // the `*(n)` prefix is the WholeStageCodegen marker in plan toString
+      val ex = df.queryExecution.executedPlan.toString
+      val kernelLine = ex.linesIterator.find(_.contains("ivfrankcells"))
+        .getOrElse("")
+      assert(kernelLine.trim.stripPrefix("+- ").startsWith("*("),
+        s"assignment fell out of codegen:\n$ex")
+    }
+  }
+
   test("manifest-pruned read plans as a bare scan — no shuffle, no join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
