@@ -237,6 +237,38 @@ object StressBench {
         s"IVF-PQ recall collapsed at factor=$factor: $hits/$nExact")
     }
 
+    if (want("ivffit")) {
+      // ---- the r11 driver-local IVF fit at its design ceiling: a FULL
+      // 100k-point sample (the maxTrainRows bound — what a 100 TB corpus
+      // actually trains on) at production-shaped cell counts. The fit is
+      // kmeans++ init + 15 chunked-parallel Lloyd's iterations on the
+      // driver — this section pins its wall time so the "driver-sized by
+      // construction" claim stays measured, not argued, and scales the
+      // cell count an order of magnitude past the bench queries' 8-16.
+      import graft.functions.SimilarityFunctions
+      val dim = 64
+      val trainN = 100000L
+      val vecs = spark.range(trainN).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(hash(col("id") * lit(dim) + i), lit(2000)) - 1000)
+            .cast("double") / 1000.0).as("embedding"))
+        .localCheckpoint(true)
+      for (cells <- Seq(256, 1024)) {
+        val idx = timed(s"ivffit_${cells}c_sec") {
+          SimilarityFunctions.ivfTrain(vecs, "embedding", cells = cells,
+            maxTrainRows = trainN)
+        }
+        // assignment throughput through the native kernel at the same
+        // cell count — the per-corpus-row cost of building the inverted
+        // file (rows/s recorded; the kernel is O(cells·dim) per row)
+        val assigned = timed(s"ivfassign_${cells}c_sec") {
+          idx.assign(vecs, "vec_id", "embedding").count()
+        }
+        require(assigned == trainN, s"assign lost rows: $assigned")
+      }
+      out("ivffit_rows") = trainN.toString
+    }
+
     if (want("bloom")) {
       // ---- Bloom incremental: 10× batch vs original corpus (exact matches
       // = the verbatim copy-0 docs; boilerplate originals differ)

@@ -568,16 +568,24 @@ object SimilarityFunctions {
     val cents = new Array[Array[Double]](k)
     cents(0) = points(rnd.nextInt(n)).clone()
     val d2 = new Array[Double](n)
-    var p = 0
-    while (p < n) {
-      var d = 0.0; var x = 0
-      while (x < dim) { val t = points(p)(x) - cents(0)(x); d += t * t; x += 1 }
-      d2(p) = d; p += 1
-    }
+    // the per-point d² updates are embarrassingly parallel AND exact to
+    // parallelize: each slot is written independently with no floating-
+    // point reduction, so thread scheduling cannot change a single value
+    // (unlike the Lloyd sums, which need the chunked ordered combine);
+    // only the tiny sampling walk below stays sequential — it reads the
+    // seeded RNG
+    def updateD2(cent: Array[Double]): Unit =
+      java.util.stream.IntStream.range(0, n).parallel().forEach { p =>
+        var d = 0.0; var x = 0
+        while (x < dim) { val t = points(p)(x) - cent(x); d += t * t; x += 1 }
+        if (d < d2(p)) d2(p) = d
+      }
+    java.util.Arrays.fill(d2, Double.MaxValue)
+    updateD2(cents(0))
     var c = 1
     while (c < k) {
       var sum = 0.0
-      p = 0
+      var p = 0
       while (p < n) { sum += d2(p); p += 1 }
       val pick =
         if (sum <= 0.0 || !java.lang.Double.isFinite(sum)) rnd.nextInt(n)
@@ -591,13 +599,7 @@ object SimilarityFunctions {
           chosen
         }
       cents(c) = points(pick).clone()
-      p = 0
-      while (p < n) { // incremental d² update: distance to the NEW centroid
-        var d = 0.0; var x = 0
-        while (x < dim) { val t = points(p)(x) - cents(c)(x); d += t * t; x += 1 }
-        if (d < d2(p)) d2(p) = d
-        p += 1
-      }
+      updateD2(cents(c))
       c += 1
     }
     lloydIterate(points, cents, iters)
