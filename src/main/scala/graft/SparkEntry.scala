@@ -1721,6 +1721,29 @@ object SparkEntry {
         d.where($"source" === "src5"), "text")
     }),
 
+    // Crawl-to-crawl snapshot diff: the id-keyed delta report a recurring
+    // crawl computes before anything else runs. Two snapshots derive
+    // deterministically from documents — old drops every 7th id, new
+    // drops every 5th and content-revises every 3rd — and diff by the
+    // per-id min-md5 fingerprint: added / removed / changed / unchanged.
+    // pmod on both sides (negative ids); null-id docs drop identically in
+    // both engines (null pmod predicate). The revision coalesces null
+    // text to '' BEFORE appending so a revised null-text doc actually
+    // changes (null || suffix would stay null = unchanged on one side
+    // only if mirrored sloppily — both sides coalesce).
+    "corpus_diff" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text")
+      val oldSnap = d.where(pmod($"doc_id", lit(7)) =!= 0)
+      val newSnap = d.where(pmod($"doc_id", lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod($"doc_id", lit(3)) === 0,
+            concat(coalesce($"text", lit("")), lit(" rev2")))
+            .otherwise($"text"))
+      graft.operators.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Winnowing near-dup pairs: docs sharing ≥2 winnowed fingerprints —
     // passage-level overlap detection (guaranteed hit for shared
     // passages of ≥ w+2 tokens), the minhash-pairs join shape.
@@ -3540,6 +3563,29 @@ object SparkEntry {
          |       sum(tc.tn)::BIGINT AS t_tokens,
          |       sum(tc.tn * w.w_unats)::BIGINT AS kl_unats_sum
          |FROM tc JOIN w USING (bucket)""".stripMargin,
+
+    // snapshot-diff replay: the same derived snapshots (pmod filters +
+    // the coalesce-then-append revision), per-id min-md5 fingerprints,
+    // one full outer join — presence decides added/removed, fingerprint
+    // equality decides changed/unchanged (fp is never null for a present
+    // id: md5 over coalesced text)
+    "corpus_diff" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |o AS (SELECT doc_id, min(md5(coalesce(text, ''))) AS old_fp
+        |      FROM d WHERE ((doc_id % 7) + 7) % 7 <> 0 GROUP BY doc_id),
+        |n AS (SELECT doc_id, min(md5(coalesce(t, ''))) AS new_fp FROM (
+        |        SELECT doc_id,
+        |          CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+        |               THEN coalesce(text, '') || ' rev2' ELSE text END AS t
+        |        FROM d WHERE ((doc_id % 5) + 5) % 5 <> 0) GROUP BY doc_id)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_fp = n.new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_fp, n.new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
 
     // DSIR replay: hashed-unigram bucket counts for target (src5) and raw
     // (all), one ln per bucket of the exact integer ratio, micro-nat

@@ -625,4 +625,64 @@ class CurationOpsSpec extends SparkSpec {
       .orderBy($"doc_id").collect().toSeq
     assert(once === repart)
   }
+
+  // ------------------------------------------------------- corpus diff
+
+  test("corpus diff: added/removed/changed/unchanged by id-keyed fingerprint") {
+    import graft.operators.CorpusDiff
+    val old = Seq(
+      (Some(1L), Some("alpha")),   // unchanged
+      (Some(2L), Some("beta")),    // changed
+      (Some(3L), Some("gamma")),   // removed
+      (Some(4L), None: Option[String]), // null text ≡ '' — unchanged vs ""
+      (Some(5L), Some("dup a")),   // dup id: min-fp contract
+      (Some(5L), Some("dup b")),
+      (None, Some("ghost-old"))    // null id: never pairs → removed
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (Some(1L), Some("alpha")),
+      (Some(2L), Some("beta v2")),
+      (Some(4L), Some("")),
+      (Some(5L), Some("dup a")),   // min over {dup a} vs {dup a, dup b}
+      (Some(6L), Some("delta")),   // added
+      (None, Some("ghost-new"))    // null id → added
+    ).toDF("doc_id", "text")
+    val byId = CorpusDiff.diff(old, neu, "doc_id", "text")
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq
+    def statusOf(id: Long) = byId.collect { case (Some(i), s) if i == id => s }
+    assert(statusOf(1L) == Seq("unchanged"))
+    assert(statusOf(2L) == Seq("changed"))
+    assert(statusOf(3L) == Seq("removed"))
+    assert(statusOf(4L) == Seq("unchanged"), "null text must fingerprint like ''")
+    // dup-id snapshot: min fp on each side — old min(md5(dup a), md5(dup b))
+    // vs new md5(dup a); deterministic either way, and min decides (the
+    // expectation computes through the engine so it tracks the contract)
+    val minOld = old.where($"doc_id" === 5L)
+      .select(min(md5(coalesce($"text", lit(""))))).head().getString(0)
+    val minNew = neu.where($"doc_id" === 5L)
+      .select(min(md5(coalesce($"text", lit(""))))).head().getString(0)
+    assert(statusOf(5L) == Seq(if (minOld == minNew) "unchanged" else "changed"))
+    assert(statusOf(6L) == Seq("added"))
+    // the two null-id groups never pair: one removed + one added
+    val nullStatuses = byId.collect { case (None, s) => s }.sorted
+    assert(nullStatuses == Seq("added", "removed"))
+
+    val counts = CorpusDiff.summary(old, neu, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("added") == 2 && counts("removed") == 2)
+    assert(counts("changed") + counts("unchanged") == 4)
+  }
+
+  test("corpus diff is partition-independent") {
+    import graft.operators.CorpusDiff
+    val old = Seq.tabulate(40)(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val neu = Seq.tabulate(40)(i =>
+      ((i + 10).toLong, if (i % 4 == 0) s"text ${i + 10} rev" else s"text ${i + 10}"))
+      .toDF("doc_id", "text")
+    val a = CorpusDiff.diff(old, neu, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val b = CorpusDiff.diff(old.repartition(7), neu.repartition(3), "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
