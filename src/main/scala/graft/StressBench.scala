@@ -269,6 +269,61 @@ object StressBench {
       out("ivffit_rows") = trainN.toString
     }
 
+    if (want("ivfcrawl")) {
+      // ---- the incremental-ANN lifecycle an octave up: 10 nightly crawls
+      // × 100k vectors append to ONE batch-keyed inverted file against a
+      // quantizer trained once on crawl 0; later crawls drift (a growing
+      // per-coordinate shift) so the retrain trigger has something to
+      // flag. Pins: per-crawl append cost FLAT (each crawl pays only its
+      // own map pass + write — crawl 9 must not cost more than crawl 0),
+      // search over the 1M-row grown index, and the drift signal rising
+      // monotonically while searches stay correct.
+      import graft.functions.SimilarityFunctions
+      val dim = 64
+      val perCrawl = 100000L
+      val crawls = 10
+      def crawl(b: Int) = spark.range(b * perCrawl, (b + 1) * perCrawl)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => (pmod(hash(col("id") * lit(dim) + i), lit(2000)) - 1000)
+              .cast("double") / 1000.0 + lit(b * 0.05)).as("embedding"))
+      val idx = timed("ivfcrawl_train_sec") {
+        SimilarityFunctions.ivfTrain(crawl(0), "embedding", cells = 256,
+          maxTrainRows = perCrawl)
+      }
+      val inv = s"$tmp/ivfcrawl_inv"
+      var firstSec = 0.0; var lastSec = 0.0
+      val totalT0 = System.nanoTime()
+      (0 until crawls).foreach { b =>
+        val t0 = System.nanoTime()
+        SimilarityFunctions.ivfAppendBatch(idx, inv, crawl(b),
+          "vec_id", "embedding", b.toLong)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (b == 0) firstSec = sec
+        if (b == crawls - 1) lastSec = sec
+      }
+      out("ivfcrawl_appends_total_sec") =
+        f"${(System.nanoTime() - totalT0) / 1e9}%.2f"
+      out("ivfcrawl_append_first_sec") = f"$firstSec%.2f"
+      out("ivfcrawl_append_last_sec") = f"$lastSec%.2f"
+      val invDf = spark.read.parquet(inv)
+      out("ivfcrawl_rows") = invDf.count().toString
+      val queries = crawl(0).where(col("vec_id") < 20).localCheckpoint(true)
+      val found = timed("ivfcrawl_search_sec") {
+        SimilarityFunctions.ivfSearch(invDf, queries, idx,
+          "vec_id", "embedding", 10, nProbe = 8).count()
+      }
+      require(found == 200, s"grown-index search returned $found of 200")
+      // the retrain trigger: quantization error of each crawl against the
+      // crawl-0 quantizer — must RISE with the planted drift
+      val drift0 = SimilarityFunctions.quantizationErrorBp(idx, crawl(0), "embedding")
+      val drift9 = SimilarityFunctions.quantizationErrorBp(idx, crawl(crawls - 1), "embedding")
+      out("ivfcrawl_drift_bp_crawl0") = drift0.toString
+      out("ivfcrawl_drift_bp_crawl9") = drift9.toString
+      require(drift9 > drift0,
+        s"drift signal failed to rise: $drift0 -> $drift9")
+    }
+
     if (want("bloom")) {
       // ---- Bloom incremental: 10× batch vs original corpus (exact matches
       // = the verbatim copy-0 docs; boilerplate originals differ)
