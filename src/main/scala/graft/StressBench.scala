@@ -618,7 +618,8 @@ object StressBench {
         maxRecordsPerFile = 1) // 1 row per file → 30k files from 32 tasks
       val big = CollectionId("p", "big")
       val small = CollectionId("p", "small")
-      val bigFiles = 30000L
+      // 30k default; SPARK_GRAFT_STRESS_FILES=100000 for the next octave
+      val bigFiles = sys.env.getOrElse("SPARK_GRAFT_STRESS_FILES", "30000").toLong
       timed("statsshard_write_sec") {
         sink.insertBatch(big,
           spark.range(bigFiles).select(col("id").as("x"), (col("id") * 3).as("v"))
