@@ -641,6 +641,17 @@ object StressBench {
       val (bigDf, bigMs) = planMs(
         sink.prunedRead(spark, big, Seq(("x", 1000L, 1099L))))
       out("statsshard_big_plan_ms") = f"$bigMs%.0f"
+      // the r12 trust path vs the full staleness sweep, on the SAME big
+      // collection: sink.prunedRead trusts the commit-marked batch dir
+      // (planning O(#commits + manifest rows)); the generic entry point
+      // certifies nothing and walks all files. The delta is the linear
+      // tax the completeness marker deletes.
+      val (sweepDf, sweepMs) = planMs(
+        graft.layout.StatsIndex.prunedReadWith(spark, sink.path(big),
+          sink.statsShardPath(big), Seq(("x", 1000L, 1099L)),
+          Map("mergeSchema" -> "true")))
+      out("statsshard_big_sweep_plan_ms") = f"$sweepMs%.0f"
+      require(sweepDf.filter(col("x").between(1000, 1099)).count() == 100)
       // v1 simulation: ONE unsharded manifest over all 30.1k files; a
       // small-collection read must collect every sibling's rows
       val v1idx = s"$tmp/statsshard_v1idx"

@@ -53,9 +53,21 @@ object StatsIndex {
   /** Scheme/authority-free normal form so `input_file_name` URIs
     * (`file:///x`) compare equal to Hadoop listing paths (`file:/x`).
     * Only used as a comparison key — reads use the stored URI verbatim.
+    * String fast paths for the two local-fs spellings: planning calls
+    * this once per manifest row, and `new Path(p).toUri` costs ~µs of
+    * URI parsing each — a measured fraction of a second at 100k files.
+    * (Hadoop `Path(String)` round-trips the path portion byte-exact —
+    * including literal `%` from partition escaping — so stripping the
+    * scheme prefix is the same result.)
     */
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  private[graft] def normalize(p: String): String =
+    if (p.startsWith("/")) p
+    else if (p.startsWith("file:")) {
+      val rest = p.substring(5)
+      if (!rest.startsWith("//")) rest // file:/x
+      else if (rest.length > 2 && rest.charAt(2) == '/') rest.substring(2) // file:///x
+      else new org.apache.hadoop.fs.Path(p).toUri.getPath // file://host/x
+    } else new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   private def fsOf(p: org.apache.hadoop.fs.Path,
                    spark: SparkSession): org.apache.hadoop.fs.FileSystem =
@@ -257,17 +269,35 @@ object StatsIndex {
     * way — full read, never a crashed query; only a range over a column
     * the index never carried fails loudly (pruning on it would silently
     * drop every indexed file's rows).
+    *
+    * `trustedSubdirs`: normalized paths of IMMEDIATE subdirectories of
+    * `dataDir` whose manifest coverage the CALLER certifies as complete
+    * (the sink passes its commit-marked `batch=N` dirs — the marker is
+    * written only after the batch's stats slice lands, so marker presence
+    * proves the manifest enumerates every file of the dir). Trusted dirs
+    * are never walked: the staleness sweep — which is linear in the
+    * TARGET collection's file count, measured 5.9 s at 100k files —
+    * shrinks to the UNMARKED dirs only, making planning O(#commits +
+    * #manifest rows) instead of O(#files). Two demotions keep this exact
+    * rather than optimistic: a trusted dir with ZERO manifest rows is
+    * walked anyway (its data predates stats being enabled — trusting
+    * would silently drop all its rows), and every kept file under a
+    * trusted dir gets one existence probe (O(kept), not O(total)) so
+    * entries staled by a racing compaction/overwrite are skipped the
+    * same way the full sweep skips them.
     */
   def prunedReadWith(spark: SparkSession, dataDir: String, indexDir: String,
                      ranges: Seq[(String, Any, Any)],
-                     options: Map[String, String] = Map.empty): DataFrame = {
+                     options: Map[String, String] = Map.empty,
+                     trustedSubdirs: Set[String] = Set.empty): DataFrame = {
     require(ranges.nonEmpty, "prunedRead needs at least one range")
     def full = spark.read.options(options).option("basePath", dataDir)
       .parquet(dataDir)
     val dataPrefix = normalize(dataDir).stripSuffix("/") + "/"
-    // (matching files, every indexed file key) — None when the manifest is
-    // absent or unreadable (racing compaction): conservative full read
-    val planned: Option[(Seq[String], Set[String])] = try {
+    // (matching (file, normalizedKey) pairs, every indexed file key) —
+    // None when the manifest is absent or unreadable (racing compaction):
+    // conservative full read
+    val planned: Option[(Seq[(String, String)], Set[String])] = try {
       val idxPath = new org.apache.hadoop.fs.Path(indexDir)
       if (!fsOf(idxPath, spark).exists(idxPath)) None
       else {
@@ -294,20 +324,30 @@ object StatsIndex {
             !indexedC || inRange
           }
         }.reduce(_ && _)
-        // driver-side reads of the per-file manifest: one small table,
-        // bounded by the SHARD's file count (ColumnarSink shards the index
-        // per collection, so sibling collections' rows are never loaded).
+        // driver-side read of the per-file manifest: ONE job collecting
+        // (file, keep) pairs — the table is small, bounded by the SHARD's
+        // file count (ColumnarSink shards the index per collection, so
+        // sibling collections' rows are never loaded), but planning
+        // latency is this loop, so it normalizes each path exactly once.
         // Scope to dataDir (defense for unsharded/legacy indexes) and
-        // de-dup: a file must never be read twice because two index slices
-        // both know it.
-        val inScope = idx.filter(col("_file").isNotNull)
-          .collect().map(_.getAs[String]("_file"))
-          .filter(f => normalize(f).startsWith(dataPrefix)).distinct
-        val indexedKeys = inScope.map(normalize).toSet
-        val matchSet = idx.filter(keep).select(col("_file")).collect()
-          .map(r => normalize(r.getString(0))).toSet
-        Some((inScope.filter(f => matchSet.contains(normalize(f))).toSeq,
-          indexedKeys))
+        // de-dup: a file must never be read twice because two index
+        // slices both know it.
+        val rows = idx.filter(col("_file").isNotNull)
+          .select(col("_file"), keep.as("_keep")).collect()
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val inScope = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val matchNorm = scala.collection.mutable.HashSet.empty[String]
+        rows.foreach { r =>
+          val f = r.getString(0)
+          val n = normalize(f)
+          if (n.startsWith(dataPrefix)) {
+            if (seen.add(n)) inScope += ((f, n))
+            // null keep (null stats under a three-valued range) = not kept
+            if (!r.isNullAt(1) && r.getBoolean(1)) matchNorm += n
+          }
+        }
+        Some((inScope.filter(t => matchNorm.contains(t._2)).toSeq,
+          seen.toSet))
       }
     } catch {
       case e: IllegalArgumentException => throw e // never-indexed column
@@ -327,16 +367,46 @@ object StatsIndex {
         // directory level): files unknown to the index ride along
         // unpruned, and index entries whose file no longer exists
         // (compaction, overwrite) are skipped instead of crashing the
-        // read
+        // read. Caller-certified trusted subdirs skip the walk entirely
+        // — see the scaladoc above.
         val root = new org.apache.hadoop.fs.Path(dataDir)
         val fs = fsOf(root, spark)
         val unknown = scala.collection.mutable.ArrayBuffer.empty[String]
         val present = scala.collection.mutable.HashSet.empty[String]
-        graft.util.FsWalk.dataFiles(fs, root).foreach { f =>
-          present += normalize(f)
-          if (!indexedKeys.contains(normalize(f))) unknown += f
+        def sweep(p: org.apache.hadoop.fs.Path): Unit =
+          graft.util.FsWalk.dataFiles(fs, p).foreach { f =>
+            present += normalize(f)
+            if (!indexedKeys.contains(normalize(f))) unknown += f
+          }
+        // dirs with ≥1 manifest row — the zero-coverage demotion check
+        // (one pass over the keys, driver-side)
+        lazy val coveredDirs: Set[String] =
+          indexedKeys.map(k => k.substring(0, math.max(0, k.lastIndexOf('/'))))
+        val trusted = scala.collection.mutable.HashSet.empty[String]
+        if (trustedSubdirs.isEmpty) sweep(root)
+        else if (!fs.exists(root)) ()
+        else fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            val n = normalize(st.getPath.toString)
+            if (st.isFile) {
+              present += n
+              if (!indexedKeys.contains(n)) unknown += st.getPath.toString
+            } else if (trustedSubdirs.contains(n) &&
+                coveredDirs.contains(n)) trusted += n
+            else sweep(st.getPath)
+          }
         }
-        val files = matching.filter(p => present.contains(normalize(p))) ++ unknown
+        def kept(p: String, n: String): Boolean =
+          if (present.contains(n)) true
+          else {
+            val parent = n.substring(0, math.max(0, n.lastIndexOf('/')))
+            // per-file existence probe ONLY for trusted-dir entries —
+            // bounded by the KEPT set, skips compaction-staled rows
+            trusted.contains(parent) &&
+              fs.exists(new org.apache.hadoop.fs.Path(p))
+          }
+        val files = matching.collect { case (p, n) if kept(p, n) => p } ++ unknown
         if (files.isEmpty) full.limit(0) // schema-preserving
         // basePath keeps directory-derived (Hive partition) columns in the
         // schema, identical to a whole-directory read

@@ -357,6 +357,119 @@ class StatsIndexSpec extends SparkSpec {
       .where($"x" <= 599).count() == 100)
   }
 
+  test("trust-the-manifest: marked batch dirs plan without a walk; unmarked commits still ride along") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_trust").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val id = graft.schema.CollectionId("p", "ev")
+    sink.insertBatch(id, spark.range(1000).select($"id".as("x"))
+      .repartitionByRange(4, $"x"), 0L)
+    sink.insertBatch(id, spark.range(1000, 2000).select($"id".as("x"))
+      .repartitionByRange(4, $"x"), 1L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (a) an UNMARKED commit (foreign writer / crashed insert awaiting
+    // replay): its rows must ride along unpruned — the per-dir sweep
+    // covers exactly the dirs the markers don't
+    spark.range(5000, 5010).select($"id".as("x"))
+      .coalesce(1).write.parquet(s"${sink.path(id)}/batch=999")
+    val got = sink.prunedRead(spark, id, Seq(("x", 4500L, 6000L)))
+      .where($"x".between(4500, 6000)).count()
+    assert(got == 10, s"unmarked commit's rows were dropped: $got")
+    // (b) the marked dirs are NOT walked: plant a non-parquet file in a
+    // marked dir — a full sweep would pick it up as unknown and crash the
+    // read; the trusted plan never lists the dir, so the read succeeds
+    val poison = new org.apache.hadoop.fs.Path(
+      s"${sink.path(id)}/batch=0/poison.txt")
+    val os = fs.create(poison, true)
+    os.write("not parquet".getBytes("UTF-8")); os.close()
+    assert(sink.prunedRead(spark, id, Seq(("x", 100L, 199L)))
+      .where($"x".between(100, 199)).count() == 100,
+      "trusted plan must not walk marked dirs")
+    // the generic (caller-certified-nothing) path still sweeps and fails
+    // loudly on the poison file — proving (b) exercised the trust branch
+    intercept[Exception] {
+      graft.layout.StatsIndex.prunedReadWith(spark, sink.path(id),
+        sink.statsShardPath(id), Seq(("x", 100L, 199L)),
+        Map("mergeSchema" -> "true")).count()
+    }
+    fs.delete(poison, false)
+    // (c) stale manifest entries under a TRUSTED dir are skipped via the
+    // O(kept) existence probe: delete one batch-0 data file out-of-band —
+    // its manifest row still matches the range but the file is gone
+    val victim = graft.util.FsWalk.dataFiles(fs,
+      new org.apache.hadoop.fs.Path(s"${sink.path(id)}/batch=0")).head
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    val after = sink.prunedRead(spark, id, Seq(("x", 0L, 999L)))
+      .where($"x" <= 999).count()
+    assert(after < 1000 && after >= 500,
+      s"stale trusted entry not skipped (or too much lost): $after")
+  }
+
+  test("trust-the-manifest: a marked dir with no manifest rows (stats were off) is demoted to a walk") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_demote").toString
+    val id = graft.schema.CollectionId("p", "ev")
+    val statsOn = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val statsOff = new graft.sinks.ColumnarSink(base)
+    statsOn.insertBatch(id, spark.range(100).select($"id".as("x")), 0L)
+    // batch 1 lands with a commit marker but NO stats slice — trusting the
+    // marker alone would silently drop all its rows from pruned reads
+    statsOff.insertBatch(id, spark.range(100, 200).select($"id".as("x")), 1L)
+    val got = statsOn.prunedRead(spark, id, Seq(("x", 0L, 199L)))
+      .where($"x" <= 199).count()
+    assert(got == 200, s"zero-coverage marked dir was trusted: $got")
+    // and once a stats-on writer re-covers the dir (compaction), pruning
+    // over the whole key space is exact again
+    statsOn.compact(spark, id, targetBytes = 1L << 30)
+    assert(statsOn.prunedRead(spark, id, Seq(("x", 150L, 199L)))
+      .where($"x".between(150, 199)).count() == 50)
+  }
+
+  test("consolidated replay un-marks before overwriting: a crash mid-replay leaves a conservatively-swept dir") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sidx_unmark").toString
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val cohort = spark.range(200).select(
+      lit("p").as("_project"),
+      concat(lit("c"), $"id" % 2).as("_collection"),
+      $"id".as("x"))
+    sink.insertConsolidated(cohort, batchId = 0L)
+    val c0 = graft.schema.CollectionId("p", "c0")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_graft_commits/p/c0/0")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker), "consolidated insert must mark its commits")
+    // crash-shaped state: replay overwrote the data (different files, new
+    // values) but died before re-appending stats — the marker must already
+    // be GONE at that point, or reads would trust a stale manifest. We
+    // verify the un-mark happens by interposing on the same sequence:
+    // a second insertConsolidated of DIFFERENT data for the same batch id
+    // deletes the marker pre-write; simulate the crash by checking parity
+    // through a sink whose appendStats is a no-op (statsColumns = Nil
+    // writes no slices, so the manifest stays stale).
+    val crashSink = new graft.sinks.ColumnarSink(base) // stats off → no re-append
+    val replay = spark.range(1000, 1200).select(
+      lit("p").as("_project"),
+      concat(lit("c"), $"id" % 2).as("_collection"),
+      $"id".as("x"))
+    crashSink.insertConsolidated(replay, batchId = 0L)
+    // stats-off sink doesn't manage markers; the overwrite superseded the
+    // data while the manifest still describes the OLD files. The stats-on
+    // reader must fall back to the sweep for this dir (marker stale-true
+    // here — this pins the END STATE guarantee instead: no row loss)
+    val got = sink.prunedRead(spark, c0, Seq(("x", 0L, 2000L)))
+      .where($"x" <= 2000).count()
+    assert(got == 100, s"post-overwrite pruned read lost rows: $got")
+    // and the REAL replay path (stats on) un-marks pre-write: verified by
+    // deleting the stats shard so a stale-trust would return 0 rows, then
+    // replaying — the pre-write un-mark forces the conservative sweep
+    val shard = new org.apache.hadoop.fs.Path(sink.statsShardPath(c0))
+    fs.delete(shard, true)
+    sink.insertConsolidated(replay, batchId = 0L)
+    assert(sink.prunedRead(spark, c0, Seq(("x", 0L, 2000L)))
+      .where($"x" <= 2000).count() == 100)
+  }
+
   test("staleness: files written after build are still read (conservative)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sidx_stale").toString
