@@ -1744,6 +1744,83 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The nightly-crawl refresh, composed end-to-end from the pieces the
+    // rounds built separately: snapshot diff → the added/changed docs
+    // re-enter the pipeline → incremental dedup against the retained
+    // corpus → the survivors' embeddings ivfAppendBatch into the
+    // persisted index → the refreshed index re-certifies recall over the
+    // union and provably contains every indexed newcomer. Each stage is
+    // the scale-shaped operator (one-shuffle diff, fingerprint anti-join,
+    // assignment append); the composition is what a recurring 100 TB
+    // crawl actually runs per night. Changed docs are re-embedded and
+    // re-appended (their superseded rows are what an out-of-band
+    // compaction/retrain pass clears — the append is what's certified).
+    "crawl_refresh_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text")
+      val oldSnap = d.where(pmod($"doc_id", lit(7)) =!= 0)
+      val newSnap = d.where(pmod($"doc_id", lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod($"doc_id", lit(3)) === 0,
+            concat(coalesce($"text", lit("")), lit(" rev2")))
+            .otherwise($"text"))
+      val delta = graft.operators.CorpusDiff.diff(oldSnap, newSnap,
+        "doc_id", "text").cache()
+      val nAdded = delta.where($"status" === "added").count()
+      val nChanged = delta.where($"status" === "changed").count()
+      val freshIds = delta.where($"status".isin("added", "changed"))
+        .select($"doc_id")
+      val freshBatch = newSnap.join(freshIds, Seq("doc_id"))
+      val survivors = DedupFunctions.incrementalDedup(freshBatch, oldSnap,
+        "doc_id", "text").cache()
+      val nSurvivors = survivors.count()
+      val emb = tbl(s, dir, "embeddings")
+        .where(SimilarityFunctions.finiteVec("embedding"))
+      val baseEmb = emb.join(
+        oldSnap.select($"doc_id".as("vec_id")).distinct(), Seq("vec_id"))
+      val incEmb = emb.join(
+        survivors.select($"doc_id".as("vec_id")).distinct(), Seq("vec_id"))
+      val nBase = baseEmb.count()
+      val nIndexed = incEmb.count()
+      val counts = (df: DataFrame) => df
+        .withColumn("n_added", lit(nAdded))
+        .withColumn("n_changed", lit(nChanged))
+        .withColumn("n_survivors", lit(nSurvivors))
+        .withColumn("n_indexed", lit(nIndexed))
+        .withColumn("n_index_total", lit(nBase + nIndexed))
+      if (nBase + nIndexed == 0)
+        counts(Seq((0L, 0L, 5000L, 1L, 1L)).toDF("n_queries", "n_exact",
+          "recall_floor_bp", "recall_ok", "new_in_index"))
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+        val inv = s"$tmp/inv"
+        // bootstrap like ann_ivf_incremental: a snapshot with no indexed
+        // base trains the quantizer on whatever the crawl brings
+        val ivf = SimilarityFunctions.ivfTrain(
+          if (nBase > 0) baseEmb else incEmb, "embedding", cells = 16)
+        SimilarityFunctions.ivfAppendBatch(ivf, inv, baseEmb,
+          "vec_id", "embedding", 0L)
+        if (nIndexed > 0)
+          SimilarityFunctions.ivfAppendBatch(ivf, inv, incEmb,
+            "vec_id", "embedding", 1L)
+        val served = s.read.parquet(inv)
+        // every indexed newcomer is IN the served set (id containment)
+        val missing = incEmb.select($"vec_id".as("neighbor_id")).distinct()
+          .join(served.select($"neighbor_id").distinct(),
+            Seq("neighbor_id"), "left_anti").count()
+        val unionEmb = baseEmb.unionByName(incEmb)
+        val probes = unionEmb.filter($"vec_id" < 20)
+        recallCertificate(
+            SimilarityFunctions.ivfSearch(served, probes, ivf,
+              "vec_id", "embedding", 5, nProbe = 4),
+            SimilarityFunctions.bruteForceTopK(unionEmb, probes,
+              "vec_id", "embedding", 5),
+            recallFloorBp = 5000, unionEmb, probes, "embedding", "vec_id", 5)
+          .transform(counts)
+          .withColumn("new_in_index", lit(if (missing == 0) 1L else 0L))
+      }
+    }),
+
     // Winnowing near-dup pairs: docs sharing ≥2 winnowed fingerprints —
     // passage-level overlap detection (guaranteed hit for shared
     // passages of ≥ w+2 tokens), the minhash-pairs join shape.
@@ -2261,6 +2338,69 @@ object SparkEntry {
             recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
           .withColumn("n_appended", lit(nAppended))
           .withColumn("identical", lit(if (identical) 1L else 0L))
+      }
+    }),
+
+    // The retrain+rebuild act that closes the incremental lifecycle:
+    // build the index as two crawls against a v1 quantizer trained on
+    // HALF the corpus (the drifted-world shape), monitor quantization
+    // error, then ivfRetrain — fresh spherical fit over the union read
+    // from the inverted file itself, one re-assignment pass, atomic dir
+    // swap with the quantizer co-located inside. The certificate proves
+    // the swap end-state: every union row served, swapped file identical
+    // to a fresh rebuild under the new quantizer, co-located quantizer
+    // round-trips, and post-retrain search recall over the union holds
+    // the same floor as ann_ivf_topk.
+    "ann_ivf_retrain" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val usable = emb.where(SimilarityFunctions.finiteVec("embedding"))
+      if (usable.isEmpty)
+        Seq((0L, 0L, 5000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
+          "recall_floor_bp", "recall_ok", "n_union", "served_all",
+          "swap_identity", "quantizer_roundtrip")
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfret").toString
+        val inv = s"$tmp/inv"
+        val old = usable.filter($"vec_id" % 2 === 0)
+        val freshHalf = usable.filter($"vec_id" % 2 =!= 0)
+        val oldNonEmpty = !old.isEmpty
+        val base = if (oldNonEmpty) old else freshHalf
+        val inc = if (oldNonEmpty) freshHalf else old
+        val v1 = SimilarityFunctions.ivfTrain(base, "embedding", cells = 16)
+        SimilarityFunctions.ivfAppendBatch(v1, inv, base,
+          "vec_id", "embedding", 0L)
+        if (inc.count() > 0)
+          SimilarityFunctions.ivfAppendBatch(v1, inv, inc,
+            "vec_id", "embedding", 1L)
+        // the monitor reads the signal (not asserted — data-dependent);
+        // the retrain is unconditional here so the certificate always
+        // exercises the swap
+        SimilarityFunctions.quantizationErrorBp(v1, usable, "embedding")
+        val next = SimilarityFunctions.ivfRetrain(s, inv, cells = 16)
+        val swapped = s.read.parquet(inv)
+        val nUnion = usable.count()
+        val servedAll = swapped.count() == nUnion
+        val rebuilt = next.assign(usable, "vec_id", "embedding")
+        val swapCols = Seq("neighbor_id", "_cell", "_cv").map(col)
+        val a = swapped.select(swapCols: _*)
+        val b = rebuilt.select(swapCols: _*)
+        val identity = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        val reloaded = SimilarityFunctions.ivfLoad(
+          SimilarityFunctions.ivfQuantizerPath(inv))
+        val roundtrip = reloaded.clusterCenters.map(_.toSeq).toSeq ==
+          next.clusterCenters.map(_.toSeq).toSeq
+        val probes = emb.filter($"vec_id" < 20)
+        recallCertificate(
+            SimilarityFunctions.ivfSearch(swapped, probes, next,
+              "vec_id", "embedding", 5, nProbe = 4),
+            SimilarityFunctions.bruteForceTopK(emb, probes,
+              "vec_id", "embedding", 5),
+            recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
+          .withColumn("n_union", lit(nUnion))
+          .withColumn("served_all", lit(if (servedAll) 1L else 0L))
+          .withColumn("swap_identity", lit(if (identity) 1L else 0L))
+          .withColumn("quantizer_roundtrip", lit(if (roundtrip) 1L else 0L))
       }
     }),
 
@@ -3587,6 +3727,59 @@ object SparkEntry {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY 1""".stripMargin,
 
+    // crawl_refresh_e2e: the composed pipeline's deterministic facts —
+    // the diff counts (corpus_diff CTEs), the dedup survivor count
+    // (dedup_incremental CTEs against the old snapshot as corpus), the
+    // indexed-increment and total index sizes (femb joins on the id),
+    // and the ANN certificate counts; recall_ok and new-doc containment
+    // are contract flags the Spark side proves (tie-aware recall vs
+    // brute force, anti-join emptiness).
+    "crawl_refresh_e2e" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |o AS (SELECT * FROM d WHERE ((doc_id % 7) + 7) % 7 <> 0),
+         |ns AS (SELECT doc_id,
+         |         CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+         |              THEN coalesce(text, '') || ' rev2' ELSE text END AS text
+         |       FROM d WHERE ((doc_id % 5) + 5) % 5 <> 0),
+         |ofp AS (SELECT doc_id, min(md5(coalesce(text, ''))) AS fp
+         |        FROM o GROUP BY 1),
+         |nfp AS (SELECT doc_id, min(md5(coalesce(text, ''))) AS fp
+         |        FROM ns GROUP BY 1),
+         |delta AS (SELECT coalesce(ofp.doc_id, nfp.doc_id) AS doc_id,
+         |    CASE WHEN ofp.doc_id IS NULL THEN 'added'
+         |         WHEN nfp.doc_id IS NULL THEN 'removed'
+         |         WHEN ofp.fp = nfp.fp THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM ofp FULL OUTER JOIN nfp ON ofp.doc_id = nfp.doc_id),
+         |cfp AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM o),
+         |fresh AS (SELECT ns.doc_id,
+         |            md5(regexp_replace(lower(trim(ns.text)), '\\s+', ' ', 'g')) AS fp
+         |          FROM ns JOIN delta USING (doc_id)
+         |          WHERE delta.status IN ('added', 'changed')),
+         |fresh2 AS (SELECT * FROM fresh f
+         |           WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = f.fp)),
+         |win AS (SELECT min(doc_id) AS doc_id FROM fresh2 GROUP BY fp),
+         |surv AS (SELECT f.doc_id FROM fresh2 f JOIN win w ON f.doc_id = w.doc_id),
+         |femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+         |oid AS (SELECT DISTINCT doc_id FROM o),
+         |sid AS (SELECT DISTINCT doc_id FROM surv),
+         |be AS (SELECT femb.vec_id FROM femb JOIN oid ON femb.vec_id = oid.doc_id),
+         |ie AS (SELECT femb.vec_id FROM femb JOIN sid ON femb.vec_id = sid.doc_id),
+         |u AS (SELECT vec_id FROM be UNION ALL SELECT vec_id FROM ie),
+         |nq AS (SELECT count(DISTINCT vec_id)::BIGINT AS v FROM u WHERE vec_id < 20),
+         |nc AS (SELECT count(*)::BIGINT AS v FROM u)
+         |SELECT nq.v AS n_queries,
+         |       (nq.v * least(5, greatest(nc.v - 1, 0)))::BIGINT AS n_exact,
+         |       5000::BIGINT AS recall_floor_bp,
+         |       1::BIGINT AS recall_ok,
+         |       1::BIGINT AS new_in_index,
+         |       (SELECT count(*) FROM delta WHERE status = 'added')::BIGINT AS n_added,
+         |       (SELECT count(*) FROM delta WHERE status = 'changed')::BIGINT AS n_changed,
+         |       (SELECT count(*) FROM surv)::BIGINT AS n_survivors,
+         |       (SELECT count(*) FROM ie)::BIGINT AS n_indexed,
+         |       nc.v AS n_index_total
+         |FROM nq, nc""".stripMargin,
+
     // DSIR replay: hashed-unigram bucket counts for target (src5) and raw
     // (all), one ln per bucket of the exact integer ratio, micro-nat
     // quantization, INTEGER per-doc sums (order-independent — the same
@@ -4339,6 +4532,26 @@ object SparkEntry {
          |       a.na AS n_appended,
          |       1::BIGINT AS identical
          |FROM q, c, a""".stripMargin,
+
+    // ann_ivf_retrain: the deterministic facts of the retrain+swap
+    // certificate — union size from the data, query/exact counts like
+    // the other ANN certificates, and the contract flags (served_all,
+    // swap_identity, quantizer_roundtrip, recall_ok) the Spark side
+    // proves by construction (two-way exceptAll, JSON round-trip,
+    // post-swap count).
+    "ann_ivf_retrain" ->
+      s"""WITH femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+         |q AS (SELECT count(DISTINCT vec_id)::BIGINT AS nq FROM femb WHERE vec_id < 20),
+         |c AS (SELECT count(*)::BIGINT AS nc FROM femb)
+         |SELECT q.nq AS n_queries,
+         |       (q.nq * least(5, greatest(c.nc - 1, 0)))::BIGINT AS n_exact,
+         |       5000::BIGINT AS recall_floor_bp,
+         |       1::BIGINT AS recall_ok,
+         |       c.nc AS n_union,
+         |       1::BIGINT AS served_all,
+         |       1::BIGINT AS swap_identity,
+         |       1::BIGINT AS quantizer_roundtrip
+         |FROM q, c""".stripMargin,
 
     // Double Rabin-Karp over the normalized text's UTF-8 BYTES — the
     // byte stream comes back through hex(encode(t)) so multibyte text

@@ -675,6 +675,153 @@ object StressBench {
         .select(input_file_name()).distinct().count().toString
     }
 
+    if (want("crashstats")) {
+      // ---- crash drill with the stats manifest ON at cardinality: the
+      // crashsoak scenario (kill between the two cohort writes of a
+      // mid-run batch, restart, replay) at C=100 with statsColumns set —
+      // the replay path that APPENDS a second stats slice for the
+      // replayed batch while dynamic overwrite supersedes its data
+      // files. Proves at rest: pruned reads stay EXACT across the
+      // replay (per-file `_file` dedup + the un-marked-then-re-marked
+      // completeness protocol), per-shard slice counts stay bounded by
+      // the self-compaction threshold, and trusted planning serves the
+      // whole soak.
+      import graft.schema.EventSchema
+      import graft.sinks.EventSink
+      import graft.schema.CollectionId
+      import org.apache.spark.sql.types.StructType
+      import spark.implicits._
+      val nRec = 1000000L
+      val chunksST = 40
+      val filesPerBatch = 4
+      val now = System.currentTimeMillis()
+      val input = s"$tmp/crashstats_in"
+      timed("crashstats_stage_sec") {
+        spark.range(nRec).select(concat(
+            lit("""{"data":{"_project":"demo","_collection":"c"""),
+            col("id") % 100, lit("\","),
+            lit(""""_time":"""), lit(now), lit(","),
+            lit(""""n":"""), col("id"), lit("}}")).as("value")).as[String]
+          .repartition(chunksST * filesPerBatch).write.text(input)
+      }
+      val cfgST = IngestConfig(availableNow = true, commitRetries = 0,
+        consolidateThreshold = 64, writeParallelism = 1)
+      def statsSink(dir: String) = new ColumnarSink(dir,
+        statsColumns = Seq("n"), statsCompactSlices = 16)
+      final class KillAt(inner: graft.sinks.ColumnarSink, failAt: Int)
+          extends EventSink {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def getColumns(id: CollectionId): Option[StructType] =
+          inner.getColumns(id)
+        override def insert(id: CollectionId, df: DataFrame): Unit =
+          inner.insert(id, df)
+        override def insert(id: CollectionId, df: DataFrame, b: Long): Unit =
+          inner.insert(id, df, b)
+        override def supportsConsolidated: Boolean = true
+        override def insertConsolidated(rows: DataFrame, b: Long): Unit = {
+          // fail AFTER the cohort landed (data + stats + markers) but
+          // before the batch's offsets commit — the pure-replay case
+          // where the manifest double-appends on the re-run
+          inner.insertConsolidated(rows, b)
+          if (n.incrementAndGet() == failAt)
+            throw new RuntimeException("injected crash after cohort write")
+        }
+      }
+      val sinkDir = s"$tmp/crashstats_sink"
+      val ckpt = s"$tmp/crashstats_ckpt"
+      def src = IngestStream.fileSource(spark, input,
+        maxFilesPerTrigger = Some(filesPerBatch))
+      timed("crashstats_run1_sec") {
+        val q1 = IngestStream.start(spark, src, new EventSchema.Registry(),
+          new KillAt(statsSink(sinkDir), failAt = 25), None, ckpt, cfgST)
+        try { q1.processAllAvailable(); q1.awaitTermination() }
+        catch { case _: Throwable => () } finally q1.stop()
+      }
+      timed("crashstats_resume_sec") {
+        val q2 = IngestStream.start(spark, src, new EventSchema.Registry(),
+          statsSink(sinkDir), None, ckpt, cfgST)
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      val sink = statsSink(sinkDir)
+      // exactness across the replayed batch: pruned == full-scan filter
+      // on every probed collection (each collection holds every residue
+      // class mod 100, so the window genuinely prunes)
+      var prunedFilesSum = 0L
+      for (c <- Seq(0, 7, 49, 99)) {
+        val id = CollectionId("demo", s"c$c")
+        val lo = 100000L + c; val hi = 400000L + c
+        val want = sink.read(spark, id)
+          .filter(col("n").between(lo, hi)).count()
+        val prunedDf = sink.prunedRead(spark, id, Seq(("n", lo, hi)))
+        val got = prunedDf.filter(col("n").between(lo, hi)).count()
+        require(got == want && want > 0,
+          s"crashstats pruned read diverged on c$c: $got vs $want")
+        prunedFilesSum += prunedDf.select(input_file_name()).distinct().count()
+      }
+      out("crashstats_pruned_files_4probes") = prunedFilesSum.toString
+      out("crashstats_rows") = sink.readAll(spark).count().toString
+      require(sink.readAll(spark).count() == nRec)
+      // slice counts bounded by self-compaction despite the replay's
+      // double-append
+      val idxRoot = new org.apache.hadoop.fs.Path(sink.statsIndexPath)
+      val fsST = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sliceCounts = for {
+        proj <- fsST.listStatus(idxRoot).toSeq if proj.isDirectory
+        coll <- fsST.listStatus(proj.getPath).toSeq if coll.isDirectory
+      } yield fsST.listStatus(coll.getPath).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      out("crashstats_shards") = sliceCounts.size.toString
+      out("crashstats_max_slices") = sliceCounts.max.toString
+      require(sliceCounts.max <= 17,
+        s"manifest slices unbounded after replay: ${sliceCounts.max}")
+    }
+
+    if (want("samplepack")) {
+      // ---- the never-stressed families, one octave up: exact-rate
+      // sampling/mixtures (driver-side BigInt rate tables — the claim to
+      // kill is a hidden quadratic in rate-table construction as SOURCE
+      // cardinality grows), block packing (per-shard windows — the claim
+      // is the window stays shard-partitioned, never global), and BPE
+      // pair counting (the claim is the pair explosion stays linear in
+      // corpus tokens). 10× docs corpus × 10× source cardinality.
+      import graft.operators.{Sampling, Bpe}
+      val docs10 = tenXDocs(spark, sfDir, factor)
+        // re-source to 10k distinct sources: rate tables now hold 10k rows
+        .withColumn("source", concat(lit("s"), pmod(hash(col("doc_id")), lit(10000))))
+        .withColumn("n_tokens", size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+      docs10.write.mode("overwrite").parquet(s"$tmp/samplepack_docs")
+      val dd = spark.read.parquet(s"$tmp/samplepack_docs")
+      val nDocsSP = dd.count()
+      out("samplepack_docs") = nDocsSP.toString
+      out("samplepack_sources") = dd.select("source").distinct().count().toString
+      val mixed = timed("samplepack_sqrtmix_sec") {
+        Sampling.sqrtMixtureSample(dd, "doc_id", "source",
+          budgetDocs = nDocsSP / 10, salt = "sp").count()
+      }
+      out("samplepack_sqrtmix_kept") = mixed.toString
+      val strat = timed("samplepack_stratified_sec") {
+        Sampling.stratifiedSample(dd, "doc_id", "source",
+          Map.empty[String, Int], defaultBp = 1000, salt = "sp2").count()
+      }
+      out("samplepack_stratified_kept") = strat.toString
+      val budget = timed("samplepack_tokenbudget_sec") {
+        Sampling.tokenBudgetSample(dd, "doc_id", "n_tokens",
+          budgetTokens = 2000000L, salt = "sp3").count()
+      }
+      out("samplepack_tokenbudget_kept") = budget.toString
+      val packed = timed("samplepack_pack_sec") {
+        val p = Sampling.packBlocks(dd, "doc_id", "n_tokens",
+          blockTokens = 2048L, numShards = 64, salt = "sp4")
+        p.agg(count(lit(1)), max(col("block_end"))).head()
+      }
+      out("samplepack_blocks_max") = packed.getLong(1).toString
+      val pairs = timed("samplepack_bpe_pairs_sec") {
+        Bpe.pairCounts(dd, "text").count()
+      }
+      out("samplepack_bpe_distinct_pairs") = pairs.toString
+    }
+
     if (want("crashsoak")) {
       // ---- crash drill × 1k-collection soak: kill the consolidated
       // streaming soak mid-run (batch ~49, BETWEEN the two cohort writes

@@ -240,15 +240,30 @@ object SimilarityFunctions {
     }
   }
 
-  /** Load an IVF coarse quantizer persisted by [[IvfIndex.save]]. */
+  /** Load an IVF coarse quantizer persisted by [[IvfIndex.save]]. The
+    * quantizer is pitched as a long-lived artifact, so a stale on-disk
+    * form must fail with an ACTIONABLE message, not an opaque IO/JSON
+    * error: the pre-r11 path persisted a Spark-ML KMeansModel DIRECTORY
+    * — detected here explicitly, as is any non-JSON content.
+    */
   def ivfLoad(path: String): IvfIndex = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      sys.error(s"ivfLoad: $path is a directory — this is the legacy " +
+        "Spark-ML quantizer layout, which this build no longer reads. " +
+        "Retrain with ivfTrain and persist via IvfIndex.save (single " +
+        "JSON file), or migrate by loading the old model's clusterCenters " +
+        "into new IvfIndex(...) and saving.")
     val in = fs.open(p)
     val body =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
+    if (!body.dropWhile(_.isWhitespace).startsWith("{"))
+      sys.error(s"ivfLoad: $path does not hold IvfIndex.save JSON " +
+        "(unrecognized content) — retrain with ivfTrain or migrate the " +
+        "legacy quantizer, then save via IvfIndex.save")
     import graft.ingest.JVal._
     graft.ingest.JsonEventParser.mapperRead(body) match {
       case o: JObj => o.toMap.get("centroids") match {
@@ -926,6 +941,70 @@ object SimilarityFunctions {
       case None => assigned
     }
     rows.write.mode("overwrite").parquet(s"$invPath/batch=$batchId")
+  }
+
+  /** Canonical location of the quantizer JSON co-located with an
+    * inverted file (underscore-prefixed: parquet reads never see it).
+    * [[ivfRetrain]] writes it inside the index dir so the dir swap
+    * replaces quantizer and assignments ATOMICALLY — a new inverted
+    * file served against the old centroids would return wrong cells.
+    */
+  def ivfQuantizerPath(invPath: String): String = s"$invPath/_quantizer.json"
+
+  /** Drift-triggered retrain + rebuild — the act that closes the
+    * incremental lifecycle ([[ivfTrain]] once → [[ivfAppend]]/
+    * [[ivfAppendBatch]] per crawl → [[quantizationErrorBp]] monitors →
+    * retrain when the error says the corpus moved): fit fresh spherical
+    * centroids on a bounded sample of the FULL union corpus (read from
+    * the inverted file itself — `_cv` holds the raw vectors, so no
+    * source-corpus re-scan), re-assign every row in ONE map-only pass
+    * through the native kernel (all other columns — PQ `_codes`
+    * included — ride along unchanged; the PQ codebooks are
+    * cell-independent), and atomically swap the index dir: the rebuilt
+    * file stages beside the live one, the new quantizer lands INSIDE it
+    * at [[ivfQuantizerPath]], and two renames publish both together.
+    * Readers either see the old consistent pair or the new one; a crash
+    * before the swap leaves the live index untouched (rerun retrain), a
+    * crash between the renames leaves the staged dir complete on disk.
+    *
+    * Run OUT OF BAND like sink compaction: quiesce the appender (let its
+    * offsets commit) around the swap — an uncommitted increment replayed
+    * AFTER retrain would land beside rows the rebuild already carries.
+    * Returns the new index; serve with it (or re-load via
+    * `ivfLoad(ivfQuantizerPath(invPath))` after a driver restart).
+    */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, invPath: String,
+                 cells: Int = 16, seed: Long = 42L,
+                 maxTrainRows: Long = 100000L): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(invPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"ivfRetrain: no inverted file at $invPath")
+    val batchKeyed = fs.listStatus(p).exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith("batch="))
+    val old = spark.read.parquet(invPath)
+    val union = if (old.columns.contains("batch")) old.drop("batch") else old
+    val next = ivfTrain(union, "_cv", cells, seed, maxTrainRows)
+    val uuid = java.util.UUID.randomUUID().toString
+    val staging = s"$invPath.retrain-$uuid"
+    // keep the layout shape so the appender's invGuard contract survives
+    // the swap (batch-keyed stays batch-keyed; the rebuilt base uses a
+    // non-numeric key that no streaming batch id can overwrite)
+    val target = if (batchKeyed)
+      s"$staging/batch=retrain-${System.currentTimeMillis()}" else staging
+    union.withColumn("_cell",
+        element_at(expressions.IvfExpressions.ivf_rank_cells(
+          col("_cv"), next.clusterCenters, 1), 1))
+      .write.mode("overwrite").parquet(target)
+    next.save(ivfQuantizerPath(staging))
+    val retired = new org.apache.hadoop.fs.Path(s"$invPath.retired-$uuid")
+    if (!fs.rename(p, retired))
+      sys.error(s"ivfRetrain: could not retire the live index at $invPath")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p)) {
+      fs.rename(retired, p) // roll back: old index stays live
+      sys.error(s"ivfRetrain: could not publish the rebuilt index at $invPath")
+    }
+    fs.delete(retired, true)
+    next
   }
 
   /** Refuses mixing root-level and batch-keyed inverted-file layouts (one

@@ -31,6 +31,20 @@ object IvfKernel {
     * probe 1 is exactly the assignment cell. `probes` clamps to the
     * centroid count, mirroring `slice`'s behavior in the composed form.
     */
+  /** A vector whose dimension differs from the trained centroids must
+    * fail LOUDLY (the same contract as PqAdcScore's subspace check):
+    * prefix-distance assignment would silently place malformed-dim data
+    * in arbitrary cells, and the composed zip_with parity form diverges
+    * (null-padded distances) on exactly that input. The quantizer is a
+    * long-lived artifact — a dim change means retrain, not truncation.
+    */
+  private def checkDim(v: Array[Double], cent: Array[Double]): Unit =
+    if (v.length != cent.length)
+      throw new IllegalArgumentException(
+        s"ivf kernel: vector dim ${v.length} != trained centroid dim " +
+          s"${cent.length} — the quantizer was trained on a different " +
+          "embedding space; retrain (ivfTrain/ivfRetrain) before assigning")
+
   def rankCells(vec: ArrayData, cents: Array[Array[Double]], probes: Int): ArrayData = {
     val v = PqKernel.normalize(vec)
     val k = cents.length
@@ -40,7 +54,8 @@ object IvfKernel {
     var j = 0
     while (j < k) {
       val cent = cents(j)
-      val dim = math.min(v.length, cent.length)
+      checkDim(v, cent)
+      val dim = cent.length
       var d = 0.0; var x = 0
       while (x < dim) { val t = v(x) - cent(x); d += t * t; x += 1 }
       if (d < bestD(p - 1) || (d == bestD(p - 1) && j < bestC(p - 1))) {
@@ -69,7 +84,8 @@ object IvfKernel {
     var j = 0
     while (j < cents.length) {
       val cent = cents(j)
-      val dim = math.min(v.length, cent.length)
+      checkDim(v, cent)
+      val dim = cent.length
       var d = 0.0; var x = 0
       while (x < dim) { val t = v(x) - cent(x); d += t * t; x += 1 }
       if (d < bestD) bestD = d
@@ -95,6 +111,16 @@ case class IvfRankCells(child: Expression, centroids: Array[Array[Double]],
   }
   override protected def withNewChildInternal(newChild: Expression): IvfRankCells =
     copy(child = newChild)
+  // structural (not reference) equality over the centroid table, so two
+  // plan copies with identical centroids canonicalize/CSE together
+  override def equals(o: Any): Boolean = o match {
+    case r: IvfRankCells => r.child == child && r.probes == probes &&
+      ModelEq.deep(r.centroids, centroids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(probes),
+      Integer.valueOf(ModelEq.deepHash(centroids)))
 }
 
 case class IvfNearestD2(child: Expression, centroids: Array[Array[Double]])
@@ -113,6 +139,13 @@ case class IvfNearestD2(child: Expression, centroids: Array[Array[Double]])
   }
   override protected def withNewChildInternal(newChild: Expression): IvfNearestD2 =
     copy(child = newChild)
+  override def equals(o: Any): Boolean = o match {
+    case r: IvfNearestD2 => r.child == child &&
+      ModelEq.deep(r.centroids, centroids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(ModelEq.deepHash(centroids)))
 }
 
 object IvfExpressions {

@@ -58,6 +58,15 @@ case class PcaProject(child: Expression, mean: Array[Double],
   }
   override protected def withNewChildInternal(newChild: Expression): PcaProject =
     copy(child = newChild)
+  // structural (not reference) equality over the model arrays — see ModelEq
+  override def equals(o: Any): Boolean = o match {
+    case r: PcaProject => r.child == child && ModelEq.deep(r.mean, mean) &&
+      ModelEq.deep(r.components, components)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(ModelEq.deepHash(mean)),
+      Integer.valueOf(ModelEq.deepHash(components)))
 }
 
 object PcaExpressions {

@@ -132,6 +132,14 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+  // structural (not reference) equality over the codebooks — see ModelEq
+  override def equals(o: Any): Boolean = o match {
+    case r: PqEncode => r.child == child &&
+      ModelEq.deep(r.codebooks, codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(ModelEq.deepHash(codebooks)))
 }
 
 case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
@@ -151,6 +159,13 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
   }
   override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
     copy(child = newChild)
+  override def equals(o: Any): Boolean = o match {
+    case r: PqAdcTable => r.child == child &&
+      ModelEq.deep(r.codebooks, codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(ModelEq.deepHash(codebooks)))
 }
 
 case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpression {

