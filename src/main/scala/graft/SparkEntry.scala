@@ -1780,17 +1780,22 @@ object SparkEntry {
         oldSnap.select($"doc_id".as("vec_id")).distinct(), Seq("vec_id"))
       val incEmb = emb.join(
         survivors.select($"doc_id".as("vec_id")).distinct(), Seq("vec_id"))
+      val removedIds = delta.where($"status" === "removed")
+        .select($"doc_id".as("vec_id")).distinct()
+      val keptBase = baseEmb.join(removedIds, Seq("vec_id"), "left_anti")
       val nBase = baseEmb.count()
+      val nKeptBase = keptBase.count()
       val nIndexed = incEmb.count()
       val counts = (df: DataFrame) => df
         .withColumn("n_added", lit(nAdded))
         .withColumn("n_changed", lit(nChanged))
         .withColumn("n_survivors", lit(nSurvivors))
         .withColumn("n_indexed", lit(nIndexed))
-        .withColumn("n_index_total", lit(nBase + nIndexed))
+        .withColumn("n_purged", lit(nBase - nKeptBase))
+        .withColumn("n_index_total", lit(nKeptBase + nIndexed))
       if (nBase + nIndexed == 0)
-        counts(Seq((0L, 0L, 5000L, 1L, 1L)).toDF("n_queries", "n_exact",
-          "recall_floor_bp", "recall_ok", "new_in_index"))
+        counts(Seq((0L, 0L, 5000L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
+          "recall_floor_bp", "recall_ok", "new_in_index", "removed_purged"))
       else {
         val tmp = java.nio.file.Files.createTempDirectory("graft_crawl").toString
         val inv = s"$tmp/inv"
@@ -1803,12 +1808,20 @@ object SparkEntry {
         if (nIndexed > 0)
           SimilarityFunctions.ivfAppendBatch(ivf, inv, incEmb,
             "vec_id", "embedding", 1L)
+        // the REMOVED half of the delta: tombstone-compact the vanished
+        // docs out of the index (atomic swap, quantizer unchanged)
+        if (!removedIds.isEmpty)
+          SimilarityFunctions.ivfCompact(s, inv, ivf, removedIds, "vec_id")
         val served = s.read.parquet(inv)
-        // every indexed newcomer is IN the served set (id containment)
+        // every indexed newcomer is IN the served set (id containment) …
         val missing = incEmb.select($"vec_id".as("neighbor_id")).distinct()
           .join(served.select($"neighbor_id").distinct(),
             Seq("neighbor_id"), "left_anti").count()
-        val unionEmb = baseEmb.unionByName(incEmb)
+        // … and no vanished doc survives it
+        val lingering = served.select($"neighbor_id").distinct()
+          .join(removedIds.select($"vec_id".as("neighbor_id")),
+            Seq("neighbor_id")).count()
+        val unionEmb = keptBase.unionByName(incEmb)
         val probes = unionEmb.filter($"vec_id" < 20)
         recallCertificate(
             SimilarityFunctions.ivfSearch(served, probes, ivf,
@@ -1818,6 +1831,7 @@ object SparkEntry {
             recallFloorBp = 5000, unionEmb, probes, "embedding", "vec_id", 5)
           .transform(counts)
           .withColumn("new_in_index", lit(if (missing == 0) 1L else 0L))
+          .withColumn("removed_purged", lit(if (lingering == 0) 1L else 0L))
       }
     }),
 
@@ -3763,9 +3777,12 @@ object SparkEntry {
          |femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
          |oid AS (SELECT DISTINCT doc_id FROM o),
          |sid AS (SELECT DISTINCT doc_id FROM surv),
+         |rid AS (SELECT DISTINCT doc_id FROM delta WHERE status = 'removed'),
          |be AS (SELECT femb.vec_id FROM femb JOIN oid ON femb.vec_id = oid.doc_id),
+         |kb AS (SELECT vec_id FROM be b
+         |       WHERE NOT EXISTS (SELECT 1 FROM rid r WHERE r.doc_id = b.vec_id)),
          |ie AS (SELECT femb.vec_id FROM femb JOIN sid ON femb.vec_id = sid.doc_id),
-         |u AS (SELECT vec_id FROM be UNION ALL SELECT vec_id FROM ie),
+         |u AS (SELECT vec_id FROM kb UNION ALL SELECT vec_id FROM ie),
          |nq AS (SELECT count(DISTINCT vec_id)::BIGINT AS v FROM u WHERE vec_id < 20),
          |nc AS (SELECT count(*)::BIGINT AS v FROM u)
          |SELECT nq.v AS n_queries,
@@ -3773,10 +3790,12 @@ object SparkEntry {
          |       5000::BIGINT AS recall_floor_bp,
          |       1::BIGINT AS recall_ok,
          |       1::BIGINT AS new_in_index,
+         |       1::BIGINT AS removed_purged,
          |       (SELECT count(*) FROM delta WHERE status = 'added')::BIGINT AS n_added,
          |       (SELECT count(*) FROM delta WHERE status = 'changed')::BIGINT AS n_changed,
          |       (SELECT count(*) FROM surv)::BIGINT AS n_survivors,
          |       (SELECT count(*) FROM ie)::BIGINT AS n_indexed,
+         |       ((SELECT count(*) FROM be) - (SELECT count(*) FROM kb))::BIGINT AS n_purged,
          |       nc.v AS n_index_total
          |FROM nq, nc""".stripMargin,
 

@@ -975,7 +975,36 @@ object SimilarityFunctions {
     */
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, invPath: String,
                  cells: Int = 16, seed: Long = 42L,
-                 maxTrainRows: Long = 100000L): IvfIndex = {
+                 maxTrainRows: Long = 100000L,
+                 pq: Option[PqIndex] = None): IvfIndex = {
+    val rebuilt = (union: DataFrame, next: IvfIndex) => {
+      val reassigned = union.withColumn("_cell",
+        element_at(expressions.IvfExpressions.ivf_rank_cells(
+          col("_cv"), next.clusterCenters, 1), 1))
+      // a RETRAINED PQ codebook (the corpus drifted, so the old codes
+      // drifted with it) re-encodes in the same rebuild pass — the
+      // `_codes` column is replaced IN PLACE (no id join: duplicate ids
+      // must not fan out), everything else rides along
+      pq match {
+        case Some(p) => reassigned.drop("_codes").withColumn("_codes",
+          expressions.PqExpressions.pq_encode(
+            col("_cv").cast("array<double>"), p.codebooks))
+        case None => reassigned
+      }
+    }
+    retrainWith(spark, invPath, ivfTrain(_, "_cv", cells, seed, maxTrainRows),
+      rebuilt)
+  }
+
+  /** The rebuild + atomic-swap mechanics shared by [[ivfRetrain]] and
+    * [[ivfCompact]]: read the live inverted file, derive the new
+    * quantizer and rows, stage, publish via two renames (co-located
+    * quantizer included), roll back on a failed publish.
+    */
+  private def retrainWith(spark: org.apache.spark.sql.SparkSession,
+                          invPath: String,
+                          fit: DataFrame => IvfIndex,
+                          rebuild: (DataFrame, IvfIndex) => DataFrame): IvfIndex = {
     val p = new org.apache.hadoop.fs.Path(invPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"ivfRetrain: no inverted file at $invPath")
@@ -983,7 +1012,7 @@ object SimilarityFunctions {
       st.getPath.getName.startsWith("batch="))
     val old = spark.read.parquet(invPath)
     val union = if (old.columns.contains("batch")) old.drop("batch") else old
-    val next = ivfTrain(union, "_cv", cells, seed, maxTrainRows)
+    val next = fit(union)
     val uuid = java.util.UUID.randomUUID().toString
     val staging = s"$invPath.retrain-$uuid"
     // keep the layout shape so the appender's invGuard contract survives
@@ -991,10 +1020,7 @@ object SimilarityFunctions {
     // non-numeric key that no streaming batch id can overwrite)
     val target = if (batchKeyed)
       s"$staging/batch=retrain-${System.currentTimeMillis()}" else staging
-    union.withColumn("_cell",
-        element_at(expressions.IvfExpressions.ivf_rank_cells(
-          col("_cv"), next.clusterCenters, 1), 1))
-      .write.mode("overwrite").parquet(target)
+    rebuild(union, next).write.mode("overwrite").parquet(target)
     next.save(ivfQuantizerPath(staging))
     val retired = new org.apache.hadoop.fs.Path(s"$invPath.retired-$uuid")
     if (!fs.rename(p, retired))
@@ -1005,6 +1031,25 @@ object SimilarityFunctions {
     }
     fs.delete(retired, true)
     next
+  }
+
+  /** Tombstone compaction — the REMOVED half of a crawl delta: rewrite
+    * the inverted file WITHOUT the given ids (one broadcast-friendly
+    * anti-join + the same atomic swap as [[ivfRetrain]]; the quantizer
+    * is unchanged, so `index` is returned as-is and every surviving
+    * row's cell stays put). An append-only index otherwise serves
+    * vanished documents forever; running this beside the drift retrain
+    * (or folding the removal into [[ivfRetrain]]'s own rebuild pass by
+    * compacting first) is the recurring-crawl hygiene pass. Same
+    * out-of-band contract as retrain: quiesce the appender around the
+    * swap.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, invPath: String,
+                 index: IvfIndex, removeIds: DataFrame,
+                 idCol: String): IvfIndex = {
+    val gone = removeIds.select(col(idCol).as("neighbor_id")).distinct()
+    retrainWith(spark, invPath, _ => index,
+      (union, _) => union.join(gone, Seq("neighbor_id"), "left_anti"))
   }
 
   /** Refuses mixing root-level and batch-keyed inverted-file layouts (one

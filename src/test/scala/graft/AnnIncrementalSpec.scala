@@ -244,6 +244,70 @@ class AnnIncrementalSpec extends SparkSpec {
       "post-crash incremental index diverged from rebuild")
   }
 
+  test("retrain with a fresh PQ codebook re-encodes in the rebuild pass; searches match a from-scratch IVF-PQ build") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_retr_pq").toString
+    val inv = s"$tmp/inv"
+    val base = vecs(0, 500)
+    val v1Ivf = SimilarityFunctions.ivfTrain(base, "embedding", cells = 8)
+    val v1Pq = SimilarityFunctions.pqTrain(base, "embedding", m = 4, codes = 8)
+    SimilarityFunctions.ivfAppendBatch(v1Ivf, inv, base,
+      "vec_id", "embedding", 0L, pq = Some(v1Pq))
+    val drifted = driftedVecs(1000, 1500)
+    SimilarityFunctions.ivfAppendBatch(v1Ivf, inv, drifted,
+      "vec_id", "embedding", 1L, pq = Some(v1Pq))
+    // drift response retrains BOTH artifacts; the rebuild re-encodes
+    val union = vecs(0, 500).unionByName(drifted)
+    val v2Pq = SimilarityFunctions.pqTrain(union, "embedding", m = 4, codes = 8)
+    val v2Ivf = SimilarityFunctions.ivfRetrain(spark, inv, cells = 8,
+      pq = Some(v2Pq))
+    val swapped = spark.read.parquet(inv)
+    val scratch = v2Ivf.assign(union, "vec_id", "embedding")
+      .withColumn("_codes",
+        graft.functions.expressions.PqExpressions.pq_encode(
+          col("_cv").cast("array<double>"), v2Pq.codebooks))
+    val probes = union.filter(col("vec_id") % 71 === 0)
+    val a = SimilarityFunctions.ivfPqSearch(swapped, probes, v2Ivf, v2Pq,
+      "vec_id", "embedding", 5, nProbe = 3)
+    val b = SimilarityFunctions.ivfPqSearch(scratch, probes, v2Ivf, v2Pq,
+      "vec_id", "embedding", 5, nProbe = 3)
+    assert(sortedRows(a) == sortedRows(b),
+      "PQ-re-encoding retrain diverged from a from-scratch IVF-PQ build")
+    assert(a.count() > 0)
+  }
+
+  test("tombstone compaction: removed docs leave the index; survivors' cells untouched; appends continue") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_tomb").toString
+    val inv = s"$tmp/inv"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 600), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(0, 600),
+      "vec_id", "embedding", 0L)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(600, 900),
+      "vec_id", "embedding", 1L)
+    // the crawl's `removed` set: every id divisible by 3
+    val gone = spark.range(0, 900, 3).select($"id".as("doc_id"))
+    val same = SimilarityFunctions.ivfCompact(spark, inv, ivf, gone, "doc_id")
+    assert(same.clusterCenters.map(_.toSeq).toSeq ==
+      ivf.clusterCenters.map(_.toSeq).toSeq, "compaction must not retrain")
+    val after = spark.read.parquet(inv)
+    assert(after.count() == 600, s"tombstones not purged: ${after.count()}")
+    assert(after.filter(pmod($"neighbor_id", lit(3)) === 0).count() == 0)
+    // survivors row-identical to a rebuild over the surviving corpus
+    val survivors = vecs(0, 900).filter(pmod($"vec_id", lit(3)) =!= 0)
+    assert(sortedRows(after.select($"neighbor_id", $"_cell", $"_cv")) ==
+      sortedRows(ivf.assign(survivors, "vec_id", "embedding")
+        .select($"neighbor_id", $"_cell", $"_cv")))
+    // searches never return a tombstoned id, and the layout still
+    // accepts the next crawl
+    val probed = SimilarityFunctions.ivfSearch(after,
+      vecs(0, 900).filter($"vec_id" % 97 === 0), ivf,
+      "vec_id", "embedding", 5, nProbe = 3)
+    assert(probed.filter(pmod($"neighbor_id", lit(3)) === 0).count() == 0)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(900, 950),
+      "vec_id", "embedding", 2L)
+    assert(spark.read.parquet(inv).count() == 650)
+  }
+
   test("IVF-PQ: appended codes serve identically to a rebuilt inverted file") {
     val tmp = java.nio.file.Files.createTempDirectory("ann_incr_pq").toString
     val base = vecs(0, 500)
