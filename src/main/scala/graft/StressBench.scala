@@ -675,6 +675,59 @@ object StressBench {
         .select(input_file_name()).distinct().count().toString
     }
 
+    if (want("statsmeta")) {
+      // ---- trusted planning at the 10⁶-file asymptote, metadata-only:
+      // with the walk gone, planning cost is bounded by MANIFEST rows
+      // (one parquet read + one driver pass), so the honest octave-up
+      // measurement needs a million manifest rows, not a million staged
+      // data files (331 s of write time bought 100k at the statsshard
+      // octave). Synthesize a trusted batch dir with 16 real in-range
+      // files + N-16 synthetic out-of-range rows: the selective read
+      // must plan against all N rows, keep 16, probe 16, walk nothing.
+      import graft.layout.StatsIndex
+      val base = s"$tmp/statsmeta"
+      val dataDir = s"$base/data"
+      val batchDir = s"$dataDir/batch=0"
+      spark.range(1600).select(col("id").as("x"))
+        .repartition(16).write.parquet(batchDir)
+      val real = {
+        val p = new org.apache.hadoop.fs.Path(batchDir)
+        graft.util.FsWalk.dataFiles(
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      }
+      val idxDir = s"$base/idx"
+      for (n <- Seq(100000L, 1000000L)) {
+        val pI = new org.apache.hadoop.fs.Path(idxDir)
+        val fsI = pI.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fsI.delete(pI, true)
+        // real files carry true stats; synthetic rows sit far out of range
+        val realDf = spark.read.option("basePath", dataDir).parquet(real: _*)
+          .select(input_file_name().as("_file"), col("x"))
+          .groupBy(col("_file"))
+          .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            count(lit(1)).as("n_rows"))
+        val synth = spark.range(n - real.size).select(
+          concat(lit(s"$batchDir/synthetic-"), col("id"), lit(".parquet")).as("_file"),
+          (col("id") * 10 + 1000000L).as("min_x"),
+          (col("id") * 10 + 1000005L).as("max_x"),
+          lit(100L).as("n_rows"))
+        realDf.unionByName(synth)
+          .withColumn("_stat_cols", array(lit("x")))
+          .coalesce(4).write.mode("overwrite").parquet(idxDir)
+        val trusted = Set(StatsIndex.normalize(batchDir))
+        def planMs(): (DataFrame, Double) = {
+          val t0 = System.nanoTime()
+          val df = StatsIndex.prunedReadWith(spark, dataDir, idxDir,
+            Seq(("x", 100L, 299L)), Map.empty, trustedSubdirs = trusted)
+          (df, (System.nanoTime() - t0) / 1e6)
+        }
+        planMs() // warm
+        val (df, ms) = planMs()
+        require(df.filter(col("x").between(100, 299)).count() == 200)
+        out(s"statsmeta_plan_ms_${n / 1000}k_rows") = f"$ms%.0f"
+      }
+    }
+
     if (want("crashstats")) {
       // ---- crash drill with the stats manifest ON at cardinality: the
       // crashsoak scenario (kill between the two cohort writes of a
