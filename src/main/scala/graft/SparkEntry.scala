@@ -1776,13 +1776,18 @@ object SparkEntry {
       val nSurvivors = survivors.count()
       val emb = tbl(s, dir, "embeddings")
         .where(SimilarityFunctions.finiteVec("embedding"))
+      // cached like delta/survivors above: each embedding frame feeds
+      // several downstream jobs (counts, appends, union, containment)
       val baseEmb = emb.join(
         oldSnap.select($"doc_id".as("vec_id")).distinct(), Seq("vec_id"))
+        .cache()
       val incEmb = emb.join(
         survivors.select($"doc_id".as("vec_id")).distinct(), Seq("vec_id"))
+        .cache()
       val removedIds = delta.where($"status" === "removed")
         .select($"doc_id".as("vec_id")).distinct()
       val keptBase = baseEmb.join(removedIds, Seq("vec_id"), "left_anti")
+        .cache()
       val nBase = baseEmb.count()
       val nKeptBase = keptBase.count()
       val nIndexed = incEmb.count()
