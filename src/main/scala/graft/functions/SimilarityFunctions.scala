@@ -1033,6 +1033,24 @@ object SimilarityFunctions {
     next
   }
 
+  /** The monitor → act wiring as one call, for the nightly-crawl loop:
+    * measure the increment's quantization error against the serving
+    * centroids and retrain + rebuild + swap ONLY when it exceeds
+    * `driftThresholdBp` (pick it from the base corpus's own error — an
+    * increment running at, say, >2-3× base is the standard trigger).
+    * Returns Some(newIndex) when it acted, None when the increment is
+    * in-distribution and the old index keeps serving.
+    */
+  def ivfRetrainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                          invPath: String, index: IvfIndex,
+                          increment: DataFrame, vecCol: String,
+                          driftThresholdBp: Long, cells: Int = 16,
+                          seed: Long = 42L, maxTrainRows: Long = 100000L,
+                          pq: Option[PqIndex] = None): Option[IvfIndex] =
+    if (quantizationErrorBp(index, increment, vecCol) > driftThresholdBp)
+      Some(ivfRetrain(spark, invPath, cells, seed, maxTrainRows, pq))
+    else None
+
   /** Tombstone compaction — the REMOVED half of a crawl delta: rewrite
     * the inverted file WITHOUT the given ids (one broadcast-friendly
     * anti-join + the same atomic swap as [[ivfRetrain]]; the quantizer

@@ -430,7 +430,11 @@ final class ColumnarSink(basePath: String, format: String = "parquet",
     if (batchId >= 0) {
       val pat = new org.apache.hadoop.fs.Path(s"$basePath/*/*/batch=$batchId")
       val fs = hadoopFs(pat, rows.sparkSession)
-      Option(fs.globStatus(pat)).map(_.toSeq).getOrElse(Nil)
+      // one exists() gates the glob: a layout no writer ever marked has
+      // nothing to invalidate, so marker-less deployments skip the ~C
+      // metadata ops of the pattern expansion every trigger
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/_graft_commits")))
+        Option(fs.globStatus(pat)).map(_.toSeq).getOrElse(Nil)
         .filter(_.isDirectory).foreach { st =>
           val escC = st.getPath.getParent.getName.split("=", 2)(1)
           val escP = st.getPath.getParent.getParent.getName.split("=", 2)(1)

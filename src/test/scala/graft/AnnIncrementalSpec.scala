@@ -199,6 +199,33 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(postErr < incErr, "retrain did not reduce quantization error")
   }
 
+  test("ivfRetrainIfDrifted acts only past the threshold") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_ifdrift").toString
+    val inv = s"$tmp/inv"
+    val base = vecs(0, 600)
+    val ivf = SimilarityFunctions.ivfTrain(base, "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, base, "vec_id", "embedding", 0L)
+    val baseErr = SimilarityFunctions.quantizationErrorBp(ivf, base, "embedding")
+    // in-distribution increment: below 3× base → no action, index untouched
+    val calm = SimilarityFunctions.ivfRetrainIfDrifted(spark, inv, ivf,
+      vecs(600, 900), "embedding", driftThresholdBp = baseErr * 3, cells = 8)
+    assert(calm.isEmpty, "in-distribution increment must not retrain")
+    assert(!new java.io.File(
+      s"$inv/${"_quantizer.json"}").exists, "no-op retrain touched the index")
+    // drifted increment: crosses the threshold → retrain + swap happened
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, driftedVecs(2000, 2400),
+      "vec_id", "embedding", 1L)
+    val acted = SimilarityFunctions.ivfRetrainIfDrifted(spark, inv, ivf,
+      driftedVecs(2000, 2400), "embedding",
+      driftThresholdBp = baseErr * 3, cells = 8)
+    assert(acted.nonEmpty, "drifted increment must trigger the retrain")
+    val reloaded = SimilarityFunctions.ivfLoad(
+      SimilarityFunctions.ivfQuantizerPath(inv))
+    assert(reloaded.clusterCenters.map(_.toSeq).toSeq ==
+      acted.get.clusterCenters.map(_.toSeq).toSeq)
+    assert(spark.read.parquet(inv).count() == 1000)
+  }
+
   test("crash between a crawl append and its offset commit: restart replays, append stays identical to rebuild") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ann_crash").toString
