@@ -1870,13 +1870,14 @@ object SparkEntry {
     // array order but never on the set).
     "text_winnow_fp" -> ((s, dir) => {
       import s.implicits._
-      val p = 1000000007L
       val fp = TextFunctions.winnowedFingerprints($"text", n = 3, w = 8)
       docs(s, dir).select($"doc_id",
           size(TextFunctions.shingles($"text", 3)).cast("long").as("n_grams"),
           size(fp).cast("long").as("n_fp"),
-          aggregate(fp, lit(0L),
-            (acc, x) => (acc + x % p) % p).as("fp_checksum"))
+          // native codegen'd fold — the interpreted aggregate() HOF was
+          // the last full-corpus interpreted fold (r12 verdict #4)
+          graft.functions.expressions.ModPChecksum
+            .mod_p_checksum(fp, 1000000007L).as("fp_checksum"))
         .orderBy($"doc_id")
     }),
 
@@ -2373,7 +2374,12 @@ object SparkEntry {
     "ann_ivf_retrain" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
-      val usable = emb.where(SimilarityFunctions.finiteVec("embedding"))
+      // vec_id.isNotNull: a NULL-id row would fall out of BOTH parity
+      // halves (three-valued % compare) yet still count in nUnion and the
+      // fresh rebuild — flipping served_all/swap_identity on any-data
+      // corpora. The oracle's n_union mirrors the same filter.
+      val usable = emb.where(SimilarityFunctions.finiteVec("embedding") &&
+        $"vec_id".isNotNull)
       if (usable.isEmpty)
         Seq((0L, 0L, 5000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
           "recall_floor_bp", "recall_ok", "n_union", "served_all",
@@ -2416,6 +2422,76 @@ object SparkEntry {
             SimilarityFunctions.bruteForceTopK(emb, probes,
               "vec_id", "embedding", 5),
             recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
+          .withColumn("n_union", lit(nUnion))
+          .withColumn("served_all", lit(if (servedAll) 1L else 0L))
+          .withColumn("swap_identity", lit(if (identity) 1L else 0L))
+          .withColumn("quantizer_roundtrip", lit(if (roundtrip) 1L else 0L))
+      }
+    }),
+
+    // The PQ arm of the retrain act (r12 verdict task 3): drift response
+    // retrains BOTH artifacts — fresh spherical centroids AND a fresh PQ
+    // codebook — and ivfRetrain re-encodes `_codes` in the same rebuild
+    // pass. The certificate proves the swapped index end-state under ADC
+    // + exact re-rank serving: every union row served, swapped rows
+    // (codes included) identical to a from-scratch IVF-PQ build under
+    // the new artifacts, co-located quantizer round-trips, and
+    // post-retrain ADC search recall holds ann_ivfpq_topk's floor.
+    "ann_ivfpq_retrain" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val usable = emb.where(SimilarityFunctions.finiteVec("embedding") &&
+        $"vec_id".isNotNull)
+      if (usable.isEmpty)
+        Seq((0L, 0L, 3000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
+          "recall_floor_bp", "recall_ok", "n_union", "served_all",
+          "swap_identity", "quantizer_roundtrip")
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqret").toString
+        val inv = s"$tmp/inv"
+        val old = usable.filter($"vec_id" % 2 === 0)
+        val freshHalf = usable.filter($"vec_id" % 2 =!= 0)
+        val oldNonEmpty = !old.isEmpty
+        val base = if (oldNonEmpty) old else freshHalf
+        val inc = if (oldNonEmpty) freshHalf else old
+        val v1 = SimilarityFunctions.ivfTrain(base, "embedding", cells = 16)
+        val v1Pq = SimilarityFunctions.pqTrain(base, "embedding",
+          m = 8, codes = 16)
+        SimilarityFunctions.ivfAppendBatch(v1, inv, base,
+          "vec_id", "embedding", 0L, pq = Some(v1Pq))
+        if (inc.count() > 0)
+          SimilarityFunctions.ivfAppendBatch(v1, inv, inc,
+            "vec_id", "embedding", 1L, pq = Some(v1Pq))
+        // monitor reads the signal (data-dependent, not asserted); the
+        // retrain is unconditional so the certificate always swaps
+        SimilarityFunctions.quantizationErrorBp(v1, usable, "embedding")
+        val v2Pq = SimilarityFunctions.pqTrain(usable, "embedding",
+          m = 8, codes = 16)
+        val next = SimilarityFunctions.ivfRetrain(s, inv, cells = 16,
+          pq = Some(v2Pq))
+        val swapped = s.read.parquet(inv)
+        val nUnion = usable.count()
+        val servedAll = swapped.count() == nUnion
+        // map-only code column (an id join would fan out on duplicate
+        // vec_ids — the hostile drill's mass-dup corpus)
+        val rebuilt = next.assign(usable, "vec_id", "embedding")
+          .withColumn("_codes", graft.functions.expressions.PqExpressions
+            .pq_encode(col("_cv").cast("array<double>"), v2Pq.codebooks))
+        val swapCols = Seq("neighbor_id", "_cell", "_cv", "_codes").map(col)
+        val a = swapped.select(swapCols: _*)
+        val b = rebuilt.select(swapCols: _*)
+        val identity = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        val reloaded = SimilarityFunctions.ivfLoad(
+          SimilarityFunctions.ivfQuantizerPath(inv))
+        val roundtrip = reloaded.clusterCenters.map(_.toSeq).toSeq ==
+          next.clusterCenters.map(_.toSeq).toSeq
+        val probes = emb.filter($"vec_id" < 20)
+        recallCertificate(
+            SimilarityFunctions.ivfPqSearch(swapped, probes, next, v2Pq,
+              "vec_id", "embedding", 5, nProbe = 4),
+            SimilarityFunctions.bruteForceTopK(emb, probes,
+              "vec_id", "embedding", 5),
+            recallFloorBp = 3000, emb, probes, "embedding", "vec_id", 5)
           .withColumn("n_union", lit(nUnion))
           .withColumn("served_all", lit(if (servedAll) 1L else 0L))
           .withColumn("swap_identity", lit(if (identity) 1L else 0L))
@@ -4563,19 +4639,43 @@ object SparkEntry {
     // swap_identity, quantizer_roundtrip, recall_ok) the Spark side
     // proves by construction (two-way exceptAll, JSON round-trip,
     // post-swap count).
+    // n_exact keeps the FULL finite-corpus count (the brute-force
+    // certificate scores against every finite vector, null id or not);
+    // n_union mirrors the Spark side's vec_id IS NOT NULL filter — a
+    // NULL-id row can never enter the parity-split index.
     "ann_ivf_retrain" ->
       s"""WITH femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
          |q AS (SELECT count(DISTINCT vec_id)::BIGINT AS nq FROM femb WHERE vec_id < 20),
-         |c AS (SELECT count(*)::BIGINT AS nc FROM femb)
+         |c AS (SELECT count(*)::BIGINT AS nc FROM femb),
+         |u AS (SELECT count(*)::BIGINT AS nu FROM femb WHERE vec_id IS NOT NULL)
          |SELECT q.nq AS n_queries,
          |       (q.nq * least(5, greatest(c.nc - 1, 0)))::BIGINT AS n_exact,
          |       5000::BIGINT AS recall_floor_bp,
          |       1::BIGINT AS recall_ok,
-         |       c.nc AS n_union,
+         |       u.nu AS n_union,
          |       1::BIGINT AS served_all,
          |       1::BIGINT AS swap_identity,
          |       1::BIGINT AS quantizer_roundtrip
-         |FROM q, c""".stripMargin,
+         |FROM q, c, u""".stripMargin,
+
+    // ann_ivfpq_retrain: same deterministic facts as ann_ivf_retrain with
+    // the IVF-PQ serving floor (ann_ivfpq_topk's 3000 bp) — the Spark
+    // side proves the PQ re-encode arm by construction (swap identity
+    // INCLUDES the `_codes` column).
+    "ann_ivfpq_retrain" ->
+      s"""WITH femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+         |q AS (SELECT count(DISTINCT vec_id)::BIGINT AS nq FROM femb WHERE vec_id < 20),
+         |c AS (SELECT count(*)::BIGINT AS nc FROM femb),
+         |u AS (SELECT count(*)::BIGINT AS nu FROM femb WHERE vec_id IS NOT NULL)
+         |SELECT q.nq AS n_queries,
+         |       (q.nq * least(5, greatest(c.nc - 1, 0)))::BIGINT AS n_exact,
+         |       3000::BIGINT AS recall_floor_bp,
+         |       1::BIGINT AS recall_ok,
+         |       u.nu AS n_union,
+         |       1::BIGINT AS served_all,
+         |       1::BIGINT AS swap_identity,
+         |       1::BIGINT AS quantizer_roundtrip
+         |FROM q, c, u""".stripMargin,
 
     // Double Rabin-Karp over the normalized text's UTF-8 BYTES — the
     // byte stream comes back through hex(encode(t)) so multibyte text

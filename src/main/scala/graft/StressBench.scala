@@ -324,6 +324,122 @@ object StressBench {
         s"drift signal failed to rise: $drift0 -> $drift9")
     }
 
+    if (want("crawlrefresh")) {
+      // ---- the COMPOSED nightly refresh an octave (or two) up — the r12
+      // verdict's task 4: the stages are individually crossed at 100×,
+      // but crawl_refresh_e2e as a composition had only run at oracle
+      // scale (500 docs / 500 vecs). Five consecutive crawls over a
+      // `2000×factor`-doc corpus, each running the WHOLE pipeline —
+      // snapshot diff → incremental dedup → index append → tombstone
+      // compact — with a drift-triggered retrain firing inside the loop
+      // on the final (drifted) crawl. Claims to kill: a cross-stage
+      // blowup as crawls accumulate (the compact anti-join or the diff
+      // must not grow superlinearly per crawl: crawl 4 ≲ crawl 1), and
+      // recall surviving the whole append/compact/retrain history.
+      import graft.functions.SimilarityFunctions
+      val n = 2000L * factor // factor 10 → 20k docs+vecs, 100 → 200k
+      def text(idCol: org.apache.spark.sql.Column) = concat(lit("document body "),
+        idCol.cast("string"), lit(" token "), pmod(idCol, lit(977)).cast("string"),
+        lit(" filler"), pmod(idCol * 31, lit(1009)).cast("string"))
+      // the AnnIncrementalSpec-validated pair: a trig mix that clusters
+      // under spherical k-means (base), and jittered axis spikes the base
+      // quantizer never saw (drift that reliably crosses a 3×-base
+      // threshold — a uniform-hash corpus would NOT: its base error is
+      // already near the unit-sphere ceiling)
+      def embOf(df: DataFrame, drifted: Boolean): DataFrame =
+        if (!drifted) df.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)),
+            d => sin(col("doc_id") * (d + lit(1)) * 0.37) +
+              cos(col("doc_id") * 0.11) * (d + lit(1))).as("embedding"))
+        else df.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)),
+            d => when(d === pmod(col("doc_id"), lit(8)).cast("int"), lit(10.0))
+              .otherwise(sin(col("doc_id") * (d + lit(3)) * 1.7) * 6.0))
+            .as("embedding"))
+      def snap(ids: DataFrame) = ids.select(col("doc_id"), text(col("doc_id")).as("text"))
+      var oldSnap = snap(spark.range(n).select(col("id").as("doc_id")))
+        .localCheckpoint(true)
+      val inv = s"$tmp/crawlrefresh_inv"
+      var idx = timed("crawlrefresh_train_sec") {
+        SimilarityFunctions.ivfTrain(embOf(oldSnap, drifted = false),
+          "embedding", cells = 16, maxTrainRows = 50000L)
+      }
+      SimilarityFunctions.ivfAppendBatch(idx, inv, embOf(oldSnap, drifted = false),
+        "vec_id", "embedding", 0L)
+      val baseErr = SimilarityFunctions.quantizationErrorBp(idx,
+        embOf(oldSnap, drifted = false), "embedding")
+      var firstCrawlSec = 0.0; var steadyCrawlSec = 0.0
+      var retrained = false
+      (1 to 5).foreach { c =>
+        val driftedCrawl = c == 5
+        val t0 = System.nanoTime()
+        // the crawl: 5% of ids vanish, 10% fresh ids arrive (20% of the
+        // fresh are exact dups of surviving docs — dedup must drop them)
+        val removedIds = oldSnap.where(pmod(col("doc_id") + c, lit(20)) === 0)
+          .select(col("doc_id"))
+        val freshIds = spark.range(n / 10)
+          .select((col("id") + lit(c * 10000000L)).as("doc_id"))
+        val fresh = snap(freshIds).withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            text(pmod(col("doc_id"), lit(n)))).otherwise(col("text")))
+        val kept = oldSnap.join(removedIds, Seq("doc_id"), "left_anti")
+        val newSnap = kept.unionByName(fresh).localCheckpoint(true)
+        val delta = graft.operators.CorpusDiff.diff(oldSnap, newSnap,
+          "doc_id", "text").localCheckpoint(true)
+        val addedIds = delta.where(col("status") === "added").select(col("doc_id"))
+        val survivors = DedupFunctions.incrementalDedup(
+          newSnap.join(addedIds, Seq("doc_id")), oldSnap, "doc_id", "text")
+          .localCheckpoint(true)
+        val incEmb = embOf(survivors, driftedCrawl)
+        SimilarityFunctions.ivfAppendBatch(idx, inv, incEmb,
+          "vec_id", "embedding", c.toLong)
+        idx = SimilarityFunctions.ivfCompact(spark, inv, idx,
+          delta.where(col("status") === "removed").select(col("doc_id")), "doc_id")
+        // monitor → act: the drifted final crawl must trip the retrain
+        SimilarityFunctions.ivfRetrainIfDrifted(spark, inv, idx, incEmb,
+          "embedding", driftThresholdBp = baseErr * 3, cells = 16,
+          maxTrainRows = 50000L) match {
+          case Some(next) => idx = next; retrained = true
+            require(driftedCrawl, s"retrain fired on undrifted crawl $c")
+          case None =>
+            require(!driftedCrawl, "drifted crawl failed to trip the retrain")
+        }
+        oldSnap = newSnap
+        val sec = (System.nanoTime() - t0) / 1e9
+        out(s"crawlrefresh_crawl${c}_sec") = f"$sec%.2f"
+        if (c == 1) firstCrawlSec = sec
+        if (c == 4) steadyCrawlSec = sec
+      }
+      require(retrained, "the drift-triggered retrain never fired")
+      out("crawlrefresh_rows") = spark.read.parquet(inv).count().toString
+      // per-crawl cost must not grow with crawl history (compact
+      // anti-join, diff, and dedup all see ~the same corpus size each
+      // round) — crawl 4 within 2.5× of crawl 1 kills the blowup claim
+      require(steadyCrawlSec < firstCrawlSec * 2.5 + 5.0,
+        s"per-crawl cost grew with history: $firstCrawlSec -> $steadyCrawlSec")
+      // recall re-certification over the FINAL corpus through the
+      // swapped (retrained) index — served from the persisted artifacts
+      val servedIdx = SimilarityFunctions.ivfLoad(
+        SimilarityFunctions.ivfQuantizerPath(inv))
+      val finalEmb = spark.read.parquet(inv)
+        .select(col("neighbor_id").as("vec_id"),
+          col("_cv").as("embedding")).localCheckpoint(true)
+      val probes = finalEmb.where(pmod(col("vec_id"), lit(n / 10)) === 7)
+        .limit(20).localCheckpoint(true)
+      val truth = SimilarityFunctions.bruteForceTopK(finalEmb, probes,
+        "vec_id", "embedding", 5)
+      val approx = timed("crawlrefresh_search_sec") {
+        SimilarityFunctions.ivfSearch(spark.read.parquet(inv), probes,
+          servedIdx, "vec_id", "embedding", 5, nProbe = 8).localCheckpoint(true)
+      }
+      val tSel = truth.select(col("query_id").as("_q"), col("neighbor_id").as("_t"))
+      val hits = approx.join(tSel, approx("query_id") === col("_q") &&
+        approx("neighbor_id") === col("_t")).count()
+      val recallBp = hits * 10000 / math.max(truth.count(), 1L)
+      out("crawlrefresh_recall_bp") = recallBp.toString
+      require(recallBp >= 5000, s"post-refresh recall collapsed: $recallBp bp")
+    }
+
     if (want("bloom")) {
       // ---- Bloom incremental: 10× batch vs original corpus (exact matches
       // = the verbatim copy-0 docs; boilerplate originals differ)
@@ -726,6 +842,56 @@ object StressBench {
         require(df.filter(col("x").between(100, 299)).count() == 200)
         out(s"statsmeta_plan_ms_${n / 1000}k_rows") = f"$ms%.0f"
       }
+    }
+
+    if (want("statsprune1m")) {
+      // ---- the r12 verdict's composition ask: statsshard proved 902 ms
+      // planning at 100k REAL files and statsmeta proved manifest-size
+      // independence at 10⁶ SYNTHETIC rows — this section composes them:
+      // ONE real collection at ~10⁶ data files written through the
+      // sink's own insert path (real parquet files, real stats slices,
+      // real commit markers), then a selective pruned read whose
+      // PLANNING must stay sub-second because every batch dir is
+      // commit-marked (the steady-state streaming shape). Write cost is
+      // the price of honesty (~3.3 s per 1k one-row files at the
+      // statsshard octave); SPARK_GRAFT_STRESS_FILES1M overrides the
+      // file count for cheaper re-runs.
+      import graft.schema.CollectionId
+      val base = s"$tmp/statsprune1m"
+      val sink = new ColumnarSink(base, statsColumns = Seq("x"),
+        maxRecordsPerFile = 1) // 1 row per file
+      val id = CollectionId("p", "big")
+      val totalFiles =
+        sys.env.getOrElse("SPARK_GRAFT_STRESS_FILES1M", "1000000").toLong
+      val nBatches = 10
+      val per = totalFiles / nBatches
+      timed("statsprune1m_write_sec") {
+        (0 until nBatches).foreach { b =>
+          sink.insertBatch(id,
+            spark.range(b * per, (b + 1) * per)
+              .select(col("id").as("x"), (col("id") * 3).as("v"))
+              .repartition(32), b.toLong)
+        }
+      }
+      out("statsprune1m_files") = totalFiles.toString
+      val lo = per * 3 + 17 // mid-collection, inside batch 3
+      val hi = lo + 99
+      def plan(): (DataFrame, Double) = {
+        val t0 = System.nanoTime()
+        val df = sink.prunedRead(spark, id, Seq(("x", lo, hi)))
+        (df, (System.nanoTime() - t0) / 1e6)
+      }
+      plan() // warm: JIT + parquet footer caches, same as statsmeta
+      val (df, ms) = plan()
+      out("statsprune1m_plan_ms") = f"$ms%.0f"
+      val rows = df.filter(col("x").between(lo, hi)).count()
+      require(rows == 100, s"pruned read lost rows at 1M files: $rows")
+      out("statsprune1m_files_kept") =
+        df.select(input_file_name()).distinct().count().toString
+      // the claim: planning is commit-bounded, NOT file-bounded — at 10⁶
+      // real files it must hold statsmeta's sub-second flat line
+      require(ms < 3000,
+        f"trusted planning regressed to file-linear at 1M files: $ms%.0f ms")
     }
 
     if (want("crashstats")) {

@@ -878,10 +878,23 @@ object SimilarityFunctions {
                 shortlist: Int = 0): DataFrame = {
     val ivf = ivfTrain(corpus, vecCol, cells, seed)
     val pq = pqTrain(corpus, vecCol, m, codes, seed)
-    val inv = ivf.assign(corpus, idCol, vecCol)
-      .join(pq.encode(corpus, idCol, vecCol), Seq("neighbor_id"))
+    // one map-only pass builds the combined inverted file (an id join
+    // against encode() would shuffle AND fan out on duplicate ids)
+    val inv = withCodes(ivf.assign(corpus, idCol, vecCol), Some(pq))
     ivfPqSearch(inv, queries, ivf, pq, idCol, vecCol, k, nProbe, shortlist)
   }
+
+  /** PQ codes computed IN the assignment pass: `_cv` is the raw vector
+    * cast to array<double> — exactly encode()'s input — so the codes are
+    * bit-identical with zero shuffle and no duplicate-id fan-out.
+    */
+  private def withCodes(assigned: DataFrame, pq: Option[PqIndex]): DataFrame =
+    pq match {
+      case Some(p) => assigned.withColumn("_codes",
+        expressions.PqExpressions.pq_encode(
+          col("_cv").cast("array<double>"), p.codebooks))
+      case None => assigned
+    }
 
   // ------------------------------------------- incremental maintenance
 
@@ -906,14 +919,33 @@ object SimilarityFunctions {
   def ivfAppend(index: IvfIndex, invPath: String, newCorpus: DataFrame,
                 idCol: String, vecCol: String,
                 pq: Option[PqIndex] = None): Unit = {
-    invGuard(newCorpus.sparkSession, invPath, expectBatchDirs = false)
-    val assigned = index.assign(newCorpus, idCol, vecCol)
-    val rows = pq match {
-      case Some(p) =>
-        assigned.join(p.encode(newCorpus, idCol, vecCol), Seq("neighbor_id"))
-      case None => assigned
-    }
+    val spark = newCorpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(invPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseIfSwapLocked(fs, invPath)
+    refuseStaleQuantizer(fs, invPath, index)
+    invGuard(spark, invPath, expectBatchDirs = false)
+    val epoch0 = readEpoch(fs, invPath)
+    // PQ codes ride the SAME map-only pass over `_cv` (no id join: a join
+    // against encode() would both shuffle the increment and fan out k×k
+    // on duplicate ids — the any-data hostile drill caught exactly that)
+    val rows = withCodes(index.assign(newCorpus, idCol, vecCol), pq)
     rows.write.mode("append").parquet(invPath)
+    // POST-validation (see ivfAppendBatch): root-level part files cannot
+    // be forwarded by the swap (indistinguishable from pre-read files),
+    // and a blind replay of a ROOT-LEVEL append duplicates rows when the
+    // rebuild already carried the increment — so the failure instructs
+    // the caller to reconcile by id, not to replay blindly.
+    val epoch1 = readEpoch(fs, invPath)
+    if (epoch0.isEmpty && epoch1.isEmpty) writeEpoch(fs, invPath)
+    else if (epoch1 != epoch0)
+      throw new IllegalStateException(
+        s"ivfAppend raced a retrain/compact swap at $invPath (index epoch " +
+          s"changed $epoch0 -> $epoch1 during the append): the increment " +
+          "may or may not be in the published index. Verify by id " +
+          "(anti-join the increment against the index) before re-appending " +
+          "— a blind replay can duplicate rows. Use ivfAppendBatch for the " +
+          "crash-safe, replayable layout.")
   }
 
   /** Effectively-once streaming variant of [[ivfAppend]] — the crawl as a
@@ -932,15 +964,52 @@ object SimilarityFunctions {
     */
   def ivfAppendBatch(index: IvfIndex, invPath: String, newCorpus: DataFrame,
                      idCol: String, vecCol: String, batchId: Long,
-                     pq: Option[PqIndex] = None): Unit = {
-    invGuard(newCorpus.sparkSession, invPath, expectBatchDirs = true)
-    val assigned = index.assign(newCorpus, idCol, vecCol)
-    val rows = pq match {
-      case Some(p) =>
-        assigned.join(p.encode(newCorpus, idCol, vecCol), Seq("neighbor_id"))
-      case None => assigned
-    }
+                     pq: Option[PqIndex] = None): Unit =
+    ivfAppendBatchHooked(index, invPath, newCorpus, idCol, vecCol, batchId, pq)
+
+  /** [[ivfAppendBatch]] with a test seam: `testAfterWrite` runs between
+    * the batch write landing and the post-validation — the swap-race
+    * window AnnIncrementalSpec injects a full retrain into.
+    */
+  private[graft] def ivfAppendBatchHooked(
+      index: IvfIndex, invPath: String, newCorpus: DataFrame,
+      idCol: String, vecCol: String, batchId: Long,
+      pq: Option[PqIndex] = None,
+      testAfterWrite: () => Unit = () => ()): Unit = {
+    val spark = newCorpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(invPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // MECHANIZED retrain-vs-appender exclusion (the out-of-band contract
+    // used to be prose): a swap in progress fails the append LOUDLY
+    // before any write...
+    refuseIfSwapLocked(fs, invPath)
+    refuseStaleQuantizer(fs, invPath, index)
+    invGuard(spark, invPath, expectBatchDirs = true)
+    val epoch0 = readEpoch(fs, invPath)
+    // map-only PQ encode — see ivfAppend (join fan-out on duplicate ids)
+    val rows = withCodes(index.assign(newCorpus, idCol, vecCol), pq)
     rows.write.mode("overwrite").parquet(s"$invPath/batch=$batchId")
+    testAfterWrite()
+    // ...and a swap that began AFTER the lock pre-check (the write was
+    // in flight) is detected post-write by the epoch bump: the batch may
+    // sit in the retired dir (the swap forwards not-in-B0 dirs before
+    // deleting it), in the published index, or nowhere — replaying the
+    // increment is ALWAYS safe here because batch-keyed writes overwrite
+    // their own directory. Never a silent drop: either this throw fires
+    // or the batch is in the live index.
+    val epoch1 = readEpoch(fs, invPath)
+    if (epoch1 != epoch0)
+      throw new IllegalStateException(
+        s"ivfAppendBatch raced a retrain/compact swap at $invPath (index " +
+          s"epoch changed $epoch0 -> $epoch1 during the append): replay " +
+          s"the increment — batch=$batchId overwrites its own directory, " +
+          "so the replay is idempotent.")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$invPath/batch=$batchId")))
+      throw new IllegalStateException(
+        s"ivfAppendBatch: batch=$batchId vanished from $invPath after the " +
+          "write (a concurrent swap or delete removed it): replay the " +
+          "increment.")
+    if (epoch0.isEmpty) writeEpoch(fs, invPath) // bootstrap on first append
   }
 
   /** Canonical location of the quantizer JSON co-located with an
@@ -950,6 +1019,78 @@ object SimilarityFunctions {
     * file served against the old centroids would return wrong cells.
     */
   def ivfQuantizerPath(invPath: String): String = s"$invPath/_quantizer.json"
+
+  /** Epoch marker inside the index dir (underscore-prefixed: parquet
+    * reads never see it). Appenders read it before and after their write;
+    * [[ivfRetrain]]/[[ivfCompact]] publish a BUMPED epoch inside the
+    * staged dir, so any append whose write overlapped a swap observes the
+    * change and fails loudly instead of vanishing — the index-side
+    * equivalent of the sink's commit markers.
+    */
+  def ivfEpochPath(invPath: String): String = s"$invPath/_graft_epoch"
+
+  /** Swap lock SIBLING of the index dir (it must survive the dir being
+    * renamed out from under it). Held for the whole retrain/compact;
+    * appenders refuse while it exists.
+    */
+  def ivfSwapLockPath(invPath: String): String = s"$invPath.swaplock"
+
+  private def readEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                        invPath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(ivfEpochPath(invPath))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeEpoch(fs: org.apache.hadoop.fs.FileSystem, invPath: String,
+                         epoch: String = java.util.UUID.randomUUID().toString): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(ivfEpochPath(invPath)), true)
+    try out.write(epoch.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def refuseIfSwapLocked(fs: org.apache.hadoop.fs.FileSystem,
+                                 invPath: String): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(ivfSwapLockPath(invPath))
+    if (fs.exists(lock))
+      throw new IllegalStateException(
+        s"a retrain/compact swap is in progress on $invPath (lock $lock): " +
+          "quiesce appends until it completes. If a swap CRASHED and left " +
+          "the lock behind, remove the lock file after confirming no swap " +
+          "is running — the next ivfRetrain/ivfCompact self-heals a " +
+          "half-published index and sweeps orphaned staging dirs.")
+  }
+
+  /** An append carrying assignments from a quantizer OTHER than the one
+    * co-located with the index (a retrain swapped underneath a long-lived
+    * appender that never reloaded) would land rows in cells the serving
+    * quantizer never probes — silently invisible to every search. The
+    * persisted JSON round-trips doubles exactly, so a byte compare against
+    * `index.toJson` is an exact staleness test, one tiny file read per
+    * append.
+    */
+  private def refuseStaleQuantizer(fs: org.apache.hadoop.fs.FileSystem,
+                                   invPath: String, index: IvfIndex): Unit = {
+    val qp = new org.apache.hadoop.fs.Path(ivfQuantizerPath(invPath))
+    if (fs.exists(qp)) {
+      val in = fs.open(qp)
+      val persisted =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      if (persisted != index.toJson)
+        throw new IllegalStateException(
+          s"append against $invPath uses a STALE quantizer (a retrain " +
+            "swapped the index since this IvfIndex was loaded): reload " +
+            s"via ivfLoad(ivfQuantizerPath(invPath)) and re-assign the " +
+            "increment — appending old-quantizer cells would make the " +
+            "rows invisible to searches.")
+    }
+  }
 
   /** Drift-triggered retrain + rebuild — the act that closes the
     * incremental lifecycle ([[ivfTrain]] once → [[ivfAppend]]/
@@ -963,13 +1104,24 @@ object SimilarityFunctions {
     * cell-independent), and atomically swap the index dir: the rebuilt
     * file stages beside the live one, the new quantizer lands INSIDE it
     * at [[ivfQuantizerPath]], and two renames publish both together.
-    * Readers either see the old consistent pair or the new one; a crash
-    * before the swap leaves the live index untouched (rerun retrain), a
-    * crash between the renames leaves the staged dir complete on disk.
+    * Readers either see the old consistent pair or the new one.
     *
-    * Run OUT OF BAND like sink compaction: quiesce the appender (let its
-    * offsets commit) around the swap — an uncommitted increment replayed
-    * AFTER retrain would land beside rows the rebuild already carries.
+    * The retrain-vs-appender exclusion is MECHANIZED (it used to be a
+    * prose contract): the whole swap holds a sibling lock file that
+    * [[ivfAppend]]/[[ivfAppendBatch]] refuse on; an append already past
+    * its lock pre-check is caught by the epoch bump it observes after its
+    * write (replay is idempotent for batch-keyed layouts); a racing batch
+    * dir that landed in the retired copy or the rename gap is re-derived
+    * under the NEW quantizer and forwarded into the published index —
+    * never silently dropped. Batch-keyed rebuilds preserve each row's
+    * original `batch=` partition, so a post-swap streaming replay
+    * overwrites its own directory instead of duplicating rows. Crash
+    * recovery is mechanized too: a crash between the publish renames
+    * self-heals on the next retrain (after the operator removes the
+    * stale lock), and orphaned `.retired-*`/`.retrain-*` dirs are swept.
+    * Appenders also verify their in-memory quantizer against the
+    * co-located JSON, so a long-lived appender that missed a swap fails
+    * loudly instead of writing cells no search would probe.
     * Returns the new index; serve with it (or re-load via
     * `ivfLoad(ivfQuantizerPath(invPath))` after a driver restart).
     */
@@ -1004,33 +1156,181 @@ object SimilarityFunctions {
   private def retrainWith(spark: org.apache.spark.sql.SparkSession,
                           invPath: String,
                           fit: DataFrame => IvfIndex,
-                          rebuild: (DataFrame, IvfIndex) => DataFrame): IvfIndex = {
+                          rebuild: (DataFrame, IvfIndex) => DataFrame): IvfIndex =
+    retrainWithHooked(spark, invPath, fit, rebuild)
+
+  /** [[retrainWith]] with test seams: `testBeforeRetire` runs after the
+    * staged rebuild is complete but before the live index is retired;
+    * `testBetweenRenames` runs inside the two-rename publish gap.
+    * AnnIncrementalSpec injects racing appends into both windows.
+    */
+  private[graft] def retrainWithHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      invPath: String,
+      fit: DataFrame => IvfIndex,
+      rebuild: (DataFrame, IvfIndex) => DataFrame,
+      testBeforeRetire: () => Unit = () => (),
+      testBetweenRenames: () => Unit = () => ()): IvfIndex = {
     val p = new org.apache.hadoop.fs.Path(invPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"ivfRetrain: no inverted file at $invPath")
-    val batchKeyed = fs.listStatus(p).exists(st => st.isDirectory &&
-      st.getPath.getName.startsWith("batch="))
-    val old = spark.read.parquet(invPath)
-    val union = if (old.columns.contains("batch")) old.drop("batch") else old
-    val next = fit(union)
-    val uuid = java.util.UUID.randomUUID().toString
-    val staging = s"$invPath.retrain-$uuid"
-    // keep the layout shape so the appender's invGuard contract survives
-    // the swap (batch-keyed stays batch-keyed; the rebuilt base uses a
-    // non-numeric key that no streaming batch id can overwrite)
-    val target = if (batchKeyed)
-      s"$staging/batch=retrain-${System.currentTimeMillis()}" else staging
-    rebuild(union, next).write.mode("overwrite").parquet(target)
-    next.save(ivfQuantizerPath(staging))
-    val retired = new org.apache.hadoop.fs.Path(s"$invPath.retired-$uuid")
-    if (!fs.rename(p, retired))
-      sys.error(s"ivfRetrain: could not retire the live index at $invPath")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p)) {
-      fs.rename(retired, p) // roll back: old index stays live
-      sys.error(s"ivfRetrain: could not publish the rebuilt index at $invPath")
-    }
-    fs.delete(retired, true)
-    next
+    val lock = new org.apache.hadoop.fs.Path(ivfSwapLockPath(invPath))
+    // 1. Take the swap lock (atomic create-if-absent): appenders refuse
+    // while it exists, so the only appends that can still race the swap
+    // are ones already past their own lock pre-check — the epoch bump
+    // catches those post-write. A crashed swap leaves the lock behind by
+    // design: appends stay blocked until an operator confirms and removes
+    // it (refuseIfSwapLocked's message), and the next retrain self-heals.
+    val lockOut =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"ivfRetrain: swap lock $lock already held — another retrain/" +
+              "compact is running, or a previous one crashed. Confirm and " +
+              "remove the lock to recover.", e)
+      }
+    lockOut.close()
+    try {
+      // 2. Self-heal a crash BETWEEN the publish renames: the live index
+      // sits stranded at <invPath>.retired-<uuid> with nothing at invPath
+      // — restore it and retrain normally (the staged dir is re-derived).
+      val parent = p.getParent
+      def siblings(prefix: String): Array[org.apache.hadoop.fs.Path] =
+        if (parent == null || !fs.exists(parent)) Array.empty
+        else fs.listStatus(parent).map(_.getPath)
+          .filter(_.getName.startsWith(prefix))
+      if (!fs.exists(p)) {
+        val stranded = siblings(s"${p.getName}.retired-")
+        require(stranded.length == 1,
+          s"ivfRetrain: no inverted file at $invPath and " +
+            s"${stranded.length} stranded .retired-* siblings — cannot " +
+            "self-heal ambiguously; restore the live index manually")
+        if (!fs.rename(stranded.head, p))
+          sys.error(s"ivfRetrain: could not restore the stranded index " +
+            s"${stranded.head} to $invPath")
+        System.err.println(s"[graft] ivfRetrain: restored stranded index " +
+          s"${stranded.head} -> $invPath (crash between publish renames)")
+      }
+      require(fs.exists(p), s"ivfRetrain: no inverted file at $invPath")
+      // 3. Orphan sweep: .retired-* (crash between publish and delete —
+      // its rows are already live) and .retrain-* (crash before publish)
+      // dirs from previous crashed swaps only leak disk; with the lock
+      // held nothing else references them.
+      (siblings(s"${p.getName}.retired-") ++ siblings(s"${p.getName}.retrain-"))
+        .foreach(fs.delete(_, true))
+      val batchKeyed = fs.listStatus(p).exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch="))
+      val old = spark.read.parquet(invPath)
+      // B0: the batch dirs the union read can see (spark.read lists
+      // eagerly, so dirs landing after THIS point are in neither the
+      // read nor B0 — exactly the set the forwarding below rescues).
+      val b0: Set[String] =
+        if (!batchKeyed) Set.empty
+        else fs.listStatus(p).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch=")).map(_.getPath.getName).toSet
+      // batch-keyed rebuilds PRESERVE the batch partitioning: each row is
+      // rewritten under its ORIGINAL batch dir, so a streaming replay of
+      // an increment whose offsets had not committed when the swap ran
+      // overwrites its own batch=N dir in the new index — idempotent —
+      // instead of landing a duplicate beside rows the rebuild merged.
+      // (The pre-r13 design merged everything into one batch=retrain-<ts>
+      // dir, leaving replay-after-retrain a documented caller hazard.)
+      val union = old
+      val next = fit(union)
+      val uuid = java.util.UUID.randomUUID().toString
+      val staging = s"$invPath.retrain-$uuid"
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      val frame = rebuild(union, next)
+      if (frame.isEmpty) {
+        // a plan with ZERO partitions takes Spark's write-at-least-one-
+        // file path, so the swapped dir stays schema-readable even when
+        // the rebuild removed every row (ivfCompact of the whole corpus);
+        // an empty multi-partition plan would emit no part files and the
+        // published index would fail schema inference forever after. The
+        // empty file keeps the dir layout (one batch= subdir) so the
+        // appender's invGuard contract survives the swap; `batch` must
+        // not double as a DATA column inside a batch= dir.
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          frame.schema.filterNot(_.name == "batch"))
+        val target = if (batchKeyed)
+          s"$staging/batch=retrain-${System.currentTimeMillis()}" else staging
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+          .write.mode("overwrite").parquet(target)
+      } else if (batchKeyed)
+        frame.write.partitionBy("batch").mode("overwrite").parquet(staging)
+      else frame.write.mode("overwrite").parquet(staging)
+      next.save(ivfQuantizerPath(staging))
+      writeEpoch(fs, staging) // publish = epoch bump (appenders validate)
+      testBeforeRetire()
+      // Holding pen for racing appends caught mid-swap: their rows were
+      // assigned under the OLD quantizer, so they cannot be moved into
+      // the published index verbatim — they re-run `rebuild` (re-assign,
+      // and re-encode under a retrained PQ codebook) first.
+      val strays = new org.apache.hadoop.fs.Path(s"$invPath.strays-$uuid")
+      def penStrayBatchDirs(dir: org.apache.hadoop.fs.Path): Unit =
+        if (batchKeyed && fs.exists(dir))
+          fs.listStatus(dir).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && n.startsWith("batch=") && !b0.contains(n)) {
+              if (!fs.exists(strays)) fs.mkdirs(strays)
+              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(strays, n))
+            }
+          }
+      val retired = new org.apache.hadoop.fs.Path(s"$invPath.retired-$uuid")
+      if (!fs.rename(p, retired))
+        sys.error(s"ivfRetrain: could not retire the live index at $invPath")
+      testBetweenRenames()
+      // Publish. An append that recreated invPath inside the rename gap
+      // has its freshly-landed batch dirs penned first (it then lands in
+      // the published index below; its own post-write epoch check still
+      // tells it to replay, which is idempotent for batch-keyed layouts).
+      // Hadoop's local rename FALLS BACK TO A COPY INTO an existing
+      // destination dir — returning true after silently nesting the
+      // staged index inside it — so the destination is cleared before
+      // renaming and nesting is detected + undone afterwards.
+      def publishOnce(): Boolean = {
+        if (fs.exists(p)) {
+          penStrayBatchDirs(p)
+          fs.delete(p, true) // committer leftovers only, data penned
+        }
+        if (!fs.rename(stagingPath, p)) false
+        else {
+          val nested = new org.apache.hadoop.fs.Path(p, stagingPath.getName)
+          if (!fs.exists(nested)) true
+          else { // copy-fallback nested us: restore staging, retry
+            fs.rename(nested, stagingPath)
+            false
+          }
+        }
+      }
+      if (!publishOnce() && !publishOnce()) {
+        if (fs.exists(p)) { penStrayBatchDirs(p); fs.delete(p, true) }
+        fs.rename(retired, p) // roll back: old index stays live
+        fs.delete(strays, true)
+        sys.error(s"ivfRetrain: could not publish the rebuilt index at $invPath")
+      }
+      // 4. Rescue appends that landed in the OLD dir after the union
+      // read: any batch dir in the retired copy that B0 didn't know is a
+      // racing increment the rebuild cannot contain — re-derive it under
+      // the NEW quantizer and land it in the published index instead of
+      // deleting it with the retired dir. (A dir in B0 needs no rescue:
+      // the rebuild rewrote its rows under its own batch= partition.)
+      penStrayBatchDirs(retired)
+      fs.delete(retired, true)
+      if (fs.exists(strays)) {
+        fs.listStatus(strays).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("batch=")) {
+            val strayRows = spark.read.parquet(st.getPath.toString)
+            rebuild(strayRows, next).drop("batch")
+              .write.mode("overwrite").parquet(s"$invPath/$n")
+          }
+        }
+        fs.delete(strays, true)
+      }
+      next
+    } finally fs.delete(lock, false)
   }
 
   /** The monitor → act wiring as one call, for the nightly-crawl loop:
@@ -1059,8 +1359,9 @@ object SimilarityFunctions {
     * vanished documents forever; running this beside the drift retrain
     * (or folding the removal into [[ivfRetrain]]'s own rebuild pass by
     * compacting first) is the recurring-crawl hygiene pass. Same
-    * out-of-band contract as retrain: quiesce the appender around the
-    * swap.
+    * mechanized swap protocol as retrain (lock + epoch bump + stray
+    * forwarding — see [[ivfRetrain]]); racing appends fail loudly or
+    * land, never vanish.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, invPath: String,
                  index: IvfIndex, removeIds: DataFrame,

@@ -311,6 +311,49 @@ object WinnowSelect {
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(c), w))
 }
 
+/** Order-independent mod-p checksum of an array<long>:
+  * `fold(0, (acc, x) => (acc + x % p) % p)` — the set-identity digest the
+  * fingerprint queries emit (engines may disagree on array ORDER but never
+  * on the folded value). Replaces the interpreted `aggregate` HOF on
+  * full-corpus paths: per-row lambda eval + boxing made the HOF the last
+  * interpreted fold in the repo (r12 verdict, "what's wrong" #4); this is
+  * a codegen'd tight loop. Negative elements fold exactly like the HOF
+  * (Java `%` semantics on both sides).
+  */
+case class ModPChecksum(child: Expression, p: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"mod_p_checksum needs array<long>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ModPChecksum.compute(input.asInstanceOf[ArrayData], p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ModPChecksum.compute($c, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): ModPChecksum =
+    copy(child = newChild)
+}
+
+object ModPChecksum {
+  def compute(xs: ArrayData, p: Long): Long = {
+    val n = xs.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      // a NULL element folds like the HOF's `acc + null % p` → NULL only
+      // under three-valued logic; winnow fingerprints are containsNull =
+      // false, so elements read as primitives here
+      acc = (acc + xs.getLong(i) % p) % p
+      i += 1
+    }
+    acc
+  }
+
+  def mod_p_checksum(c: Column, p: Long): Column =
+    ColumnBridge.column(ModPChecksum(ColumnBridge.expression(c), p))
+}
+
 case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

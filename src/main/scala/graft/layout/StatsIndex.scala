@@ -59,15 +59,26 @@ object StatsIndex {
     * (Hadoop `Path(String)` round-trips the path portion byte-exact —
     * including literal `%` from partition escaping — so stripping the
     * scheme prefix is the same result.)
+    *
+    * The fast path must also COLLAPSE duplicate/trailing slashes the way
+    * Hadoop `Path` does: listing/`input_file_name` keys come back
+    * slash-collapsed, so a caller-supplied dataDir like `/x//` or `/x/`
+    * returned verbatim would make every prefix compare fail — in the
+    * trusted steady-state plan that silently reads ZERO rows, not just
+    * slower. Any `//` or trailing `/` demotes to the Path fallback.
     */
-  private[graft] def normalize(p: String): String =
-    if (p.startsWith("/")) p
+  private[graft] def normalize(p: String): String = {
+    def clean(s: String): String =
+      if (!s.contains("//") && (s.length <= 1 || !s.endsWith("/"))) s
+      else new org.apache.hadoop.fs.Path(s).toUri.getPath
+    if (p.startsWith("/")) clean(p)
     else if (p.startsWith("file:")) {
       val rest = p.substring(5)
-      if (!rest.startsWith("//")) rest // file:/x
-      else if (rest.length > 2 && rest.charAt(2) == '/') rest.substring(2) // file:///x
+      if (!rest.startsWith("//")) clean(rest) // file:/x
+      else if (rest.length > 2 && rest.charAt(2) == '/') clean(rest.substring(2)) // file:///x
       else new org.apache.hadoop.fs.Path(p).toUri.getPath // file://host/x
     } else new org.apache.hadoop.fs.Path(p).toUri.getPath
+  }
 
   private def fsOf(p: org.apache.hadoop.fs.Path,
                    spark: SparkSession): org.apache.hadoop.fs.FileSystem =

@@ -335,6 +335,192 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(inv).count() == 650)
   }
 
+  // ------------------------------------------------------------------
+  // Mechanized retrain-vs-appender exclusion (r12 verdict task 1): an
+  // append racing a swap must either FAIL LOUDLY or LAND in the
+  // published index — never vanish silently.
+  // ------------------------------------------------------------------
+
+  test("swap lock: appends and a second swap refuse loudly while a retrain is in flight") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_lock").toString
+    val inv = s"$tmp/inv"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    var appendErr: Option[IllegalStateException] = None
+    var retrainErr: Option[IllegalStateException] = None
+    SimilarityFunctions.retrainWithHooked(spark, inv,
+      df => SimilarityFunctions.ivfTrain(df, "_cv", cells = 8),
+      (u, n) => u.withColumn("_cell",
+        element_at(graft.functions.expressions.IvfExpressions.ivf_rank_cells(
+          col("_cv"), n.clusterCenters, 1), 1)),
+      testBeforeRetire = () => {
+        appendErr = Some(intercept[IllegalStateException] {
+          SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(400, 450),
+            "vec_id", "embedding", 1L)
+        })
+        retrainErr = Some(intercept[IllegalStateException] {
+          SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+        })
+      })
+    assert(appendErr.get.getMessage.contains("swap"),
+      s"append-vs-swap error not actionable: ${appendErr.get.getMessage}")
+    assert(retrainErr.get.getMessage.contains("lock"),
+      s"swap-vs-swap error not actionable: ${retrainErr.get.getMessage}")
+    // the lock is released after the swap: normal operation resumes
+    SimilarityFunctions.ivfAppendBatch(
+      SimilarityFunctions.ivfLoad(SimilarityFunctions.ivfQuantizerPath(inv)),
+      inv, vecs(400, 450), "vec_id", "embedding", 1L)
+    assert(spark.read.parquet(inv).count() == 450)
+  }
+
+  test("an append landing in the swap window is forwarded into the published index, re-assigned under the NEW quantizer") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_fwd").toString
+    val inv = s"$tmp/inv"
+    val v1 = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    // simulate appends already past their lock pre-check whose writes
+    // land (a) just before the live dir is retired and (b) inside the
+    // rename gap — raw writes, exactly what the committer's final rename
+    // produces
+    val next = SimilarityFunctions.retrainWithHooked(spark, inv,
+      df => SimilarityFunctions.ivfTrain(df, "_cv", cells = 8, seed = 7L),
+      (u, n) => u.withColumn("_cell",
+        element_at(graft.functions.expressions.IvfExpressions.ivf_rank_cells(
+          col("_cv"), n.clusterCenters, 1), 1)),
+      testBeforeRetire = () =>
+        v1.assign(vecs(400, 460), "vec_id", "embedding")
+          .write.parquet(s"$inv/batch=7"),
+      testBetweenRenames = () =>
+        v1.assign(vecs(460, 500), "vec_id", "embedding")
+          .write.parquet(s"$inv/batch=8"))
+    val pub = spark.read.parquet(inv)
+    assert(pub.count() == 500,
+      s"racing appends were dropped by the swap: ${pub.count()}")
+    // the rescued rows carry NEW-quantizer cells (verbatim forwarding
+    // would leave them invisible to post-retrain searches)
+    assert(sortedRows(pub.select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(next.assign(vecs(0, 500), "vec_id", "embedding")
+        .select(col("neighbor_id"), col("_cell"), col("_cv"))),
+      "forwarded increments diverge from a rebuild under the new quantizer")
+    // no residue: strays/staging/retired all cleaned up
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName).filterNot(_ == "inv")
+    assert(leftovers.isEmpty, s"swap left residue: ${leftovers.mkString(",")}")
+  }
+
+  test("an append whose write overlaps a full swap observes the epoch bump and fails loudly; the instructed replay converges") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_epoch").toString
+    val inv = s"$tmp/inv"
+    val v1 = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    // the append's batch=1 write lands, then a whole retrain runs before
+    // the appender's post-validation (its lock pre-check passed earlier)
+    val raced = intercept[IllegalStateException] {
+      SimilarityFunctions.ivfAppendBatchHooked(v1, inv, vecs(400, 500),
+        "vec_id", "embedding", 1L,
+        testAfterWrite =
+          () => { SimilarityFunctions.ivfRetrain(spark, inv, cells = 8); () })
+    }
+    assert(raced.getMessage.contains("replay"),
+      s"epoch-bump error not actionable: ${raced.getMessage}")
+    // nothing silently dropped: batch=1 was in the union the retrain read
+    // (it landed before), so the rebuild carries its rows already
+    assert(spark.read.parquet(inv).count() == 500)
+    // the instructed replay (after reloading the swapped quantizer) is
+    // idempotent — same 500 rows, now all under the new assignment
+    val v2 = SimilarityFunctions.ivfLoad(
+      SimilarityFunctions.ivfQuantizerPath(inv))
+    SimilarityFunctions.ivfAppendBatch(v2, inv, vecs(400, 500),
+      "vec_id", "embedding", 1L)
+    val after = spark.read.parquet(inv)
+    assert(after.count() == 500, s"replay duplicated rows: ${after.count()}")
+    assert(sortedRows(after.select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(v2.assign(vecs(0, 500), "vec_id", "embedding")
+        .select(col("neighbor_id"), col("_cell"), col("_cv"))))
+  }
+
+  test("a stale in-memory quantizer is refused after a swap (rows would land in unprobed cells)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_stale").toString
+    val inv = s"$tmp/inv"
+    val v1 = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    SimilarityFunctions.ivfRetrain(spark, inv, cells = 8, seed = 7L)
+    val stale = intercept[IllegalStateException] {
+      SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(400, 500),
+        "vec_id", "embedding", 1L)
+    }
+    assert(stale.getMessage.contains("STALE"),
+      s"stale-quantizer error not actionable: ${stale.getMessage}")
+    // reloading the co-located quantizer is the fix
+    val v2 = SimilarityFunctions.ivfLoad(
+      SimilarityFunctions.ivfQuantizerPath(inv))
+    SimilarityFunctions.ivfAppendBatch(v2, inv, vecs(400, 500),
+      "vec_id", "embedding", 1L)
+    assert(spark.read.parquet(inv).count() == 500)
+  }
+
+  test("crash between the publish renames self-heals on the next retrain; orphaned swap dirs are swept") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_heal").toString
+    val inv = s"$tmp/inv"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    val fs = new org.apache.hadoop.fs.Path(inv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state: live index stranded at .retired-<uuid>, a complete
+    // staging dir beside it, nothing at invPath (the operator has removed
+    // the stale lock per refuseIfSwapLocked's instructions)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(inv),
+      new org.apache.hadoop.fs.Path(s"$inv.retired-deadbeef")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inv.retrain-deadbeef/batch=0"))
+    // with the stale lock still present, recovery is refused with the
+    // actionable message
+    val lockP = new org.apache.hadoop.fs.Path(
+      SimilarityFunctions.ivfSwapLockPath(inv))
+    fs.create(lockP, false).close()
+    val locked = intercept[IllegalStateException] {
+      SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+    }
+    assert(locked.getMessage.contains("lock"))
+    fs.delete(lockP, false)
+    val next = SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+    val pub = spark.read.parquet(inv)
+    assert(pub.count() == 400, "self-heal lost rows")
+    assert(sortedRows(pub.select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(next.assign(vecs(0, 400), "vec_id", "embedding")
+        .select(col("neighbor_id"), col("_cell"), col("_cv"))))
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName).filterNot(_ == "inv")
+    assert(leftovers.isEmpty, s"orphans not swept: ${leftovers.mkString(",")}")
+  }
+
+  test("compacting away the whole corpus leaves a readable, append-able empty index") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_empty").toString
+    val inv = s"$tmp/inv"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 300), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(0, 300),
+      "vec_id", "embedding", 0L)
+    SimilarityFunctions.ivfCompact(spark, inv, ivf,
+      spark.range(0, 300).select($"id".as("doc_id")), "doc_id")
+    // the swapped dir must stay schema-readable (an empty multi-partition
+    // write emits no part files and would fail schema inference)
+    val emptied = spark.read.parquet(inv)
+    assert(emptied.count() == 0)
+    assert(emptied.columns.contains("neighbor_id") &&
+      emptied.columns.contains("_cell"))
+    // and the next crawl appends into the same layout
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(300, 350),
+      "vec_id", "embedding", 1L)
+    assert(spark.read.parquet(inv).count() == 50)
+  }
+
   test("IVF-PQ: appended codes serve identically to a rebuilt inverted file") {
     val tmp = java.nio.file.Files.createTempDirectory("ann_incr_pq").toString
     val base = vecs(0, 500)

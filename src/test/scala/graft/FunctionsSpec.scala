@@ -361,6 +361,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sfp.size === 1)
   }
 
+  test("mod_p_checksum: native fold is bit-identical to the aggregate HOF on any array") {
+    import spark.implicits._
+    import graft.functions.expressions.ModPChecksum.mod_p_checksum
+    val p = 1000000007L
+    // mixed magnitudes, negatives, empty — Java % semantics must match
+    val d = Seq(
+      Seq(1L, 2L, 3L), Seq.empty[Long], Seq(Long.MaxValue, Long.MaxValue - 1),
+      Seq(-5L, -1000000009L, 7L), Seq(0L), (1L to 200L).map(_ * 999999937L))
+      .toDF("xs")
+    val rows = d.select(
+        mod_p_checksum($"xs", p).as("native"),
+        aggregate($"xs", lit(0L), (acc, x) => (acc + x % p) % p).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+    // order independence (the set-digest contract) holds for NON-NEGATIVE
+    // elements — hash60 fingerprints always are; with negatives only the
+    // congruence class is order-free, not the Java-% representative
+    val nn = Seq(Seq(3L, 999999937L, 0L, Long.MaxValue, 12L)).toDF("xs")
+    val fwd = nn.select(mod_p_checksum($"xs", p)).head().getLong(0)
+    val rev = nn.select(mod_p_checksum(reverse($"xs"), p)).head().getLong(0)
+    assert(fwd == rev)
+  }
+
   test("winnow pairs: passage overlap found, staged path identical") {
     import spark.implicits._
     val passage = (1 to 20).map(i => s"shared$i").mkString(" ")

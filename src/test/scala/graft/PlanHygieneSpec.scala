@@ -307,6 +307,16 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprint query: native checksum fold, zero interpreted HOF lambdas") {
+    val p = plan("text_winnow_fp")
+    assert(p.contains("modpchecksum"), s"native checksum missing:\n$p")
+    // the interpreted aggregate/transform HOFs all render lambdafunction(…)
+    // — the last full-corpus interpreted fold was removed in r13; keep the
+    // whole query lambda-free
+    assert(!p.contains("lambdafunction"),
+      s"text_winnow_fp regained an interpreted HOF:\n$p")
+  }
+
   test("manifest-pruned read plans as a bare scan — no shuffle, no join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

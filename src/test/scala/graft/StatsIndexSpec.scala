@@ -406,6 +406,31 @@ class StatsIndexSpec extends SparkSpec {
       s"stale trusted entry not skipped (or too much lost): $after")
   }
 
+  test("a trailing-slash basePath still prunes correctly (normalize collapses // and trailing /)") {
+    import spark.implicits._
+    import graft.layout.StatsIndex.normalize
+    // the fast path must match Hadoop Path's slash collapsing — a verbatim
+    // `/x//` would make every dataPrefix compare fail and the TRUSTED plan
+    // silently read zero rows
+    assert(normalize("/x//y/") == "/x/y")
+    assert(normalize("/x/") == "/x")
+    assert(normalize("/") == "/")
+    assert(normalize("file:///x//y") == "/x/y")
+    assert(normalize("file:/x//y/") == "/x/y")
+    assert(normalize("/a/b") == "/a/b") // clean paths stay on the fast path
+    val base =
+      java.nio.file.Files.createTempDirectory("sidx_slash").toString + "/"
+    val sink = new graft.sinks.ColumnarSink(base, statsColumns = Seq("x"))
+    val id = graft.schema.CollectionId("p", "ev")
+    sink.insertBatch(id, spark.range(200).select($"id".as("x")), 0L)
+    sink.insertBatch(id, spark.range(200, 400).select($"id".as("x")), 1L)
+    val got = sink.prunedRead(spark, id, Seq(("x", 0L, 399L)))
+      .where($"x" <= 399).count()
+    assert(got == 400, s"trailing-slash basePath dropped rows: $got")
+    assert(sink.prunedRead(spark, id, Seq(("x", 250L, 399L)))
+      .where($"x".between(250, 399)).count() == 150)
+  }
+
   test("trust-the-manifest: a marked dir with no manifest rows (stats were off) is demoted to a walk") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sidx_demote").toString
