@@ -465,6 +465,30 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(inv).count() == 500)
   }
 
+  test("an append racing a COMPACT swap is forwarded through the same anti-join: tombstoned ids are purged from the stray too") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_fwd_c").toString
+    val inv = s"$tmp/inv"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    // the crawl's removed set covers ids the RACING append also carries:
+    // forwarding the stray verbatim would resurrect tombstoned docs
+    val gone = spark.range(0, 500, 5).select($"id".as("neighbor_id")).distinct()
+    SimilarityFunctions.retrainWithHooked(spark, inv,
+      _ => ivf, // compact: quantizer unchanged
+      (u, _) => u.join(gone, Seq("neighbor_id"), "left_anti"),
+      testBeforeRetire = () =>
+        ivf.assign(vecs(400, 500), "vec_id", "embedding")
+          .write.parquet(s"$inv/batch=7"))
+    val after = spark.read.parquet(inv)
+    assert(after.count() == 400, s"compact+forward row count: ${after.count()}")
+    assert(after.filter(pmod($"neighbor_id", lit(5)) === 0).count() == 0,
+      "forwarded stray resurrected tombstoned ids")
+    // the stray's SURVIVING ids are all present
+    assert(after.filter($"neighbor_id" >= 400).count() == 80)
+  }
+
   test("crash between the publish renames self-heals on the next retrain; orphaned swap dirs are swept") {
     val tmp = java.nio.file.Files.createTempDirectory("ann_heal").toString
     val inv = s"$tmp/inv"
