@@ -924,6 +924,7 @@ object SimilarityFunctions {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     refuseIfSwapLocked(fs, invPath)
     refuseStaleQuantizer(fs, invPath, index)
+    refuseStalePqCodebook(fs, invPath, pq)
     invGuard(spark, invPath, expectBatchDirs = false)
     val epoch0 = readEpoch(fs, invPath)
     // PQ codes ride the SAME map-only pass over `_cv` (no id join: a join
@@ -984,6 +985,7 @@ object SimilarityFunctions {
     // before any write...
     refuseIfSwapLocked(fs, invPath)
     refuseStaleQuantizer(fs, invPath, index)
+    refuseStalePqCodebook(fs, invPath, pq)
     invGuard(spark, invPath, expectBatchDirs = true)
     val epoch0 = readEpoch(fs, invPath)
     // map-only PQ encode — see ivfAppend (join fan-out on duplicate ids)
@@ -1028,6 +1030,32 @@ object SimilarityFunctions {
     * equivalent of the sink's commit markers.
     */
   def ivfEpochPath(invPath: String): String = s"$invPath/_graft_epoch"
+
+  /** Canonical location of the PQ codebook co-located with an inverted
+    * file (underscore-prefixed: parquet reads never see it). A PQ
+    * retrain re-encodes `_codes` in the rebuild pass — codes and
+    * codebook MUST publish atomically or a driver restart reconstructs
+    * ADC tables that mismatch every stored code — so [[ivfRetrain]]
+    * writes the fresh codebook inside the staged dir and the swap
+    * publishes both; swaps that keep the codes ([[ivfCompact]], a
+    * centroid-only retrain) carry an existing codebook forward.
+    * Reload both artifacts after a restart via [[ivfLoadArtifacts]].
+    */
+  def ivfPqCodebookPath(invPath: String): String = s"$invPath/_pq.json"
+
+  /** Driver-restart reload of everything the index dir self-describes:
+    * the co-located quantizer (must exist — retrain/compact always
+    * publish it) and the co-located PQ codebook when the index carries
+    * codes.
+    */
+  def ivfLoadArtifacts(spark: org.apache.spark.sql.SparkSession,
+                       invPath: String): (IvfIndex, Option[PqIndex]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pqP = new org.apache.hadoop.fs.Path(ivfPqCodebookPath(invPath))
+    val pq = if (pqP.getFileSystem(conf).exists(pqP))
+      Some(pqLoad(ivfPqCodebookPath(invPath), conf)) else None
+    (ivfLoad(ivfQuantizerPath(invPath)), pq)
+  }
 
   /** Swap lock SIBLING of the index dir (it must survive the dir being
     * renamed out from under it). Held for the whole retrain/compact;
@@ -1092,6 +1120,30 @@ object SimilarityFunctions {
     }
   }
 
+  /** Same staleness contract for the PQ codebook: codes appended under
+    * a codebook OTHER than the co-located one would score garbage under
+    * every ADC table built from the published codebook.
+    */
+  private def refuseStalePqCodebook(fs: org.apache.hadoop.fs.FileSystem,
+                                    invPath: String,
+                                    pq: Option[PqIndex]): Unit =
+    pq.foreach { p =>
+      val cb = new org.apache.hadoop.fs.Path(ivfPqCodebookPath(invPath))
+      if (fs.exists(cb)) {
+        val in = fs.open(cb)
+        val persisted =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        if (persisted != p.toJson)
+          throw new IllegalStateException(
+            s"append against $invPath uses a STALE PQ codebook (a PQ " +
+              "retrain swapped the index since this PqIndex was loaded): " +
+              "reload both artifacts via ivfLoadArtifacts(spark, invPath) " +
+              "and re-encode the increment — codes from the old codebook " +
+              "would score garbage under the published ADC tables.")
+      }
+    }
+
   /** Drift-triggered retrain + rebuild — the act that closes the
     * incremental lifecycle ([[ivfTrain]] once → [[ivfAppend]]/
     * [[ivfAppendBatch]] per crawl → [[quantizationErrorBp]] monitors →
@@ -1144,8 +1196,9 @@ object SimilarityFunctions {
         case None => reassigned
       }
     }
-    retrainWith(spark, invPath, ivfTrain(_, "_cv", cells, seed, maxTrainRows),
-      rebuilt)
+    retrainWithHooked(spark, invPath,
+      ivfTrain(_, "_cv", cells, seed, maxTrainRows), rebuilt,
+      pqJson = pq.map(_.toJson))
   }
 
   /** The rebuild + atomic-swap mechanics shared by [[ivfRetrain]] and
@@ -1169,6 +1222,7 @@ object SimilarityFunctions {
       invPath: String,
       fit: DataFrame => IvfIndex,
       rebuild: (DataFrame, IvfIndex) => DataFrame,
+      pqJson: Option[String] = None,
       testBeforeRetire: () => Unit = () => (),
       testBetweenRenames: () => Unit = () => ()): IvfIndex = {
     val p = new org.apache.hadoop.fs.Path(invPath)
@@ -1261,6 +1315,26 @@ object SimilarityFunctions {
         frame.write.partitionBy("batch").mode("overwrite").parquet(staging)
       else frame.write.mode("overwrite").parquet(staging)
       next.save(ivfQuantizerPath(staging))
+      // co-locate the PQ codebook with the codes it encodes: a fresh
+      // codebook (PQ retrain re-encoded `_codes`) stages here and
+      // publishes in the same swap; otherwise an existing codebook is
+      // carried forward (the codes are unchanged, so it stays valid)
+      val liveCodebook = new org.apache.hadoop.fs.Path(ivfPqCodebookPath(invPath))
+      val stagedJson: Option[String] = pqJson.orElse {
+        if (!fs.exists(liveCodebook)) None
+        else {
+          val in = fs.open(liveCodebook)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      }
+      stagedJson.foreach { j =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(ivfPqCodebookPath(staging)), true)
+        try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       writeEpoch(fs, staging) // publish = epoch bump (appenders validate)
       testBeforeRetire()
       // Holding pen for racing appends caught mid-swap: their rows were

@@ -489,6 +489,57 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(after.filter($"neighbor_id" >= 400).count() == 80)
   }
 
+  test("PQ retrain co-locates the fresh codebook; compact carries it forward; stale-codebook appends refused; restart reload serves identically") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_pqloc").toString
+    val inv = s"$tmp/inv"
+    val base = vecs(0, 400)
+    val v1 = SimilarityFunctions.ivfTrain(base, "embedding", cells = 8)
+    val v1Pq = SimilarityFunctions.pqTrain(base, "embedding", m = 4, codes = 8)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, base,
+      "vec_id", "embedding", 0L, pq = Some(v1Pq))
+    val drifted = driftedVecs(1000, 1400)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, drifted,
+      "vec_id", "embedding", 1L, pq = Some(v1Pq))
+    val union = base.unionByName(drifted)
+    val v2Pq = SimilarityFunctions.pqTrain(union, "embedding", m = 4, codes = 8)
+    val v2 = SimilarityFunctions.ivfRetrain(spark, inv, cells = 8,
+      pq = Some(v2Pq))
+    // the fresh codebook published ATOMICALLY with the codes it encodes
+    val (loadedIvf, loadedPq) = SimilarityFunctions.ivfLoadArtifacts(spark, inv)
+    assert(loadedPq.nonEmpty, "PQ retrain did not co-locate the codebook")
+    assert(loadedPq.get.toJson == v2Pq.toJson,
+      "co-located codebook diverged from the retrained one")
+    assert(loadedIvf.clusterCenters.map(_.toSeq).toSeq ==
+      v2.clusterCenters.map(_.toSeq).toSeq)
+    // a codes-preserving swap (compact) carries the codebook forward
+    SimilarityFunctions.ivfCompact(spark, inv, v2,
+      spark.range(0, 100).select($"id".as("doc_id")), "doc_id")
+    val (_, carried) = SimilarityFunctions.ivfLoadArtifacts(spark, inv)
+    assert(carried.map(_.toJson).contains(v2Pq.toJson),
+      "compact dropped the co-located codebook")
+    // appending codes from the SUPERSEDED codebook is refused loudly
+    val stale = intercept[IllegalStateException] {
+      SimilarityFunctions.ivfAppendBatch(v2, inv, vecs(2000, 2050),
+        "vec_id", "embedding", 2L, pq = Some(v1Pq))
+    }
+    assert(stale.getMessage.contains("STALE PQ"),
+      s"stale-codebook error not actionable: ${stale.getMessage}")
+    // the driver-restart shape: reload BOTH artifacts, append, serve —
+    // identical to serving with the in-memory pair
+    val (ri, rpq) = SimilarityFunctions.ivfLoadArtifacts(spark, inv)
+    SimilarityFunctions.ivfAppendBatch(ri, inv, vecs(2000, 2050),
+      "vec_id", "embedding", 2L, pq = rpq)
+    val served = spark.read.parquet(inv)
+    val probes = union.filter(col("vec_id") % 83 === 0)
+    val a = SimilarityFunctions.ivfPqSearch(served, probes, ri, rpq.get,
+      "vec_id", "embedding", 5, nProbe = 3)
+    val b = SimilarityFunctions.ivfPqSearch(served, probes, v2, v2Pq,
+      "vec_id", "embedding", 5, nProbe = 3)
+    assert(sortedRows(a) == sortedRows(b) && a.count() > 0,
+      "reloaded artifacts serve differently from the in-memory pair")
+  }
+
   test("crash between the publish renames self-heals on the next retrain; orphaned swap dirs are swept") {
     val tmp = java.nio.file.Files.createTempDirectory("ann_heal").toString
     val inv = s"$tmp/inv"
