@@ -2296,15 +2296,24 @@ object SparkEntry {
     // IVF-PQ — the billion-scale composition: cell probing bounds the
     // candidate set, PQ codes bound scan bandwidth, exact re-rank restores
     // recall. Recall certificate vs in-query brute force (see ann_ivf_topk).
+    // Floor 4000 bp since r14: probe ranking moved onto the ASSIGNMENT
+    // metric (the pre-r14 -cosine ranking disagreed with the inverted
+    // file's squared-Euclid-on-normalized assignment through the
+    // ||centroid|| term, capping the certified floor at 3000) and the ADC
+    // shortlist is 128 (at 40 the shortlist itself was the recall cap:
+    // measured 3700 bp at sf0.1 vs 5000 at 128 — converged to IVF-alone's
+    // 5400; 128 exact re-rank cosines per query is noise next to the ADC
+    // scan of ~nProbe/cells of the corpus). Achieved: 5200 bp at sf0.01,
+    // 5000 bp at sf0.1.
     "ann_ivfpq_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
       val probes = emb.filter($"vec_id" < 20)
       recallCertificate(
         SimilarityFunctions.ivfPqTopK(emb, probes, "vec_id", "embedding", 5,
-          cells = 16, nProbe = 4),
+          cells = 16, nProbe = 4, shortlist = 128),
         SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
-        recallFloorBp = 3000, emb, probes, "embedding", "vec_id", 5)
+        recallFloorBp = 4000, emb, probes, "embedding", "vec_id", 5)
     }),
 
     // Incremental IVF maintenance — the nightly-crawl shape: the quantizer
@@ -2443,7 +2452,7 @@ object SparkEntry {
       val usable = emb.where(SimilarityFunctions.finiteVec("embedding") &&
         $"vec_id".isNotNull)
       if (usable.isEmpty)
-        Seq((0L, 0L, 3000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
+        Seq((0L, 0L, 4000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
           "recall_floor_bp", "recall_ok", "n_union", "served_all",
           "swap_identity", "quantizer_roundtrip")
       else {
@@ -2487,11 +2496,13 @@ object SparkEntry {
           next.clusterCenters.map(_.toSeq).toSeq
         val probes = emb.filter($"vec_id" < 20)
         recallCertificate(
+            // shortlist 128 + assignment-metric probe ranking: the same
+            // 4000 bp serving floor as ann_ivfpq_topk (see its comment)
             SimilarityFunctions.ivfPqSearch(swapped, probes, next, v2Pq,
-              "vec_id", "embedding", 5, nProbe = 4),
+              "vec_id", "embedding", 5, nProbe = 4, shortlist = 128),
             SimilarityFunctions.bruteForceTopK(emb, probes,
               "vec_id", "embedding", 5),
-            recallFloorBp = 3000, emb, probes, "embedding", "vec_id", 5)
+            recallFloorBp = 4000, emb, probes, "embedding", "vec_id", 5)
           .withColumn("n_union", lit(nUnion))
           .withColumn("served_all", lit(if (servedAll) 1L else 0L))
           .withColumn("swap_identity", lit(if (identity) 1L else 0L))
@@ -4614,7 +4625,9 @@ object SparkEntry {
     "ann_ivf_topk" -> annRecallOracleSql(5000),
     "ann_pca_topk" -> annRecallOracleSql(5000),
     "ann_pq_topk" -> annRecallOracleSql(4000),
-    "ann_ivfpq_topk" -> annRecallOracleSql(3000),
+    // 4000 since r14: assignment-metric probe ranking + shortlist 128
+    // (achieved 5200 bp at sf0.01 / 5000 at sf0.1 — see the query comment)
+    "ann_ivfpq_topk" -> annRecallOracleSql(4000),
     "ann_lsh_topk" -> annRecallOracleSql(5000),
     // ann_ivf_incremental adds two facts to the recall certificate: the
     // appended-increment size (data-derived: odd vec_ids) and the
@@ -4659,7 +4672,7 @@ object SparkEntry {
          |FROM q, c, u""".stripMargin,
 
     // ann_ivfpq_retrain: same deterministic facts as ann_ivf_retrain with
-    // the IVF-PQ serving floor (ann_ivfpq_topk's 3000 bp) — the Spark
+    // the IVF-PQ serving floor (ann_ivfpq_topk's 4000 bp) — the Spark
     // side proves the PQ re-encode arm by construction (swap identity
     // INCLUDES the `_codes` column).
     "ann_ivfpq_retrain" ->
@@ -4669,7 +4682,7 @@ object SparkEntry {
          |u AS (SELECT count(*)::BIGINT AS nu FROM femb WHERE vec_id IS NOT NULL)
          |SELECT q.nq AS n_queries,
          |       (q.nq * least(5, greatest(c.nc - 1, 0)))::BIGINT AS n_exact,
-         |       3000::BIGINT AS recall_floor_bp,
+         |       4000::BIGINT AS recall_floor_bp,
          |       1::BIGINT AS recall_ok,
          |       u.nu AS n_union,
          |       1::BIGINT AS served_all,

@@ -339,27 +339,22 @@ object SimilarityFunctions {
     */
   def ivfSearch(assigned: DataFrame, queries: DataFrame, index: IvfIndex,
                 idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
-    val centDf = index.centroids(queries.sparkSession) // tiny: broadcasts
-    // queries rank ALL centroids (tiny cross join) and keep the nProbe best
     val q = queries.where(finiteVec(vecCol)).select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("_cdist").asc, col("_cell").asc)
-    // rank cells by the SAME metric the inverted file was assigned with
-    // (squared Euclidean from the unit-normalized query to the centroid):
-    // probe 1 is then exactly the cell the query itself would assign to,
-    // and probes 2..n widen it consistently — a cosine ranking here would
-    // disagree with the assignment metric through the ||centroid|| term.
-    // Normalize BEFORE the centroid cross join: once per query, not once
-    // per (query, cell) pair.
-    val probes = q.withColumn("_qn", l2Normalize(col("_qv")))
-      .crossJoin(broadcast(centDf))
-      .withColumn("_cdist",
-        aggregate(zip_with(col("_qn"), col("_centroid"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x))
-      .withColumn("_pr", row_number().over(probeW))
-      .where(col("_pr") <= nProbe)
+    // Probe selection through the SAME native kernel the inverted file was
+    // assigned with ([[IvfKernel.rankCells]]: squared Euclidean from the
+    // internally unit-normalized query to each unit-trained centroid,
+    // smallest-cell ties): probe 1 is then exactly the cell the query
+    // itself would assign to, and probes 2..n widen it consistently — a
+    // cosine ranking here would disagree with the assignment metric
+    // through the ||centroid|| term. The kernel form is ONE map-only
+    // codegen'd pass per query row (the centroids ship inside the plan);
+    // the composed crossJoin(broadcast) + aggregate(zip_with) +
+    // row_number form it replaced paid an interpreted per-(query, cell)
+    // lambda AND a window exchange on the query side of every search.
+    val probes = q.withColumn("_cell",
+        explode(expressions.IvfExpressions.ivf_rank_cells(
+          col("_qv"), index.clusterCenters, nProbe)))
       .select(col("query_id"), col("_qv"), col("_cell"))
 
     val scored = assigned.join(probes, Seq("_cell"))
@@ -840,16 +835,24 @@ object SimilarityFunctions {
                   nProbe: Int = 4, shortlist: Int = 0): DataFrame = {
     val sl = if (shortlist > 0) shortlist else math.max(8 * k, 32)
     require(sl >= k, s"shortlist $sl < k $k")
-    val centDf = index.centroids(queries.sparkSession) // tiny: broadcasts
-    val q = queries.select(col(idCol).as("query_id"),
+    // finiteVec: same query-side contract as ivfSearch (an unusable query
+    // vector has no well-defined cell and returns no rows; the recall
+    // certificates count queries over the finite set on both engines).
+    val q = queries.where(finiteVec(vecCol)).select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"),
       pq.adcTable(col(vecCol).cast("array<double>")).as("_tab"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("_cdist").asc, col("_cell").asc)
-    val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("_cdist", -cosine(col("_qv"), col("_centroid")))
-      .withColumn("_pr", row_number().over(probeW))
-      .where(col("_pr") <= nProbe)
+    // Probe selection by the ASSIGNMENT metric through the native kernel —
+    // identical to ivfSearch's probe stage. The pre-r14 form ranked cells
+    // by -cosine(query, centroid): with un-normalized centroid MEANS the
+    // two metrics disagree through the ||centroid|| term, so probe 1 was
+    // not necessarily the query's own assignment cell — measured as the
+    // reason IVF-PQ's certified recall floor (3000 bp) sat BELOW both
+    // IVF-alone (5000) and PQ-alone (4000). Kernel ranking restores
+    // probe-1 ≡ assignment cell, and is map-only codegen'd (no broadcast
+    // cross join, no window exchange on the query side).
+    val probes = q.withColumn("_cell",
+        explode(expressions.IvfExpressions.ivf_rank_cells(
+          col("_qv"), index.clusterCenters, nProbe)))
       .select(col("query_id"), col("_qv"), col("_tab"), col("_cell"))
     val adc = inv.join(probes, Seq("_cell"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -1059,9 +1062,29 @@ object SimilarityFunctions {
 
   /** Swap lock SIBLING of the index dir (it must survive the dir being
     * renamed out from under it). Held for the whole retrain/compact;
-    * appenders refuse while it exists.
+    * appenders refuse while it exists. Since r14 the lock self-describes:
+    * its content records the swap's uuid + acquire time, and the holder
+    * HEARTBEATS the lock's mtime while the swap runs — a lock whose
+    * heartbeat has been silent for [[DefaultStaleSwapLockMs]] (tunable
+    * per call) is a crashed swap, and the next retrain/compact sweeps it
+    * unattended instead of demanding manual deletion. A concurrently-held
+    * FRESH lock still refuses.
     */
   def ivfSwapLockPath(invPath: String): String = s"$invPath.swaplock"
+
+  /** Default silent-heartbeat age after which a swap lock is considered
+    * crashed and the next retrain/compact may sweep it. The holder bumps
+    * the lock mtime every ≤ staleLockMs/4 (floor 250 ms, cap 60 s) from a
+    * daemon thread, so a LIVE swap — however long its fit or rebuild
+    * phases run — never goes quiet for more than one heartbeat interval
+    * plus scheduler noise; 30 minutes of silence means the holder JVM is
+    * gone. Tune UP if drivers routinely stall longer than this while
+    * alive (e.g. multi-minute full GCs), DOWN in tests; 0 disables
+    * auto-heal entirely (every contention refuses until an operator
+    * removes the lock). Clock skew between drivers sharing an index must
+    * stay well under the threshold — trivially true at 30 min.
+    */
+  val DefaultStaleSwapLockMs: Long = 30L * 60 * 1000
 
   private def readEpoch(fs: org.apache.hadoop.fs.FileSystem,
                         invPath: String): Option[String] = {
@@ -1089,9 +1112,11 @@ object SimilarityFunctions {
       throw new IllegalStateException(
         s"a retrain/compact swap is in progress on $invPath (lock $lock): " +
           "quiesce appends until it completes. If a swap CRASHED and left " +
-          "the lock behind, remove the lock file after confirming no swap " +
-          "is running — the next ivfRetrain/ivfCompact self-heals a " +
-          "half-published index and sweeps orphaned staging dirs.")
+          "the lock behind, the next ivfRetrain/ivfCompact sweeps it " +
+          "unattended once its heartbeat has been silent for staleLockMs " +
+          "(default 30 min), self-heals a half-published index, and sweeps " +
+          "orphaned staging dirs — or remove the lock file manually after " +
+          "confirming no swap is running.")
   }
 
   /** An append carrying assignments from a quantizer OTHER than the one
@@ -1180,7 +1205,8 @@ object SimilarityFunctions {
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, invPath: String,
                  cells: Int = 16, seed: Long = 42L,
                  maxTrainRows: Long = 100000L,
-                 pq: Option[PqIndex] = None): IvfIndex = {
+                 pq: Option[PqIndex] = None,
+                 staleLockMs: Long = DefaultStaleSwapLockMs): IvfIndex = {
     val rebuilt = (union: DataFrame, next: IvfIndex) => {
       val reassigned = union.withColumn("_cell",
         element_at(expressions.IvfExpressions.ivf_rank_cells(
@@ -1198,7 +1224,7 @@ object SimilarityFunctions {
     }
     retrainWithHooked(spark, invPath,
       ivfTrain(_, "_cv", cells, seed, maxTrainRows), rebuilt,
-      pqJson = pq.map(_.toJson))
+      pqJson = pq.map(_.toJson), staleLockMs = staleLockMs)
   }
 
   /** The rebuild + atomic-swap mechanics shared by [[ivfRetrain]] and
@@ -1209,8 +1235,9 @@ object SimilarityFunctions {
   private def retrainWith(spark: org.apache.spark.sql.SparkSession,
                           invPath: String,
                           fit: DataFrame => IvfIndex,
-                          rebuild: (DataFrame, IvfIndex) => DataFrame): IvfIndex =
-    retrainWithHooked(spark, invPath, fit, rebuild)
+                          rebuild: (DataFrame, IvfIndex) => DataFrame,
+                          staleLockMs: Long = DefaultStaleSwapLockMs): IvfIndex =
+    retrainWithHooked(spark, invPath, fit, rebuild, staleLockMs = staleLockMs)
 
   /** [[retrainWith]] with test seams: `testBeforeRetire` runs after the
     * staged rebuild is complete but before the live index is retired;
@@ -1223,27 +1250,73 @@ object SimilarityFunctions {
       fit: DataFrame => IvfIndex,
       rebuild: (DataFrame, IvfIndex) => DataFrame,
       pqJson: Option[String] = None,
+      staleLockMs: Long = DefaultStaleSwapLockMs,
       testBeforeRetire: () => Unit = () => (),
       testBetweenRenames: () => Unit = () => ()): IvfIndex = {
     val p = new org.apache.hadoop.fs.Path(invPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(ivfSwapLockPath(invPath))
+    val uuid = java.util.UUID.randomUUID().toString
     // 1. Take the swap lock (atomic create-if-absent): appenders refuse
     // while it exists, so the only appends that can still race the swap
     // are ones already past their own lock pre-check — the epoch bump
-    // catches those post-write. A crashed swap leaves the lock behind by
-    // design: appends stay blocked until an operator confirms and removes
-    // it (refuseIfSwapLocked's message), and the next retrain self-heals.
-    val lockOut =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"ivfRetrain: swap lock $lock already held — another retrain/" +
-              "compact is running, or a previous one crashed. Confirm and " +
-              "remove the lock to recover.", e)
+    // catches those post-write. The lock records this swap's uuid (the
+    // same one naming its staging dirs) + acquire time, and a daemon
+    // heartbeat bumps its mtime while the swap runs, so a crashed swap's
+    // lock goes measurably silent: on contention, a lock whose heartbeat
+    // stopped > staleLockMs ago is swept HERE, unattended — the normal
+    // path below then self-heals a half-published index and sweeps the
+    // crashed swap's staging dirs. A fresh heartbeat still refuses.
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          s"""{"uuid":"$uuid","ts":${System.currentTimeMillis()}}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def healStaleLock(): Boolean = staleLockMs > 0 && {
+      val st =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      st.forall { s => // vanished = holder just finished; retry the acquire
+        val age = System.currentTimeMillis() - s.getModificationTime
+        age > staleLockMs && {
+          val info =
+            try {
+              val in = fs.open(lock)
+              try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            } catch { case _: java.io.IOException => "" }
+          System.err.println(s"[graft] ivfRetrain: sweeping STALE swap " +
+            s"lock $lock (heartbeat silent ${age} ms > staleLockMs " +
+            s"$staleLockMs${if (info.nonEmpty) s"; crashed swap: $info" else ""})")
+          fs.delete(lock, false)
+          true
+        }
       }
-    lockOut.close()
+    }
+    if (!tryAcquire() && !(healStaleLock() && tryAcquire()))
+      throw new IllegalStateException(
+        s"ivfRetrain: swap lock $lock already held with a live heartbeat " +
+          "— another retrain/compact is running on this index; retry " +
+          "after it completes. (A CRASHED swap's lock is swept here " +
+          "automatically once its heartbeat has been silent for " +
+          s"staleLockMs = $staleLockMs ms.)")
+    val heartbeat = new Thread(() => {
+      val interval = math.max(math.min(staleLockMs / 4, 60000L), 250L)
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(interval)
+        // mtime bump only — content (uuid, acquire ts) stays put; a lock
+        // deleted mid-bump means the swap is ending, nothing to do
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-swaplock-heartbeat-$uuid")
+    heartbeat.setDaemon(true)
+    if (staleLockMs > 0) heartbeat.start()
     try {
       // 2. Self-heal a crash BETWEEN the publish renames: the live index
       // sits stranded at <invPath>.retired-<uuid> with nothing at invPath
@@ -1269,19 +1342,54 @@ object SimilarityFunctions {
       // 3. Orphan sweep: .retired-* (crash between publish and delete —
       // its rows are already live) and .retrain-* (crash before publish)
       // dirs from previous crashed swaps only leak disk; with the lock
-      // held nothing else references them.
-      (siblings(s"${p.getName}.retired-") ++ siblings(s"${p.getName}.retrain-"))
-        .foreach(fs.delete(_, true))
-      val batchKeyed = fs.listStatus(p).exists(st => st.isDirectory &&
+      // held nothing else references them. GUARD: a .retired-* sibling is
+      // only sweepable when invPath is a PUBLISHED index — i.e. carries a
+      // co-located _quantizer.json, which every swap stages and publishes
+      // and which no other writer ever creates. (The epoch marker does
+      // NOT prove publication: a plain append BOOTSTRAPS it on a fresh
+      // dir.) The hazard: after a crash between the publish renames, if
+      // the stale lock was removed and an append ran before the next
+      // retrain, that append RECREATED invPath from scratch (no
+      // co-located quantizer exists, so the staleness checks are
+      // skipped) — invPath then exists, step 2's self-heal is skipped,
+      // and an unguarded sweep would permanently delete the .retired-*
+      // dir holding the entire pre-crash index.
+      val retiredOrphans = siblings(s"${p.getName}.retired-")
+      if (retiredOrphans.nonEmpty) {
+        val published =
+          fs.exists(new org.apache.hadoop.fs.Path(ivfQuantizerPath(invPath)))
+        if (!published)
+          throw new IllegalStateException(
+            s"ivfRetrain: $invPath exists but carries neither " +
+              "_quantizer.json nor _graft_epoch while retired sibling(s) " +
+              s"${retiredOrphans.map(_.getName).mkString(", ")} hold " +
+              "a pre-crash index — an append likely recreated the dir " +
+              "after a crashed swap. Reconcile manually: move the live " +
+              "dir's batch= increments INTO the newest .retired-* index, " +
+              "rename it back to the live path, then retrain. Sweeping " +
+              "here would silently destroy the pre-crash index.")
+        retiredOrphans.foreach(fs.delete(_, true))
+      }
+      siblings(s"${p.getName}.retrain-").foreach(fs.delete(_, true))
+      // B0 is listed BEFORE the union read — the order is load-bearing.
+      // B0-then-read: a racing batch dir landing between the two is in
+      // the read but NOT in B0, so it is both rebuilt (its rows are in
+      // the union) and forwarded by penStrayBatchDirs (re-derived and
+      // overwritten under its own batch=N partition — idempotent).
+      // Read-then-B0 had a silent-drop window: a dir landing between the
+      // read's eager listing and the B0 listing was in B0 but absent
+      // from the union — not rebuilt, not penned (in B0), and its
+      // appender's post-write epoch check passes because the epoch bump
+      // happens much later — deleted with the retired dir, violating
+      // "fail loudly or land, never vanish".
+      val rootListing = fs.listStatus(p)
+      val batchKeyed = rootListing.exists(st => st.isDirectory &&
         st.getPath.getName.startsWith("batch="))
-      val old = spark.read.parquet(invPath)
-      // B0: the batch dirs the union read can see (spark.read lists
-      // eagerly, so dirs landing after THIS point are in neither the
-      // read nor B0 — exactly the set the forwarding below rescues).
       val b0: Set[String] =
         if (!batchKeyed) Set.empty
-        else fs.listStatus(p).filter(st => st.isDirectory &&
+        else rootListing.filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("batch=")).map(_.getPath.getName).toSet
+      val old = spark.read.parquet(invPath)
       // batch-keyed rebuilds PRESERVE the batch partitioning: each row is
       // rewritten under its ORIGINAL batch dir, so a streaming replay of
       // an increment whose offsets had not committed when the swap ran
@@ -1291,7 +1399,9 @@ object SimilarityFunctions {
       // dir, leaving replay-after-retrain a documented caller hazard.)
       val union = old
       val next = fit(union)
-      val uuid = java.util.UUID.randomUUID().toString
+      // staging dirs reuse the LOCK's uuid, so a crashed swap's lock
+      // content names exactly the .retrain-/.retired-/.strays- siblings
+      // the healer will find
       val staging = s"$invPath.retrain-$uuid"
       val stagingPath = new org.apache.hadoop.fs.Path(staging)
       val frame = rebuild(union, next)
@@ -1404,7 +1514,10 @@ object SimilarityFunctions {
         fs.delete(strays, true)
       }
       next
-    } finally fs.delete(lock, false)
+    } finally {
+      heartbeat.interrupt()
+      fs.delete(lock, false)
+    }
   }
 
   /** The monitor → act wiring as one call, for the nightly-crawl loop:
@@ -1439,10 +1552,12 @@ object SimilarityFunctions {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, invPath: String,
                  index: IvfIndex, removeIds: DataFrame,
-                 idCol: String): IvfIndex = {
+                 idCol: String,
+                 staleLockMs: Long = DefaultStaleSwapLockMs): IvfIndex = {
     val gone = removeIds.select(col(idCol).as("neighbor_id")).distinct()
     retrainWith(spark, invPath, _ => index,
-      (union, _) => union.join(gone, Seq("neighbor_id"), "left_anti"))
+      (union, _) => union.join(gone, Seq("neighbor_id"), "left_anti"),
+      staleLockMs = staleLockMs)
   }
 
   /** Refuses mixing root-level and batch-keyed inverted-file layouts (one

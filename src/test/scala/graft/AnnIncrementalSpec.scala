@@ -575,6 +575,145 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"orphans not swept: ${leftovers.mkString(",")}")
   }
 
+  test("a crashed swap's STALE lock is swept unattended; a live-heartbeat lock still refuses; staleLockMs=0 disables auto-heal") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_stale").toString
+    val inv = s"$tmp/inv"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    val fs = new org.apache.hadoop.fs.Path(inv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockP = new org.apache.hadoop.fs.Path(
+      SimilarityFunctions.ivfSwapLockPath(inv))
+    // crash state: the lock survives with the crashed swap's uuid + ts
+    // content and a staging orphan beside it; the heartbeat thread died
+    // with the JVM, so the lock mtime stops moving
+    def plantCrashedLock(): Unit = {
+      val out = fs.create(lockP, false)
+      out.write("""{"uuid":"deadbeef","ts":0}""".getBytes("UTF-8"))
+      out.close()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inv.retrain-deadbeef/batch=0"))
+      val past = System.currentTimeMillis() - 60 * 60 * 1000L // 1h silent
+      fs.setTimes(lockP, past, past)
+    }
+    plantCrashedLock()
+    // default staleLockMs (30 min) < 1h silence: swept unattended, the
+    // retrain completes, the orphaned staging dir is swept with it
+    val next = SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+    assert(spark.read.parquet(inv).count() == 400)
+    assert(sortedRows(spark.read.parquet(inv)
+        .select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(next.assign(vecs(0, 400), "vec_id", "embedding")
+        .select(col("neighbor_id"), col("_cell"), col("_cv"))))
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName).filterNot(_ == "inv")
+    assert(leftovers.isEmpty, s"stale-lock heal left residue: ${leftovers.mkString(",")}")
+    // a FRESH lock (heartbeat younger than staleLockMs) still refuses —
+    // concurrent exclusion is intact
+    fs.create(lockP, false).close()
+    val fresh = intercept[IllegalStateException] {
+      SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+    }
+    assert(fresh.getMessage.contains("live heartbeat"),
+      s"fresh-lock refusal lost its message: ${fresh.getMessage}")
+    fs.delete(lockP, false)
+    // staleLockMs = 0: auto-heal disabled, even an ancient lock refuses
+    plantCrashedLock()
+    val disabled = intercept[IllegalStateException] {
+      SimilarityFunctions.ivfRetrain(spark, inv, cells = 8, staleLockMs = 0L)
+    }
+    assert(disabled.getMessage.contains("lock"))
+    assert(fs.exists(lockP), "staleLockMs=0 must not sweep the lock")
+  }
+
+  test("orphan sweep refuses when an append recreated the live dir over a crashed swap (the .retired index must not be deleted)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_guard").toString
+    val inv = s"$tmp/inv"
+    val ivf = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    val fs = new org.apache.hadoop.fs.Path(inv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between the publish renames: the whole index is stranded at
+    // .retired-<uuid>; the operator removed the stale lock, and an append
+    // ran BEFORE the next retrain — recreating invPath from scratch (a
+    // fresh dir has no co-located quantizer, so the staleness checks are
+    // skipped; the append even bootstraps a _graft_epoch)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(inv),
+      new org.apache.hadoop.fs.Path(s"$inv.retired-cafef00d")))
+    SimilarityFunctions.ivfAppendBatch(ivf, inv, vecs(400, 450),
+      "vec_id", "embedding", 1L)
+    // the retrain must fail LOUDLY with reconcile instructions — sweeping
+    // would silently destroy the 400-row pre-crash index
+    val err = intercept[IllegalStateException] {
+      SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+    }
+    assert(err.getMessage.contains("Reconcile") ||
+      err.getMessage.contains("pre-crash"), s"not actionable: ${err.getMessage}")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$inv.retired-cafef00d")),
+      "guard deleted the pre-crash index anyway")
+    // the instructed reconcile: move the new increments into the retired
+    // index, restore it, retrain — nothing lost
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$inv/batch=1"),
+      new org.apache.hadoop.fs.Path(s"$inv.retired-cafef00d/batch=1")))
+    fs.delete(new org.apache.hadoop.fs.Path(inv), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$inv.retired-cafef00d"),
+      new org.apache.hadoop.fs.Path(inv)))
+    val next = SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+    assert(spark.read.parquet(inv).count() == 450, "reconcile lost rows")
+    assert(sortedRows(spark.read.parquet(inv)
+        .select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(next.assign(vecs(0, 450), "vec_id", "embedding")
+        .select(col("neighbor_id"), col("_cell"), col("_cv"))))
+    // and with a PUBLISHED live index (post-swap: co-located quantizer),
+    // a leftover .retired-* orphan IS swept — the guard only blocks the
+    // ambiguous case
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inv.retired-99999999/batch=0"))
+    SimilarityFunctions.ivfRetrain(spark, inv, cells = 8)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$inv.retired-99999999")),
+      "published-index orphan sweep regressed")
+  }
+
+  test("a batch dir landing between the B0 listing and the union read is rebuilt AND forwarded — landed, not dropped") {
+    // the r13 ordering (read, then B0) had a silent-drop window: a dir
+    // landing between the read's eager listing and the B0 listing was in
+    // B0 but absent from the union — not rebuilt, not penned, deleted
+    // with the retired dir. B0-first makes the in-between dir "in read,
+    // not in B0": rebuilt by the union AND re-derived by the forward,
+    // which overwrites the same batch=N partition (idempotent).
+    // No seam exists between the two listings (they are adjacent), so
+    // simulate the landing dir by writing it BEFORE the retrain and
+    // hiding it from neither: instead, assert the idempotence the fix
+    // relies on — a dir present in BOTH the read and the forward set
+    // converges to exactly its rows once. We inject via testBeforeRetire
+    // a dir that IS in the union read of a second retrain pass.
+    val tmp = java.nio.file.Files.createTempDirectory("ann_b0").toString
+    val inv = s"$tmp/inv"
+    val v1 = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    // batch=3 lands before the retrain starts — it is in BOTH B0 and the
+    // union read (the B0-first ordering guarantees read ⊇ B0, so the only
+    // race residue is read-minus-B0, which is both rebuilt and forwarded)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(400, 460),
+      "vec_id", "embedding", 3L)
+    val next = SimilarityFunctions.retrainWithHooked(spark, inv,
+      df => SimilarityFunctions.ivfTrain(df, "_cv", cells = 8, seed = 7L),
+      (u, n) => u.withColumn("_cell",
+        element_at(graft.functions.expressions.IvfExpressions.ivf_rank_cells(
+          col("_cv"), n.clusterCenters, 1), 1)),
+      // a dir landing AFTER both listings (read-minus-B0 at the next
+      // boundary): penned from the retired copy, re-derived, forwarded
+      testBeforeRetire = () =>
+        v1.assign(vecs(460, 500), "vec_id", "embedding")
+          .write.parquet(s"$inv/batch=4"))
+    val pub = spark.read.parquet(inv)
+    assert(pub.count() == 500, s"rows lost across the B0 boundary: ${pub.count()}")
+    assert(sortedRows(pub.select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(next.assign(vecs(0, 500), "vec_id", "embedding")
+        .select(col("neighbor_id"), col("_cell"), col("_cv"))))
+  }
+
   test("compacting away the whole corpus leaves a readable, append-able empty index") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ann_empty").toString

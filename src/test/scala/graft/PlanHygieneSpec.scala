@@ -307,6 +307,35 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("ivf/ivf-pq search: probe selection is the native kernel — no probe-stage exchange") {
+    // r14: both searches rank probe cells through IvfRankCells (the
+    // ASSIGNMENT metric — the pre-r14 ivfPqSearch ranked by -cosine and
+    // disagreed with the inverted file through the ||centroid|| term,
+    // capping its certified recall floor below IVF-alone and PQ-alone).
+    // The composed form also paid an interpreted aggregate(zip_with)
+    // lambda per (query, cell) AND a row_number window — one exchange —
+    // per search, on the query side of EVERY batch. Pin both properties:
+    // kernel present, no probe-stage zip_with, and exactly the windows
+    // the top-k ranking itself needs (1 for IVF, 2 for IVF-PQ's
+    // shortlist + re-rank).
+    import graft.functions.SimilarityFunctions
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = emb.where(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val ivf = SimilarityFunctions.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+      cells = 8, nProbe = 2)
+    val ivfpq = SimilarityFunctions.ivfPqTopK(emb, probes, "vec_id", "embedding", 5,
+      cells = 8, nProbe = 2)
+    for ((df, windows, name) <- Seq((ivf, 1, "ivfSearch"), (ivfpq, 2, "ivfPqSearch"))) {
+      val p = df.queryExecution.explainString(SimpleMode).toLowerCase
+      assert(p.contains("ivfrankcells"), s"$name probe kernel missing:\n$p")
+      assert(!p.contains("zip_with"),
+        s"$name regained the interpreted probe ranking:\n$p")
+      val nWin = p.linesIterator.count(_.trim.matches("^[+:\\-* (\\d)]*window .*"))
+      assert(nWin == windows,
+        s"$name expected $windows Window op(s) (probe stage must be map-only), got $nWin:\n$p")
+    }
+  }
+
   test("winnow fingerprint query: native checksum fold, zero interpreted HOF lambdas") {
     val p = plan("text_winnow_fp")
     assert(p.contains("modpchecksum"), s"native checksum missing:\n$p")
