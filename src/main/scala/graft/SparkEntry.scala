@@ -2047,11 +2047,13 @@ object SparkEntry {
       import s.implicits._
       val sig = DedupFunctions.minhashSignature($"text", 12, 3)
       // checksum the signature with a modded sum: 12 values < 2^61 would
-      // overflow an int64 sum for short (few-shingle) documents
+      // overflow an int64 sum for short (few-shingle) documents. Native
+      // codegen'd fold — the aggregate(transform(...)) HOF was one of the
+      // two last interpreted full-corpus lambdas (r13 verdict task 4)
       docs(s, dir).select(
           $"doc_id",
-          aggregate(transform(sig, x => x % 1000003L), lit(0L), (a, x) => a + x)
-            .as("sig_sum"),
+          graft.functions.expressions.ModPElementSum
+            .mod_p_element_sum(sig, 1000003L).as("sig_sum"),
           array_min(sig).as("sig_min"),
           array_max(sig).as("sig_max"))
         .orderBy($"doc_id")

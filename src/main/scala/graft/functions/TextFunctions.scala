@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lower-cased whitespace tokens (empty tokens dropped). */
+  /** Lower-cased whitespace tokens (empty tokens dropped).
+    * `array_remove(_, "")` rather than `filter(_, length > 0)`: identical
+    * on split output (split never yields null elements, and its only
+    * zero-length products are literal `""`s from leading separators or
+    * empty input), but array_remove is a plain codegen'd expression while
+    * filter is an interpreted higher-order lambda — and tokens() sits
+    * under most full-corpus text paths.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   /** Whitespace token count — the cheap token-budget estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -82,8 +89,10 @@ object TextFunctions {
     val n = size(toks)
     val punct = length(text) - length(PunctChars.foldLeft(text)((c, p) =>
       replace(c, lit(p), lit(""))))
-    val longWordExtra = aggregate(toks, lit(0),
-      (acc, t) => acc + floor(length(t) / 8).cast("int"))
+    // native codegen'd fold (Σ floor(len/8) over tokens) — the composed
+    // aggregate(...) HOF was an interpreted per-row lambda on the
+    // full-corpus token-budget path; contract identical (see SumLenDiv)
+    val longWordExtra = expressions.SumLenDiv.sum_len_div(toks, 8)
     n + punct + longWordExtra
   }
 

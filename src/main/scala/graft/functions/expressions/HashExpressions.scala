@@ -311,6 +311,46 @@ object WinnowSelect {
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(c), w))
 }
 
+/** Shared shape of the native array<long> fold expressions
+  * ([[ModPChecksum]], [[ModPElementSum]]): a codegen'd tight loop with
+  * the HOF's exact three-valued-logic semantics — a NULL ELEMENT makes
+  * the whole fold NULL (`acc + null` is null and stays null), matching
+  * `aggregate(...)` bit-for-bit. The null check is compiled in only when
+  * the child's type says `containsNull = true`; the fingerprint hot
+  * paths are containsNull = false and keep the allocation-free
+  * primitive loop.
+  */
+private[expressions] trait LongArrayFold extends UnaryExpression {
+  def p: Long
+  /** primitive fast path — only reached when containsNull = false */
+  def computeName: String
+  /** boxed nullable path — returns null on any null element */
+  def computeBoxedName: String
+
+  override def dataType: DataType = LongType
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<long>, got $other")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elemNullable)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.expressions.$computeName($c, ${p}L)")
+    else nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.expressions.$computeBoxedName($c, ${p}L);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+}
+
 /** Order-independent mod-p checksum of an array<long>:
   * `fold(0, (acc, x) => (acc + x % p) % p)` — the set-identity digest the
   * fingerprint queries emit (engines may disagree on array ORDER but never
@@ -318,19 +358,14 @@ object WinnowSelect {
   * full-corpus paths: per-row lambda eval + boxing made the HOF the last
   * interpreted fold in the repo (r12 verdict, "what's wrong" #4); this is
   * a codegen'd tight loop. Negative elements fold exactly like the HOF
-  * (Java `%` semantics on both sides).
+  * (Java `%` semantics on both sides); a null element yields NULL like
+  * the HOF's three-valued fold.
   */
-case class ModPChecksum(child: Expression, p: Long) extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"mod_p_checksum needs array<long>, got $other")
-  }
+case class ModPChecksum(child: Expression, p: Long) extends LongArrayFold {
+  override def computeName: String = "ModPChecksum.compute"
+  override def computeBoxedName: String = "ModPChecksum.computeBoxed"
   override protected def nullSafeEval(input: Any): Any =
-    ModPChecksum.compute(input.asInstanceOf[ArrayData], p)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.expressions.ModPChecksum.compute($c, ${p}L)")
+    ModPChecksum.computeBoxed(input.asInstanceOf[ArrayData], p)
   override protected def withNewChildInternal(newChild: Expression): ModPChecksum =
     copy(child = newChild)
 }
@@ -341,17 +376,73 @@ object ModPChecksum {
     var acc = 0L
     var i = 0
     while (i < n) {
-      // a NULL element folds like the HOF's `acc + null % p` → NULL only
-      // under three-valued logic; winnow fingerprints are containsNull =
-      // false, so elements read as primitives here
       acc = (acc + xs.getLong(i) % p) % p
       i += 1
     }
     acc
   }
 
+  def computeBoxed(xs: ArrayData, p: Long): java.lang.Long = {
+    val n = xs.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      acc = (acc + xs.getLong(i) % p) % p
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   def mod_p_checksum(c: Column, p: Long): Column =
     ColumnBridge.column(ModPChecksum(ColumnBridge.expression(c), p))
+}
+
+/** Element-wise-mod-then-SUM of an array<long>:
+  * `fold(0, (acc, x) => acc + x % p)` — NO mod on the accumulator, so the
+  * value is the plain int64 sum of the mod-p residues. This is the
+  * signature-checksum shape (k residues < p each, so the sum of a
+  * bounded-k signature can never overflow) the minhash queries emit —
+  * distinct from [[ModPChecksum]], which keeps the accumulator reduced.
+  * Same contract as the `aggregate(transform(xs, x -> x % p), 0, +)` HOF
+  * it replaces on the full-corpus path: Java `%` on negatives, NULL on
+  * any null element.
+  */
+case class ModPElementSum(child: Expression, p: Long) extends LongArrayFold {
+  override def computeName: String = "ModPElementSum.compute"
+  override def computeBoxedName: String = "ModPElementSum.computeBoxed"
+  override protected def nullSafeEval(input: Any): Any =
+    ModPElementSum.computeBoxed(input.asInstanceOf[ArrayData], p)
+  override protected def withNewChildInternal(newChild: Expression): ModPElementSum =
+    copy(child = newChild)
+}
+
+object ModPElementSum {
+  def compute(xs: ArrayData, p: Long): Long = {
+    val n = xs.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += xs.getLong(i) % p
+      i += 1
+    }
+    acc
+  }
+
+  def computeBoxed(xs: ArrayData, p: Long): java.lang.Long = {
+    val n = xs.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      acc += xs.getLong(i) % p
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  def mod_p_element_sum(c: Column, p: Long): Column =
+    ColumnBridge.column(ModPElementSum(ColumnBridge.expression(c), p))
 }
 
 case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {

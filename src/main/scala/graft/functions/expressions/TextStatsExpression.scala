@@ -254,3 +254,76 @@ object TextStats {
   def textStats(c: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(c)))
 }
+
+/** Σ floor(numChars(token)/d) over an array<string> — the long-word
+  * subword-extra term of [[TextFunctions.subwordCountEstimate]] as ONE
+  * codegen'd pass. Replaces the interpreted
+  * `aggregate(toks, 0, (acc, t) => acc + floor(length(t)/8).cast("int"))`
+  * HOF on the full-corpus token-budget path (per-row lambda eval +
+  * boxing — the same rule that produced [[ModPChecksum]]). Contract is
+  * bit-identical to the HOF: code-point lengths (Spark `length` =
+  * `UTF8String.numChars`), `(int) floor(len / d.0)` per element — exact
+  * integer division for the non-negative lengths — int accumulator, and
+  * NULL on any null element (the HOF's three-valued fold). The null
+  * check compiles in only when the child type says containsNull = true;
+  * `tokens()` output is containsNull = false and keeps the primitive
+  * loop.
+  */
+case class SumLenDiv(child: Expression, d: Int) extends UnaryExpression {
+  require(d > 0, s"sum_len_div needs a positive divisor, got $d")
+  override def dataType: DataType = IntegerType
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sum_len_div needs array<string>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SumLenDiv.computeBoxed(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elemNullable)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.expressions.SumLenDiv.compute($c, $d)")
+    else nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Integer $boxed = graft.functions.expressions.SumLenDiv.computeBoxed($c, $d);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.intValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): SumLenDiv =
+    copy(child = newChild)
+}
+
+object SumLenDiv {
+  def compute(xs: org.apache.spark.sql.catalyst.util.ArrayData, d: Int): Int = {
+    val n = xs.numElements()
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += xs.getUTF8String(i).numChars() / d
+      i += 1
+    }
+    acc
+  }
+
+  def computeBoxed(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+                   d: Int): java.lang.Integer = {
+    val n = xs.numElements()
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      acc += xs.getUTF8String(i).numChars() / d
+      i += 1
+    }
+    java.lang.Integer.valueOf(acc)
+  }
+
+  def sum_len_div(c: Column, d: Int): Column =
+    ColumnBridge.column(SumLenDiv(ColumnBridge.expression(c), d))
+}

@@ -385,6 +385,59 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fwd == rev)
   }
 
+  test("mod_p_element_sum / sum_len_div: native folds bit-identical to their HOFs, null elements fold to NULL") {
+    import spark.implicits._
+    import graft.functions.expressions.ModPElementSum.mod_p_element_sum
+    import graft.functions.expressions.SumLenDiv.sum_len_div
+    val p = 1000003L
+    val d = Seq(
+      Seq(1L, 2L, 3L), Seq.empty[Long], Seq(Long.MaxValue, Long.MaxValue - 1),
+      Seq(-5L, -1000000009L, 7L), Seq(0L), (1L to 200L).map(_ * 999999937L))
+      .toDF("xs")
+    d.select(
+        mod_p_element_sum($"xs", p).as("native"),
+        aggregate(transform($"xs", x => x % p), lit(0L), (a, x) => a + x).as("hof"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+    val s = Seq(
+      Seq("a", "sevenchr", "exactly8", "overeight9", ""),
+      Seq.empty[String], Seq("日本語のテキストですよ"), // 11 code points
+      Seq("x" * 1000))
+      .toDF("ts")
+    s.select(
+        sum_len_div($"ts", 8).as("native"),
+        aggregate($"ts", lit(0), (acc, t) => acc + floor(length(t) / 8).cast("int")).as("hof"))
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"native=${r.getInt(0)} hof=${r.getInt(1)}"))
+    // null elements: all three natives return NULL like the three-valued
+    // HOF fold (ADVICE r13: getLong on a null slot silently read 0)
+    import graft.functions.expressions.ModPChecksum.mod_p_checksum
+    val withNulls = Seq(Seq[java.lang.Long](1L, null, 3L)).toDF("xs")
+    val r = withNulls.select(mod_p_checksum($"xs", p), mod_p_element_sum($"xs", p)).head()
+    assert(r.isNullAt(0) && r.isNullAt(1), s"null element must fold to NULL: $r")
+    val sNulls = Seq(Seq[String]("abcdefgh", null)).toDF("ts")
+    assert(sNulls.select(sum_len_div($"ts", 8)).head().isNullAt(0))
+    // and a null-free but containsNull=true-typed column still matches
+    val typedNullable = Seq(Seq[java.lang.Long](9L, 18L, -7L)).toDF("xs")
+    val tr = typedNullable.select(
+      mod_p_checksum($"xs", p).as("a"),
+      aggregate($"xs", lit(0L), (acc, x) => (acc + x % p) % p).as("b")).head()
+    assert(tr.getLong(0) == tr.getLong(1))
+  }
+
+  test("tokens(): array_remove form identical to the filter-lambda form") {
+    import spark.implicits._
+    val texts = Seq("", " ", "a b  c", "\tleading tab", "trailing  ",
+      "ONE\ntwo\r\nthree", "日本 語", "  ", "x", null).toDF("t")
+    val rows = texts.select(
+      graft.functions.TextFunctions.tokens($"t").as("a"),
+      filter(split(lower(trim($"t")), "\\s+"), x => length(x) > 0).as("b")).collect()
+    rows.foreach { r =>
+      assert((r.isNullAt(0) && r.isNullAt(1)) ||
+        r.getSeq[String](0) == r.getSeq[String](1), s"diverged: $r")
+    }
+  }
+
   test("winnow pairs: passage overlap found, staged path identical") {
     import spark.implicits._
     val passage = (1 to 20).map(i => s"shared$i").mkString(" ")

@@ -346,6 +346,20 @@ class PlanHygieneSpec extends SparkSpec {
       s"text_winnow_fp regained an interpreted HOF:\n$p")
   }
 
+  test("minhash signature and token estimate: native folds, zero interpreted HOF lambdas") {
+    // r14 (r13 verdict task 4): the signature mod-sum checksum and the
+    // long-word subword fold were the two remaining full-corpus
+    // interpreted folds; tokens()'s filter lambda went with them
+    // (array_remove). Keep both whole queries lambda-free.
+    for ((q, native) <- Seq("dedup_minhash_sig" -> "modpelementsum",
+                            "text_token_estimate" -> "sumlendiv")) {
+      val p = plan(q).toLowerCase
+      assert(p.contains(native), s"$q native fold missing:\n$p")
+      assert(!p.contains("lambdafunction"),
+        s"$q regained an interpreted HOF:\n$p")
+    }
+  }
+
   test("manifest-pruned read plans as a bare scan — no shuffle, no join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
