@@ -1799,8 +1799,9 @@ object SparkEntry {
         .withColumn("n_purged", lit(nBase - nKeptBase))
         .withColumn("n_index_total", lit(nKeptBase + nIndexed))
       if (nBase + nIndexed == 0)
-        counts(Seq((0L, 0L, 5000L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
-          "recall_floor_bp", "recall_ok", "new_in_index", "removed_purged"))
+        counts(Seq((0L, 0L, 5000L, 1L, 1L, 1L, 1L, 1L)).toDF("n_queries",
+          "n_exact", "recall_floor_bp", "recall_ok", "new_in_index",
+          "removed_purged", "drift_quiet", "index_untouched"))
       else {
         val tmp = java.nio.file.Files.createTempDirectory("graft_crawl").toString
         val inv = s"$tmp/inv"
@@ -1813,6 +1814,41 @@ object SparkEntry {
         if (nIndexed > 0)
           SimilarityFunctions.ivfAppendBatch(ivf, inv, incEmb,
             "vec_id", "embedding", 1L)
+        // NEGATIVE drift arm (the trigger arm is certified by
+        // ann_ivf_retrain/ann_ivfpq_retrain): an in-distribution crawl
+        // must leave the monitor QUIET — ivfRetrainIfDrifted returns
+        // None, the old index keeps serving, and nothing about the
+        // published artifact moves (same epoch bytes, same row count,
+        // still no co-located quantizer — a retrain would have published
+        // one). The threshold is the increment's own measured error, so
+        // `err > err` is false by construction on ANY corpus: the
+        // certificate pins the no-trigger CONTRACT (None ⇒ untouched),
+        // deterministically, not a data-dependent trigger decision.
+        val fsInv = new org.apache.hadoop.fs.Path(inv)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def fileContent(path: String): Option[String] = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          if (!fsInv.exists(p)) None
+          else {
+            val in = fsInv.open(p)
+            try Some(new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally in.close()
+          }
+        }
+        val epochBefore = fileContent(SimilarityFunctions.ivfEpochPath(inv))
+        val rowsBefore = s.read.parquet(inv).count()
+        val incErrBp = SimilarityFunctions.quantizationErrorBp(
+          ivf, if (nIndexed > 0) incEmb else baseEmb, "embedding")
+        val acted = SimilarityFunctions.ivfRetrainIfDrifted(s, inv, ivf,
+          if (nIndexed > 0) incEmb else baseEmb, "embedding",
+          driftThresholdBp = incErrBp, cells = 16)
+        val driftQuiet = acted.isEmpty
+        val untouched =
+          fileContent(SimilarityFunctions.ivfEpochPath(inv)) == epochBefore &&
+          s.read.parquet(inv).count() == rowsBefore &&
+          !fsInv.exists(new org.apache.hadoop.fs.Path(
+            SimilarityFunctions.ivfQuantizerPath(inv)))
         // the REMOVED half of the delta: tombstone-compact the vanished
         // docs out of the index (atomic swap, quantizer unchanged)
         if (!removedIds.isEmpty)
@@ -1837,6 +1873,8 @@ object SparkEntry {
           .transform(counts)
           .withColumn("new_in_index", lit(if (missing == 0) 1L else 0L))
           .withColumn("removed_purged", lit(if (lingering == 0) 1L else 0L))
+          .withColumn("drift_quiet", lit(if (driftQuiet) 1L else 0L))
+          .withColumn("index_untouched", lit(if (untouched) 1L else 0L))
       }
     }),
 
@@ -3890,7 +3928,9 @@ object SparkEntry {
          |       (SELECT count(*) FROM surv)::BIGINT AS n_survivors,
          |       (SELECT count(*) FROM ie)::BIGINT AS n_indexed,
          |       ((SELECT count(*) FROM be) - (SELECT count(*) FROM kb))::BIGINT AS n_purged,
-         |       nc.v AS n_index_total
+         |       nc.v AS n_index_total,
+         |       1::BIGINT AS drift_quiet,
+         |       1::BIGINT AS index_untouched
          |FROM nq, nc""".stripMargin,
 
     // DSIR replay: hashed-unigram bucket counts for target (src5) and raw
