@@ -440,6 +440,132 @@ object StressBench {
       require(recallBp >= 5000, s"post-refresh recall collapsed: $recallBp bp")
     }
 
+    if (want("swaprace")) {
+      // ---- REAL concurrent appender vs retrain loop (r13 verdict task
+      // 6): the spec suite injects its swap races through test seams;
+      // this section runs an actual streaming-shaped ivfAppendBatch
+      // consumer and an ivfRetrain loop on SEPARATE THREADS against one
+      // shared index for the whole appender run. The protocol's promise
+      // under fire: every batch either lands or the appender is told
+      // loudly to replay (batch-keyed overwrite = idempotent), retrains
+      // never lose rows, and nothing leaks. The end state must be EXACT:
+      // per-batch counts, total rows, swap-identity with a fresh rebuild
+      // under the final quantizer, zero residue dirs.
+      import graft.functions.SimilarityFunctions
+      val dim = 16
+      val perBatch = 2000L
+      val nBatches = sys.env.getOrElse("SPARK_GRAFT_SWAPRACE_BATCHES", "24").toInt
+      def batchDf(b: Int) = spark.range(b * perBatch, (b + 1) * perBatch)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => sin(col("id") * (i + lit(1)) * 0.37 + lit(b * 0.21)) +
+              cos(col("id") * 0.11) * (i + lit(1))).as("embedding"))
+      val inv = s"$tmp/swaprace_inv"
+      val idx0 = SimilarityFunctions.ivfTrain(batchDf(0), "embedding",
+        cells = 32, maxTrainRows = perBatch)
+      SimilarityFunctions.ivfAppendBatch(idx0, inv, batchDf(0),
+        "vec_id", "embedding", 0L)
+      val replays = new java.util.concurrent.atomic.AtomicInteger
+      val retrains = new java.util.concurrent.atomic.AtomicInteger
+      val retrainErrs = new java.util.concurrent.atomic.AtomicInteger
+      @volatile var appenderDone = false
+      @volatile var appenderErr: Option[Throwable] = None
+      val appender = new Thread(() => {
+        try {
+          var current = idx0
+          (1 until nBatches).foreach { b =>
+            var landed = false
+            var attempts = 0
+            while (!landed) {
+              attempts += 1
+              require(attempts <= 500, s"batch $b livelocked after 500 attempts")
+              try {
+                SimilarityFunctions.ivfAppendBatch(current, inv, batchDf(b),
+                  "vec_id", "embedding", b.toLong)
+                landed = true
+              } catch {
+                // refused (swap in flight / stale quantizer), told to
+                // replay (epoch bump), or the write itself died mid-swap
+                // (committer path renamed out from under it) — all
+                // converge the same way: reload the published artifacts
+                // and replay the SAME batch id
+                case scala.util.control.NonFatal(_) =>
+                  replays.incrementAndGet()
+                  Thread.sleep(50)
+                  val qp = new org.apache.hadoop.fs.Path(
+                    SimilarityFunctions.ivfQuantizerPath(inv))
+                  val fsI = qp.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration)
+                  if (fsI.exists(qp))
+                    current = SimilarityFunctions.ivfLoad(
+                      SimilarityFunctions.ivfQuantizerPath(inv))
+              }
+            }
+          }
+        } catch { case t: Throwable => appenderErr = Some(t) }
+        finally appenderDone = true
+      }, "swaprace-appender")
+      val retrainer = new Thread(() => {
+        while (!appenderDone) {
+          try {
+            SimilarityFunctions.ivfRetrain(spark, inv, cells = 32,
+              maxTrainRows = perBatch * 2)
+            retrains.incrementAndGet()
+          } catch {
+            case scala.util.control.NonFatal(t) =>
+              retrainErrs.incrementAndGet()
+              System.err.println(s"[stress] swaprace retrain error: ${t.getMessage}")
+          }
+          Thread.sleep(200)
+        }
+      }, "swaprace-retrainer")
+      timed("swaprace_total_sec") {
+        appender.start(); retrainer.start()
+        appender.join(); retrainer.join()
+      }
+      appenderErr.foreach(t =>
+        throw new IllegalStateException("swaprace appender died", t))
+      out("swaprace_batches") = nBatches.toString
+      out("swaprace_replays") = replays.get().toString
+      out("swaprace_retrains") = retrains.get().toString
+      out("swaprace_retrain_errors") = retrainErrs.get().toString
+      require(retrains.get() >= 1, "no retrain overlapped the appends — the race never ran")
+      require(retrainErrs.get() == 0,
+        s"${retrainErrs.get()} retrains failed (rollbacks keep data but the loop must converge)")
+      // EXACT end state: every batch present with exactly its own rows
+      val fin = spark.read.parquet(inv).localCheckpoint(true)
+      out("swaprace_rows") = fin.count().toString
+      require(fin.count() == perBatch * nBatches,
+        s"expected ${perBatch * nBatches} rows, found ${fin.count()}")
+      val byBatch = fin.groupBy(col("batch")).count().collect()
+      require(byBatch.length == nBatches &&
+        byBatch.forall(_.getLong(1) == perBatch),
+        s"per-batch counts off: ${byBatch.mkString(",")}")
+      // swap identity: the raced index is row-identical to a fresh
+      // rebuild of the union corpus under the FINAL published quantizer
+      val finalIdx = SimilarityFunctions.ivfLoad(
+        SimilarityFunctions.ivfQuantizerPath(inv))
+      val unionCorpus = (0 until nBatches).map(batchDf)
+        .reduce(_.unionByName(_))
+      val idCols = Seq(col("neighbor_id"), col("_cell"), col("_cv"))
+      val a = fin.select(idCols: _*)
+      val b = finalIdx.assign(unionCorpus, "vec_id", "embedding").select(idCols: _*)
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "raced index diverged from a fresh rebuild under the final quantizer")
+      // zero residue: no lock, no .retired-/.retrain-/.strays- siblings
+      val fsR = new org.apache.hadoop.fs.Path(inv)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val residue = fsR.listStatus(new org.apache.hadoop.fs.Path(tmp.toString))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("swaprace_inv") && n != "swaprace_inv")
+      require(residue.isEmpty, s"swap residue leaked: ${residue.mkString(",")}")
+      // and the raced index SERVES: probes find their own vectors
+      val probes = batchDf(1).where(col("vec_id") < perBatch + 20)
+      val served = SimilarityFunctions.ivfSearch(fin, probes, finalIdx,
+        "vec_id", "embedding", 5, nProbe = 4).count()
+      require(served > 0, "post-race search returned nothing")
+    }
+
     if (want("bloom")) {
       // ---- Bloom incremental: 10× batch vs original corpus (exact matches
       // = the verbatim copy-0 docs; boilerplate originals differ)

@@ -1371,24 +1371,43 @@ object SimilarityFunctions {
         retiredOrphans.foreach(fs.delete(_, true))
       }
       siblings(s"${p.getName}.retrain-").foreach(fs.delete(_, true))
-      // B0 is listed BEFORE the union read — the order is load-bearing.
-      // B0-then-read: a racing batch dir landing between the two is in
-      // the read but NOT in B0, so it is both rebuilt (its rows are in
-      // the union) and forwarded by penStrayBatchDirs (re-derived and
-      // overwritten under its own batch=N partition — idempotent).
-      // Read-then-B0 had a silent-drop window: a dir landing between the
-      // read's eager listing and the B0 listing was in B0 but absent
-      // from the union — not rebuilt, not penned (in B0), and its
-      // appender's post-write epoch check passes because the epoch bump
-      // happens much later — deleted with the retired dir, violating
-      // "fail loudly or land, never vanish".
+      // B0: a snapshot of every batch dir's committed-FILE signature
+      // (part-file name + length), taken BEFORE the union read. The swap
+      // later forwards (re-derives under the new quantizer + overwrites)
+      // any batch dir whose signature no longer matches — see
+      // penStrayBatchDirs. Signature compare, not name membership, is
+      // load-bearing: dir-level B0 lost rows in BOTH directions under a
+      // live concurrent appender —
+      //  * a dir created (with only an uncommitted _temporary tree)
+      //    before the B0 listing whose part files committed after the
+      //    read's listing was "in B0" yet contributed zero rows to the
+      //    rebuild: not penned, deleted with the retired dir, and the
+      //    appender's post-write epoch check passed because the publish
+      //    (epoch bump) came much later — a SILENT drop caught live by
+      //    the swaprace stress section;
+      //  * an at-least-once replay that deleted + rewrote a committed
+      //    dir mid-swap reopened the same window from the other side.
+      // Part files are immutable once renamed into place and rewrites
+      // always change the part-file UUIDs, so signature-equal at pen
+      // time ⟹ the dir never changed since B0 ⟹ the read (listed after
+      // B0) carried exactly these files and the rebuild holds its rows.
+      // Signature-unequal ⟹ forward: the re-derive reads the dir's FINAL
+      // committed content and overwrites its own batch=N partition —
+      // idempotent, so over-forwarding (a dir that changed but whose
+      // rows did make the read) is safe, merely redundant work.
       val rootListing = fs.listStatus(p)
       val batchKeyed = rootListing.exists(st => st.isDirectory &&
         st.getPath.getName.startsWith("batch="))
-      val b0: Set[String] =
-        if (!batchKeyed) Set.empty
+      def batchSig(dir: org.apache.hadoop.fs.Path): Set[(String, Long)] =
+        fs.listStatus(dir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath.getName, f.getLen)).toSet
+      val b0: Map[String, Set[(String, Long)]] =
+        if (!batchKeyed) Map.empty
         else rootListing.filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("batch=")).map(_.getPath.getName).toSet
+            st.getPath.getName.startsWith("batch="))
+          .map(st => st.getPath.getName -> batchSig(st.getPath)).toMap
       val old = spark.read.parquet(invPath)
       // batch-keyed rebuilds PRESERVE the batch partitioning: each row is
       // rewritten under its ORIGINAL batch dir, so a streaming replay of
@@ -1450,13 +1469,17 @@ object SimilarityFunctions {
       // Holding pen for racing appends caught mid-swap: their rows were
       // assigned under the OLD quantizer, so they cannot be moved into
       // the published index verbatim — they re-run `rebuild` (re-assign,
-      // and re-encode under a retrained PQ codebook) first.
+      // and re-encode under a retrained PQ codebook) first. A dir is a
+      // stray iff its committed-file signature is not the one B0
+      // recorded (new dir, files committed after the union read's
+      // listing, or a replay's delete+rewrite — see the B0 comment).
       val strays = new org.apache.hadoop.fs.Path(s"$invPath.strays-$uuid")
       def penStrayBatchDirs(dir: org.apache.hadoop.fs.Path): Unit =
         if (batchKeyed && fs.exists(dir))
           fs.listStatus(dir).foreach { st =>
             val n = st.getPath.getName
-            if (st.isDirectory && n.startsWith("batch=") && !b0.contains(n)) {
+            if (st.isDirectory && n.startsWith("batch=") &&
+                !b0.get(n).contains(batchSig(st.getPath))) {
               if (!fs.exists(strays)) fs.mkdirs(strays)
               fs.rename(st.getPath, new org.apache.hadoop.fs.Path(strays, n))
             }

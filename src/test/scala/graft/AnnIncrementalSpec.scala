@@ -676,17 +676,13 @@ class AnnIncrementalSpec extends SparkSpec {
 
   test("a batch dir landing between the B0 listing and the union read is rebuilt AND forwarded — landed, not dropped") {
     // the r13 ordering (read, then B0) had a silent-drop window: a dir
-    // landing between the read's eager listing and the B0 listing was in
-    // B0 but absent from the union — not rebuilt, not penned, deleted
-    // with the retired dir. B0-first makes the in-between dir "in read,
-    // not in B0": rebuilt by the union AND re-derived by the forward,
-    // which overwrites the same batch=N partition (idempotent).
-    // No seam exists between the two listings (they are adjacent), so
-    // simulate the landing dir by writing it BEFORE the retrain and
-    // hiding it from neither: instead, assert the idempotence the fix
-    // relies on — a dir present in BOTH the read and the forward set
-    // converges to exactly its rows once. We inject via testBeforeRetire
-    // a dir that IS in the union read of a second retrain pass.
+    // landing between the read's eager listing and the B0 snapshot was
+    // in B0 but absent from the union — not rebuilt, not penned, deleted
+    // with the retired dir. B0 is now a committed-FILE signature
+    // snapshot taken BEFORE the read: a dir whose signature at pen time
+    // is not exactly B0's is forwarded (re-derived from its final
+    // content, overwriting its own batch=N partition — idempotent), so
+    // over-forwarding a dir the read did carry is safe.
     val tmp = java.nio.file.Files.createTempDirectory("ann_b0").toString
     val inv = s"$tmp/inv"
     val v1 = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
@@ -712,6 +708,50 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(sortedRows(pub.select(col("neighbor_id"), col("_cell"), col("_cv")))
       == sortedRows(next.assign(vecs(0, 500), "vec_id", "embedding")
         .select(col("neighbor_id"), col("_cell"), col("_cv"))))
+  }
+
+  test("a batch dir REWRITTEN mid-swap (replay delete+rewrite) is forwarded with its final content — file-signature pen, not name membership") {
+    // the swaprace stress section caught the file-level hole a dir-name
+    // B0 leaves open: a dir can be "in B0" while its part files commit
+    // (or are deleted + rewritten by an at-least-once replay) after the
+    // union read's listing — zero/stale rows in the rebuild, pen skipped,
+    // content deleted with the retired dir, and the appender's epoch
+    // check passes because the publish comes later. The signature pen
+    // forwards ANY dir whose committed files changed since B0.
+    val tmp = java.nio.file.Files.createTempDirectory("ann_sig").toString
+    val inv = s"$tmp/inv"
+    val v1 = SimilarityFunctions.ivfTrain(vecs(0, 400), "embedding", cells = 8)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(0, 400),
+      "vec_id", "embedding", 0L)
+    SimilarityFunctions.ivfAppendBatch(v1, inv, vecs(400, 450),
+      "vec_id", "embedding", 1L)
+    val fs = new org.apache.hadoop.fs.Path(inv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = SimilarityFunctions.retrainWithHooked(spark, inv,
+      df => SimilarityFunctions.ivfTrain(df, "_cv", cells = 8, seed = 7L),
+      (u, n) => u.withColumn("_cell",
+        element_at(graft.functions.expressions.IvfExpressions.ivf_rank_cells(
+          col("_cv"), n.clusterCenters, 1), 1)),
+      testBeforeRetire = () => {
+        // the replay: batch=1's first attempt had already committed
+        // before the swap began (it IS in B0 and in the union read);
+        // mid-swap the appender replays it with DIFFERENT rows
+        fs.delete(new org.apache.hadoop.fs.Path(s"$inv/batch=1"), true)
+        v1.assign(vecs(400, 480), "vec_id", "embedding")
+          .write.parquet(s"$inv/batch=1")
+      })
+    val pub = spark.read.parquet(inv)
+    // the REWRITTEN content (80 rows) must win — the rebuild's stale
+    // 50-row copy of batch=1 is overwritten by the forward
+    assert(pub.count() == 480,
+      s"rewritten batch content lost or duplicated: ${pub.count()}")
+    assert(sortedRows(pub.select(col("neighbor_id"), col("_cell"), col("_cv")))
+      == sortedRows(next.assign(vecs(0, 480), "vec_id", "embedding")
+        .select(col("neighbor_id"), col("_cell"), col("_cv"))),
+      "forwarded rewrite diverges from a rebuild under the new quantizer")
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName).filterNot(_ == "inv")
+    assert(leftovers.isEmpty, s"swap left residue: ${leftovers.mkString(",")}")
   }
 
   test("compacting away the whole corpus leaves a readable, append-able empty index") {
