@@ -1837,7 +1837,7 @@ object SparkEntry {
           }
         }
         val epochBefore = fileContent(SimilarityFunctions.ivfEpochPath(inv))
-        val rowsBefore = s.read.parquet(inv).count()
+        val rowsBefore = nBase + nIndexed // what the two appends just wrote
         val incErrBp = SimilarityFunctions.quantizationErrorBp(
           ivf, if (nIndexed > 0) incEmb else baseEmb, "embedding")
         val acted = SimilarityFunctions.ivfRetrainIfDrifted(s, inv, ivf,
@@ -4096,8 +4096,12 @@ object SparkEntry {
     // NB replay: the full train+score round-trip — per-class integer
     // counts, one ln per (label,bucket) of an exact integer ratio
     // micro-nat-floored, integer per-doc sums, argmax with label tiebreak
+    // lang IS NOT NULL: unlabeled rows train nothing (a NULL "class"
+    // would be engine-divergent on argmax ties — Spark sorts nulls
+    // first ASC, DuckDB last; NaiveBayes.trainModel drops them)
     "nb_langid" ->
-      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+      s"""WITH tr AS (SELECT * FROM documents
+         |            WHERE doc_id % 5 != 0 AND lang IS NOT NULL),
          |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
          |nt AS (SELECT count(*)::BIGINT AS n FROM tr),
          |cls AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,

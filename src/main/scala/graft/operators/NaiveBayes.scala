@@ -107,13 +107,21 @@ object NaiveBayes {
   def trainModel(train: DataFrame, labelCol: String, textCol: String,
                  buckets: Int = 1024): NbModel = {
     require(buckets > 0, "buckets must be positive")
+    // A NULL label is an UNLABELED row, not a class: training it as one
+    // would both pollute the priors and make "no label" a predictable
+    // outcome — and the argmax tiebreak on a NULL "class" is
+    // engine-divergent (Spark sorts ASC nulls-first, ANSI engines
+    // nulls-last; fuzz seed 48 hit exactly that tie). Drop unlabeled
+    // rows before every training aggregate; the oracle mirrors the
+    // filter.
+    val labeled = train.where(col(labelCol).isNotNull)
     // the class table is label-count-sized — materialize it once (driver
     // collect would also be fine; localCheckpoint keeps it off-driver)
     // and feed both the model build and the scorer, so the training set
     // is aggregated twice (class stats + bucket counts), not four times.
-    val cls = classTable(train, labelCol, textCol, buckets)
+    val cls = classTable(labeled, labelCol, textCol, buckets)
       .localCheckpoint(true)
-    NbModel(cls, weightTableFrom(cls, train, labelCol, textCol, buckets),
+    NbModel(cls, weightTableFrom(cls, labeled, labelCol, textCol, buckets),
       buckets)
   }
 

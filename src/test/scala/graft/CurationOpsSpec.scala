@@ -577,6 +577,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(again === once)
   }
 
+  test("naive bayes: NULL-label rows train nothing — no null class, priors unpolluted") {
+    import graft.operators.NaiveBayes
+    // fuzz seed 48's find: a NULL "class" trained from unlabeled rows can
+    // TIE a real class on the prior-only argmax, and the tiebreak on a
+    // null label is engine-divergent (Spark ASC sorts nulls first, ANSI
+    // engines last). Unlabeled rows must be dropped before training.
+    val train = (Seq.tabulate(20)(i => (i.toLong, "spam", "buy cheap pills now win prize")) ++
+      Seq.tabulate(30)(i => (100L + i, "ham", "meeting notes agenda quarterly review")) ++
+      Seq.tabulate(40)(i => (200L + i, null: String, "unlabeled noise rows everywhere")))
+      .toDF("doc_id", "label", "text")
+    val model = NaiveBayes.trainModel(train, "label", "text")
+    val classes = model.classes.select("label").collect().map(_.getString(0)).toSet
+    assert(classes === Set("spam", "ham"), s"null class leaked: $classes")
+    // the empty doc's prior-only argmax is computed over LABELED rows
+    // only (ham 30/50), never over the unlabeled 40
+    val test = Seq((502L, "")).toDF("doc_id", "text")
+    val pred = NaiveBayes.classifyWith(model, test, "doc_id", "text").head()
+    assert(pred.getString(1) === "ham" && !pred.isNullAt(1))
+    // all-unlabeled training set: zero classes, zero predictions — not a
+    // crash, not a null class
+    val none = NaiveBayes.classify(test,
+      train.where($"label".isNull), "doc_id", "label", "text")
+    assert(none.isEmpty)
+  }
+
   test("naive bayes + tfidf: models survive a save/load round trip exactly") {
     import graft.operators.{NaiveBayes, Tfidf}
     val train = (Seq.tabulate(20)(i => (i.toLong, "spam", "buy cheap pills now win prize")) ++
