@@ -50,12 +50,12 @@ object SimilarityFunctions {
     * One corpus pass at write time; pairwise math then runs on small
     * integers (exact in double — products ≤ 127²·dims).
     */
-  def quantize8(vec: Column, maxAbs: Double = 1.0): Column = {
-    val scale = 127.0 / maxAbs
-    transform(vec.cast("array<double>"),
-      x => greatest(lit(-127.0), least(lit(127.0), floor(x * scale + 0.5)))
-        .cast("int"))
-  }
+  def quantize8(vec: Column, maxAbs: Double = 1.0): Column =
+    // native single pass — the composed transform(greatest(least(floor)))
+    // chain was an interpreted per-element lambda on the storage-tier
+    // encode path; semantics identical incl. Spark's NaN-sorts-greatest
+    // least/greatest ordering (see Quantize8)
+    expressions.VecExpressions.quantize8(vec, maxAbs)
 
   /** Exact brute-force top-k neighbors for each query vector.
     *
@@ -68,11 +68,15 @@ object SimilarityFunctions {
     * NaN/Infinity components poison cosine ranking non-portably (and
     * Spark ML's KMeans rejects them outright) — skipped everywhere, like
     * null signatures in the hash-dedup family; SQL replays mirror with
-    * isnan/isinf list filters.
+    * isnan/isinf list filters. Native codegen'd gate since r14: the
+    * composed `isNotNull && !exists(...)` paid an interpreted lambda per
+    * corpus row on EVERY ANN pass (the lambda-sweep audit counted it 48×
+    * in crawl_refresh_e2e's plan); [[expressions.FiniteVec]] is one
+    * early-exit loop with identical filter semantics (null array →
+    * false), no cast, no copy for float/double/int/long arrays.
     */
   def finiteVec(vecCol: String): Column =
-    col(vecCol).isNotNull && !expr(
-      s"exists($vecCol, x -> x IS NULL OR isnan(x) OR abs(x) = cast('Infinity' AS DOUBLE))")
+    expressions.VecExpressions.finite_vec(col(vecCol))
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {

@@ -425,6 +425,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(tr.getLong(0) == tr.getLong(1))
   }
 
+  test("finite_vec / quantize8: native kernels identical to the composed HOF forms") {
+    import spark.implicits._
+    import graft.functions.SimilarityFunctions
+    val rows = Seq(
+      Seq[java.lang.Double](1.0, -2.5, 3.25),
+      Seq[java.lang.Double](Double.NaN, 1.0),
+      Seq[java.lang.Double](Double.PositiveInfinity),
+      Seq[java.lang.Double](Double.NegativeInfinity, 0.0),
+      Seq[java.lang.Double](null, 1.0),
+      Seq.empty[java.lang.Double],
+      null)
+    val d = rows.toDF("v")
+    val composedFinite = org.apache.spark.sql.functions.col("v").isNotNull &&
+      !expr("exists(v, x -> x IS NULL OR isnan(x) OR abs(x) = cast('Infinity' AS DOUBLE))")
+    val both = d.select(
+      SimilarityFunctions.finiteVec("v").as("native"),
+      coalesce(composedFinite, lit(false)).as("composed")).collect()
+    both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), s"finite_vec diverged: $r"))
+    // float arrays (the parquet embedding type) and int arrays (the
+    // quantized tier) run the same gate without casts
+    val f = Seq(Seq(1.0f, Float.NaN), Seq(2.0f)).toDF("v")
+    assert(f.select(SimilarityFunctions.finiteVec("v")).collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false, true))
+    val iArr = Seq(Seq[java.lang.Integer](1, null), Seq[java.lang.Integer](5)).toDF("v")
+    assert(iArr.select(SimilarityFunctions.finiteVec("v")).collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false, true))
+    // quantize8 vs the composed chain — incl. NaN (Spark least/greatest
+    // order NaN GREATEST, so it clamps to 127), ±Inf, nulls, boundaries
+    val scale = 127.0
+    val q = d.where(col("v").isNotNull).select(
+      SimilarityFunctions.quantize8($"v", 1.0).as("native"),
+      transform($"v".cast("array<double>"),
+        x => greatest(lit(-127.0), least(lit(127.0), floor(x * scale + 0.5)))
+          .cast("int")).as("composed")).collect()
+    q.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"quantize8 diverged: native=${r.getSeq[Any](0)} composed=${r.getSeq[Any](1)}")
+    }
+  }
+
   test("tokens(): array_remove form identical to the filter-lambda form") {
     import spark.implicits._
     val texts = Seq("", " ", "a b  c", "\tleading tab", "trailing  ",

@@ -346,6 +346,21 @@ class PlanHygieneSpec extends SparkSpec {
       s"text_winnow_fp regained an interpreted HOF:\n$p")
   }
 
+  test("ANN family + crawl refresh: zero interpreted HOF lambdas anywhere") {
+    // r14 lambda-sweep: the finiteVec usability gate (`exists` lambda,
+    // evaluated per corpus row on EVERY ANN pass — 48 occurrences in
+    // crawl_refresh_e2e's plan alone) and the quantize8 transform chain
+    // are native kernels now; keep the whole family lambda-free
+    for (q <- Seq("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+                  "ann_pq_topk", "ann_pca_topk", "ann_lsh_topk",
+                  "ann_quantized_topk", "semantic_dedup",
+                  "dedup_embedding_pairs", "emb_centroid_outliers")) {
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"),
+        s"$q regained an interpreted HOF:\n$p")
+    }
+  }
+
   test("minhash signature and token estimate: native folds, zero interpreted HOF lambdas") {
     // r14 (r13 verdict task 4): the signature mod-sum checksum and the
     // long-word subword fold were the two remaining full-corpus
