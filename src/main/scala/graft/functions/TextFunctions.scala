@@ -28,9 +28,12 @@ object TextFunctions {
 
   /** Non-empty trimmed lines (CRLF-tolerant). Per-row array — the unit of
     * the line-level repetition signals in [[graft.operators.Repetition]].
+    * Native single pass ([[expressions.SplitLines]]) — the composed
+    * `filter(transform(split(...), trim), length > 0)` paid two
+    * interpreted lambdas per document; contract identical.
     */
   def lines(text: Column): Column =
-    filter(transform(split(text, "\\r?\\n"), l => trim(l)), l => length(l) > 0)
+    expressions.LineExpressions.split_lines(text)
 
   // ------------------------------------------------------- PII scrubbing
 

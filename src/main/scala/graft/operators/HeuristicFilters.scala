@@ -34,7 +34,13 @@ object HeuristicFilters {
     */
   private val TerminalPunct = "[.!?\"]$"
 
-  /** Line keep predicate, applied to one trimmed non-empty line. */
+  /** Line keep predicate, applied to one trimmed non-empty line. Kept as
+    * the composed PARITY REFERENCE for the native battery
+    * ([[graft.functions.expressions.C4KeptLines]] — same compiled
+    * terminal-punctuation regex, same word-run count, same lower-cased
+    * contains), which [[annotate]] uses on the hot path: the composed
+    * form re-split every line inside an interpreted per-line lambda.
+    */
   def lineKept(l: Column, minLineWords: Int): Column =
     l.rlike(TerminalPunct) &&
       size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
@@ -54,7 +60,8 @@ object HeuristicFilters {
     // vanishes from downstream `where(kept)` AND `where(!kept)` audits
     val t = coalesce(col(textCol), lit(""))
     val ls = TextFunctions.lines(t)
-    val keptLines = filter(ls, l => lineKept(l, minLineWords))
+    val keptLines =
+      graft.functions.expressions.LineExpressions.c4_kept_lines(t, minLineWords)
     df.withColumn("n_lines", size(ls).cast("long"))
       .withColumn("_kept_lines", keptLines)
       .withColumn("n_kept_lines", size(col("_kept_lines")).cast("long"))

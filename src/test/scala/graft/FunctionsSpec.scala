@@ -465,6 +465,38 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("split_lines / c4_kept_lines: native passes identical to the composed lambda forms") {
+    import spark.implicits._
+    val texts = Seq(
+      "line one.\nline two!\nshort\nno terminal punct here at all",
+      "crlf line here ok.\r\nnext line\rlone cr not a separator.",
+      "  spaced.   \n\t tab kept by spark trim? yes.\n\n\n",
+      "ends with quote \"\nends with dot.\nEnable JavaScript to view.",
+      "one two three four five.\none two three four.\n.",
+      "", "   ", "\n\r\n\n", null,
+      "multibyte 日本 語 テキスト ですよ。 five words no dot\nunicode ok here really truly.")
+      .toDF("t")
+    val composedLines = filter(transform(split($"t", "\\r?\\n"), l => trim(l)),
+      l => length(l) > 0)
+    val lineRows = texts.select(
+      graft.functions.TextFunctions.lines($"t").as("native"),
+      composedLines.as("composed")).collect()
+    lineRows.foreach { r =>
+      assert((r.isNullAt(0) && r.isNullAt(1)) ||
+        r.getSeq[String](0) == r.getSeq[String](1), s"lines diverged: $r")
+    }
+    val t = coalesce($"t", lit(""))
+    val composedKept = filter(composedLines,
+      l => graft.operators.HeuristicFilters.lineKept(l, 5))
+    val keptRows = texts.select(
+      graft.functions.expressions.LineExpressions.c4_kept_lines(t, 5).as("native"),
+      coalesce(composedKept, array().cast("array<string>")).as("composed")).collect()
+    keptRows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"c4 kept lines diverged: native=${r.getSeq[String](0)} composed=${r.getSeq[String](1)}")
+    }
+  }
+
   test("tokens(): array_remove form identical to the filter-lambda form") {
     import spark.implicits._
     val texts = Seq("", " ", "a b  c", "\tleading tab", "trailing  ",
