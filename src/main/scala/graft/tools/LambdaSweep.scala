@@ -15,6 +15,7 @@ object LambdaSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.GraftExtensions) // range-join hint queries resolve
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
