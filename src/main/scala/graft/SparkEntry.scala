@@ -263,6 +263,23 @@ object SparkEntry {
         .cast("long").as("recall_ok"))
   }
 
+  /** Multiset equality of two same-schema frames in ONE aggregation pass:
+    * tag rows +1/-1, group by every column, and look for any nonzero sum.
+    * Exactly equivalent to `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty`
+    * (Spark compiles EACH exceptAll to this same union+sum+filter shape,
+    * plus a row-replicating Generate) — so the fused form runs one job and
+    * one exchange where the two-probe form ran two of each, for the
+    * identical boolean. Used by the swap-identity certificates.
+    */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.map(col).toSeq
+    a.select(cols: _*).withColumn("_ms", lit(1L))
+      .unionAll(b.select(cols: _*).withColumn("_ms", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("_ms")).as("_d"))
+      .where(col("_d") =!= 0L)
+      .isEmpty
+  }
+
   /** One-row degenerate result for ann_ivf_incremental on a corpus with
     * zero usable vectors: nothing to train, append, or certify — all
     * contracts trivially hold, matching the oracle's aggregate row.
@@ -653,8 +670,10 @@ object SparkEntry {
           when(!isnan($"l_extendedprice") &&
             abs($"l_extendedprice") =!= lit(Double.PositiveInfinity),
             $"l_extendedprice"), lit(0.9), lit(10000)).as("p90_approx"),
-        expr("percentile(CASE WHEN NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE) THEN l_extendedprice END, 0.85)").as("p85"),
-        expr("percentile(CASE WHEN NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE) THEN l_extendedprice END, 0.95)").as("p95"))
+        // ONE exact-percentile buffer evaluating both cut points (the
+        // Percentile aggregate holds a counts map per buffer; two separate
+        // calls held two identical maps per group) — same values exactly
+        expr("percentile(CASE WHEN NOT isnan(l_extendedprice) AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE) THEN l_extendedprice END, array(0.85, 0.95))").as("_p8595"))
       // Exact distinct via two-stage hash agg — no Expand, pure codegen.
       // null keys excluded: count(DISTINCT x) skips nulls (and so does
       // the HLL sketch) — the unfiltered distinct would count the NULL
@@ -669,7 +688,8 @@ object SparkEntry {
           // HLL++ default rsd 0.05 → 3σ = 15% band (min 4 absolute).
           (abs($"approx_orders" - $"exact_orders") <=
             greatest(lit(4), floor($"exact_orders" * 0.15))).cast("long").as("hll_ok"),
-          ($"p90_approx".between($"p85", $"p95")).cast("long").as("p90_ok"))
+          ($"p90_approx".between(element_at($"_p8595", 1),
+            element_at($"_p8595", 2))).cast("long").as("p90_ok"))
         .orderBy($"l_returnflag")
     }),
 
@@ -1766,8 +1786,13 @@ object SparkEntry {
             .otherwise($"text"))
       val delta = graft.operators.CorpusDiff.diff(oldSnap, newSnap,
         "doc_id", "text").cache()
-      val nAdded = delta.where($"status" === "added").count()
-      val nChanged = delta.where($"status" === "changed").count()
+      // one conditional-count aggregate (also materializes the cache)
+      // where two filtered counts ran two jobs over the same delta
+      val deltaCounts = delta.agg(
+        count(when($"status" === "added", 1)).as("_na"),
+        count(when($"status" === "changed", 1)).as("_nc")).head()
+      val nAdded = deltaCounts.getLong(0)
+      val nChanged = deltaCounts.getLong(1)
       val freshIds = delta.where($"status".isin("added", "changed"))
         .select($"doc_id")
       val freshBatch = newSnap.join(freshIds, Seq("doc_id"))
@@ -1854,14 +1879,22 @@ object SparkEntry {
         if (!removedIds.isEmpty)
           SimilarityFunctions.ivfCompact(s, inv, ivf, removedIds, "vec_id")
         val served = s.read.parquet(inv)
-        // every indexed newcomer is IN the served set (id containment) …
-        val missing = incEmb.select($"vec_id".as("neighbor_id")).distinct()
-          .join(served.select($"neighbor_id").distinct(),
-            Seq("neighbor_id"), "left_anti").count()
-        // … and no vanished doc survives it
-        val lingering = served.select($"neighbor_id").distinct()
-          .join(removedIds.select($"vec_id".as("neighbor_id")),
-            Seq("neighbor_id")).count()
+        // both containment checks in ONE job: every indexed newcomer is IN
+        // the served set (anti-join survivors = missing) and no vanished
+        // doc remains in it (inner-join hits = lingering) — previously two
+        // separate count jobs over the same served ids
+        val servedIds = served.select($"neighbor_id").distinct()
+        val contain = incEmb.select($"vec_id".as("neighbor_id")).distinct()
+          .join(servedIds, Seq("neighbor_id"), "left_anti")
+          .select(lit("missing").as("_k"))
+          .unionAll(servedIds
+            .join(removedIds.select($"vec_id".as("neighbor_id")),
+              Seq("neighbor_id"))
+            .select(lit("lingering").as("_k")))
+          .groupBy($"_k").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val missing = contain.getOrElse("missing", 0L)
+        val lingering = contain.getOrElse("lingering", 0L)
         val unionEmb = keptBase.unionByName(incEmb)
         val probes = unionEmb.filter($"vec_id" < 20)
         recallCertificate(
@@ -2367,7 +2400,11 @@ object SparkEntry {
     "ann_ivf_incremental" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
+      // persisted for the query's span: the usable set feeds the emptiness
+      // gate, both parity halves (assign + append), and the certificate —
+      // without it each action re-reads and re-filters the parquet scan
       val usable = emb.where(SimilarityFunctions.finiteVec("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (usable.isEmpty)
         emptyAnnIncrementalResult(s)
       else {
@@ -2399,9 +2436,10 @@ object SparkEntry {
           loaded.assign(usable, "vec_id", "embedding"), probes, loaded,
           "vec_id", "embedding", 5, nProbe = 4)
         val outCols = Seq("query_id", "neighbor_id", "cosine_bp", "rank").map(col)
-        val a = incr.select(outCols: _*)
-        val b = rebuilt.select(outCols: _*)
-        val identical = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        // one-pass multiset equality (see multisetEqual) — identical
+        // boolean to the two-directional exceptAll probes, half the jobs
+        val identical = multisetEqual(incr.select(outCols: _*),
+          rebuilt.select(outCols: _*))
         recallCertificate(incr,
             SimilarityFunctions.bruteForceTopK(emb, probes, "vec_id", "embedding", 5),
             recallFloorBp = 5000, emb, probes, "embedding", "vec_id", 5)
@@ -2427,9 +2465,17 @@ object SparkEntry {
       // halves (three-valued % compare) yet still count in nUnion and the
       // fresh rebuild — flipping served_all/swap_identity on any-data
       // corpora. The oracle's n_union mirrors the same filter.
+      // persisted for the query's span: the usable set feeds the gate,
+      // both parity halves, the trainer sample, the drift monitor, the
+      // rebuild, and the certificate — ~8 actions that would otherwise
+      // each re-read and re-filter the parquet scan
       val usable = emb.where(SimilarityFunctions.finiteVec("embedding") &&
         $"vec_id".isNotNull)
-      if (usable.isEmpty)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the emptiness gate and the later n_union count were two separate
+      // jobs; one count up front serves both (n == 0 ⇔ isEmpty)
+      val nUnion = usable.count()
+      if (nUnion == 0)
         Seq((0L, 0L, 5000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
           "recall_floor_bp", "recall_ok", "n_union", "served_all",
           "swap_identity", "quantizer_roundtrip")
@@ -2444,7 +2490,7 @@ object SparkEntry {
         val v1 = SimilarityFunctions.ivfTrain(base, "embedding", cells = 16)
         SimilarityFunctions.ivfAppendBatch(v1, inv, base,
           "vec_id", "embedding", 0L)
-        if (inc.count() > 0)
+        if (!inc.isEmpty)
           SimilarityFunctions.ivfAppendBatch(v1, inv, inc,
             "vec_id", "embedding", 1L)
         // the monitor reads the signal (not asserted — data-dependent);
@@ -2453,13 +2499,13 @@ object SparkEntry {
         SimilarityFunctions.quantizationErrorBp(v1, usable, "embedding")
         val next = SimilarityFunctions.ivfRetrain(s, inv, cells = 16)
         val swapped = s.read.parquet(inv)
-        val nUnion = usable.count()
         val servedAll = swapped.count() == nUnion
         val rebuilt = next.assign(usable, "vec_id", "embedding")
         val swapCols = Seq("neighbor_id", "_cell", "_cv").map(col)
-        val a = swapped.select(swapCols: _*)
-        val b = rebuilt.select(swapCols: _*)
-        val identity = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        // one-pass multiset equality (see multisetEqual) — identical
+        // boolean to the two-directional exceptAll probes, half the jobs
+        val identity = multisetEqual(swapped.select(swapCols: _*),
+          rebuilt.select(swapCols: _*))
         val reloaded = SimilarityFunctions.ivfLoad(
           SimilarityFunctions.ivfQuantizerPath(inv))
         val roundtrip = reloaded.clusterCenters.map(_.toSeq).toSeq ==
@@ -2489,9 +2535,13 @@ object SparkEntry {
     "ann_ivfpq_retrain" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
+      // persisted + counted once up front — see ann_ivf_retrain (the same
+      // ~8-action fan-out over the usable set, plus the two PQ trainers)
       val usable = emb.where(SimilarityFunctions.finiteVec("embedding") &&
         $"vec_id".isNotNull)
-      if (usable.isEmpty)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nUnion = usable.count()
+      if (nUnion == 0)
         Seq((0L, 0L, 4000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
           "recall_floor_bp", "recall_ok", "n_union", "served_all",
           "swap_identity", "quantizer_roundtrip")
@@ -2508,7 +2558,7 @@ object SparkEntry {
           m = 8, codes = 16)
         SimilarityFunctions.ivfAppendBatch(v1, inv, base,
           "vec_id", "embedding", 0L, pq = Some(v1Pq))
-        if (inc.count() > 0)
+        if (!inc.isEmpty)
           SimilarityFunctions.ivfAppendBatch(v1, inv, inc,
             "vec_id", "embedding", 1L, pq = Some(v1Pq))
         // monitor reads the signal (data-dependent, not asserted); the
@@ -2519,7 +2569,6 @@ object SparkEntry {
         val next = SimilarityFunctions.ivfRetrain(s, inv, cells = 16,
           pq = Some(v2Pq))
         val swapped = s.read.parquet(inv)
-        val nUnion = usable.count()
         val servedAll = swapped.count() == nUnion
         // map-only code column (an id join would fan out on duplicate
         // vec_ids — the hostile drill's mass-dup corpus)
@@ -2527,9 +2576,10 @@ object SparkEntry {
           .withColumn("_codes", graft.functions.expressions.PqExpressions
             .pq_encode(col("_cv").cast("array<double>"), v2Pq.codebooks))
         val swapCols = Seq("neighbor_id", "_cell", "_cv", "_codes").map(col)
-        val a = swapped.select(swapCols: _*)
-        val b = rebuilt.select(swapCols: _*)
-        val identity = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        // one-pass multiset equality (see multisetEqual) — identical
+        // boolean to the two-directional exceptAll probes, half the jobs
+        val identity = multisetEqual(swapped.select(swapCols: _*),
+          rebuilt.select(swapCols: _*))
         val reloaded = SimilarityFunctions.ivfLoad(
           SimilarityFunctions.ivfQuantizerPath(inv))
         val roundtrip = reloaded.clusterCenters.map(_.toSeq).toSeq ==
