@@ -553,7 +553,12 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
       val sink = new ColumnarSink(base)
       val parsed = ingested(s, dir)
-      parsed.foreach { case (id, df) => sink.insert(id, df) }
+      // bounded-parallel inserts — disjoint collection paths, see
+      // e2e_pipeline
+      graft.util.ParallelWrites.run(
+        parsed.toSeq.sortBy(_._1.collection), 4) { case (id, df) =>
+        sink.insert(id, df)
+      }
       // read back PER COLLECTION (the reference's access pattern — one
       // table per collection): a cross-collection mergeSchema read can
       // legitimately fail when two collections infer incompatible nested
@@ -630,7 +635,12 @@ object SparkEntry {
         split.realTime.select("value").as(Encoders.STRING), registry)
       val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
       val sink = new ColumnarSink(base)
-      parsed.foreach { case (id, df) =>
+      // bounded-parallel per-collection inserts (guide §2.6 overlap of
+      // independent jobs) — the same ParallelWrites pool the streaming
+      // flush uses; collections write to disjoint sink paths, so order
+      // does not affect content
+      graft.util.ParallelWrites.run(
+        parsed.toSeq.sortBy(_._1.collection), 4) { case (id, df) =>
         sink.insert(id, EventOps.withShardTime(EventOps.dedupExact(df, names)))
       }
       routed.unpersist(); dec.unpersist()
@@ -1022,7 +1032,12 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft_ndjson").toString
       val sink = new graft.sinks.NdjsonGzipSink(base)
       val parsed = ingested(s, dir)
-      parsed.foreach { case (id, df) => sink.insert(id, df) }
+      // bounded-parallel inserts — disjoint collection paths, see
+      // e2e_pipeline
+      graft.util.ParallelWrites.run(
+        parsed.toSeq.sortBy(_._1.collection), 4) { case (id, df) =>
+        sink.insert(id, df)
+      }
       val parts = parsed.keys.toSeq.sortBy(_.collection).map { id =>
         s.read.json(sink.path(id))
           .agg(count(lit(1)).as("n"), sumRound($"value", 2).as("sum_value"))

@@ -92,14 +92,18 @@ object EventOps {
     val tagged = df.withColumn("_day_idx", dayIdx)
     val inWindow = col("_day_idx").between(0, outdatedDayIndex)
 
-    // histogram of out-of-window days — tiny result, driver-side heuristic
-    // exactly like the reference's Int2ObjectArrayMap pass
-    val hist = tagged.filter(!inWindow || col("_day_idx").isNull)
+    // histogram of ALL days in one job (tiny result — ≤ thousands of
+    // distinct days), split driver-side: the previous shape ran a second
+    // full pass just to count the in-window rows the first pass filtered
+    // out. Driver-side heuristic exactly like the reference's
+    // Int2ObjectArrayMap pass.
+    val hist = tagged
       .groupBy(col("_day_idx")).count().collect()
       .map(r => (if (r.isNullAt(0)) Int.MinValue else r.getInt(0)) -> r.getLong(1)).toMap
-    val total = hist.values.sum + tagged.filter(inWindow).count()
+    val total = hist.values.sum
     val promoted = hist.collect {
       case (day, cnt) if day != Int.MinValue &&
+        !(day >= 0 && day <= outdatedDayIndex) && // out-of-window days only
         cnt > promoteMinRecords && total > 0 && cnt > promoteMinFraction * total => day
     }.toSet
 
