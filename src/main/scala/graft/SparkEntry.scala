@@ -903,7 +903,11 @@ object SparkEntry {
       // Gap sessionization depends only on time DIFFERENCES and this
       // rollup carries no absolute boundaries, so shifting every event by
       // one constant is exact; shift only when needed.
-      val minT = rows0.agg(min($"t")).head().getAs[java.sql.Timestamp](0)
+      // min and max in ONE aggregate job (max was a second full scan over
+      // the shifted rows; shifting by a constant lets it derive from the
+      // unshifted max driver-side)
+      val mm = rows0.agg(min($"t"), max($"t")).head()
+      val minT = mm.getAs[java.sql.Timestamp](0)
       val offsetMs =
         if (minT != null && minT.getTime < 0L) -minT.getTime else 0L
       val rows = rows0.withColumn("t",
@@ -924,7 +928,10 @@ object SparkEntry {
           }
       }
       publish("real", rows)
-      val maxT = rows.agg(max($"t")).head().getAs[java.sql.Timestamp](0)
+      val maxT0 = mm.getAs[java.sql.Timestamp](1)
+      val maxT =
+        if (maxT0 == null) null
+        else new java.sql.Timestamp(maxT0.getTime + offsetMs)
       val qn = "w3ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val stream = s.readStream.schema(rows.schema).parquet(inDir)
       val q = graft.streaming.Sessionize.sessions(stream, "k", "t",

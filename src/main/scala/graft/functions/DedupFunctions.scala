@@ -797,6 +797,18 @@ object DedupFunctions {
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try propagateOnSym(edges, maxIter)
+    finally edges.unpersist(false)
+  }
+
+  /** Propagation inner loop over an ALREADY-materialized symmetrized,
+    * deduplicated edge set `(src, dst)` — shared by [[propagateLabels]]
+    * (which builds + persists the set from raw pairs) and
+    * [[connectedComponentsAuto]] (which checkpoints the set once and
+    * reuses it for the degree probe and the escalation too).
+    */
+  private def propagateOnSym(edges: DataFrame,
+                             maxIter: Int): Option[DataFrame] = {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
@@ -823,7 +835,6 @@ object DedupFunctions {
         labels = updated.select(col("v"), col("newlabel").as("label"))
       }
     }
-    edges.unpersist(false)
     if (converged) Some(labels.select(col("v"), col("label"))) else None
   }
 
@@ -860,20 +871,35 @@ object DedupFunctions {
                               propagationRounds: Int = 2,
                               maxIter: Int = 50,
                               localMaxEdges: Long = 1000000L): DataFrame = {
-    val maxDegree = pairs
-      .select(explode(array(col(aCol), col(bCol))).as("_v"))
-      .groupBy(col("_v")).agg(count(lit(1)).as("_d"))
+    // The symmetrized, deduplicated edge set is materialized ONCE (narrow
+    // 2-column checkpoint) and every stage reads it: the degree probe, the
+    // propagation attempt, and the escalation each re-ran the candidate
+    // generator's banded self-join from the signature checkpoint before —
+    // four passes for one clustering. (A full persist of the raw `pairs`
+    // frame was measured SLOWER than the recomputes — columnar cache
+    // build + lost codegen fusion — hence the narrow derived checkpoint,
+    // not a pairs cache.)
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    // Degree over DISTINCT incident edges (self-loop counts once): the
+    // paths/cycles test this probe feeds is a statement about the simple
+    // graph, so duplicate pairs must not inflate it. Routing is a
+    // performance choice only — every branch returns identical labels.
+    val maxDegree = sym
+      .groupBy(col("src")).agg(count(lit(1)).as("_d"))
       .agg(max(col("_d"))).head().get(0) match {
         case null    => 0L // no edges at all
         case d: Long => d
       }
-    if (maxDegree <= 2L)
-      connectedComponentsAlternating(pairs, aCol, bCol, maxIter, localMaxEdges)
-    else
-      propagateLabels(pairs, aCol, bCol, propagationRounds)
-        .getOrElse(
-          connectedComponentsAlternating(pairs, aCol, bCol, maxIter,
-            localMaxEdges))
+    def escalate(): DataFrame = ccStars(
+      sym.select(col("src").as("v")).distinct().localCheckpoint(true),
+      sym.where(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v")),
+      maxIter, localMaxEdges)
+    if (maxDegree <= 2L) escalate()
+    else propagateOnSym(sym, propagationRounds).getOrElse(escalate())
   }
 
   /** Connected components via alternating large-star/small-star (Kiveris et
@@ -905,10 +931,23 @@ object DedupFunctions {
       .unionAll(pairs.select(col(bCol).as("v")))
       .distinct()
       .localCheckpoint(true)
-    var edges = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+    ccStars(vertices,
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true),
+      maxIter, localMaxEdges)
+  }
+
+  /** Alternating-star inner loop over prebuilt (vertices, initial edges)
+    * — shared by [[connectedComponentsAlternating]] (which derives both
+    * from raw pairs) and [[connectedComponentsAuto]]'s escalation (which
+    * derives both from its already-checkpointed symmetrized edge set
+    * instead of re-running the candidate generator). Contract unchanged:
+    * (v, label) with label = smallest member of v's component.
+    */
+  private def ccStars(vertices: DataFrame, edges0: DataFrame,
+                      maxIter: Int, localMaxEdges: Long): DataFrame = {
+    var edges = edges0
     var edgeCount = edges.count()
     // Size-gated LOCAL epilogue (the Kiveris-deployment "finish small
     // graphs in one round" rule): each distributed round costs two
@@ -924,7 +963,7 @@ object DedupFunctions {
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (localMaxEdges > 0 && longIds && edgeCount <= localMaxEdges) {
-      val spark = pairs.sparkSession
+      val spark = vertices.sparkSession
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
