@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print one-line JSON contracts on stdout; sbt's
+// default LoggedOutput strategy for forked runs prefixes every line with
+// "[info] ", which breaks strict JSON parsing of the captured output.
+// StdoutOutput passes the forked JVM's stdout/stderr through unmodified.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

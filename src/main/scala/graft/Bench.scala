@@ -162,23 +162,41 @@ object Bench {
       streamOk.map(_._2._1).sum
     val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_detail":$detail,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
     println(fullJson)
-    // the stdout capture has truncated this line to a 2000-char tail two
-    // rounds running ("parsed": null in the BENCH artifact) — persist the
-    // full JSON to a file as well so it always survives intact
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // persist the full JSON to a file as well so it always survives intact;
+    // suffix with the cpu count so a low-core scaling run does not clobber
+    // the main run's file (the r14 c8 run overwrote the c32 artifact)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_out_c$cpus.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // compact headline LAST: the driver captures only the output tail, and
-    // two rounds of BENCH artifacts lost the total because it led the one
-    // giant line above — the summary repeats it (plus the slowest five)
-    // inside any tail window
+    // compact headline (plus the slowest five and the adaptive-rerun fire
+    // count, so cross-round comparisons can see when the one-sided third
+    // run engaged) — human-facing summary, second-to-last line
     val slowest = results.flatMap { case (k, ts) => minOk(ts).map(k -> _) }
       .sortBy(-_._2).take(5)
       .map { case (k, t) => "\"" + k + f"""\":$t%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"runs":$runs,"sf":"$sfDir"}""")
+    val adaptiveFired = results.count { case (_, ts) => ts.size > runs }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"adaptive_fired":$adaptiveFired,"runs":$runs,"sf":"$sfDir"}""")
+    // per-query contract line LAST on stdout, and as small as honest JSON
+    // allows: the driver keeps only a short stdout tail, and the 10 KB+
+    // full line above has been decapitated by it every round ("parsed":
+    // null in BENCH_r01..r14). Mins only, <=2 decimals with trailing
+    // zeros stripped, no detail map: ~2.7 KB for 112 queries, so the whole
+    // line survives inside the tail window. Same fields as the full line
+    // minus queries_detail; values are the same mins rounded to 2 dp.
+    def short(t: Double): String = {
+      val s = java.math.BigDecimal.valueOf(t)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+      if (s == "0") "0.0" else s
+    }
+    val qsShort = (results.map { case (k, ts) =>
+      "\"" + k + "\":" + minOk(ts).map(short).getOrElse("null")
+    } ++ streamOk.map { case (n, (t, _)) => "\"" + n + "\":" + short(t) })
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
