@@ -272,6 +272,12 @@ object SparkEntry {
     * identical boolean. Used by the swap-identity certificates.
     */
   private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    // the helper columns must not collide with a data column — a frame
+    // already carrying `_ms`/`_d` would group wrong silently (ADVICE r14;
+    // same defensive style as insertConsolidated's clash check)
+    require(!a.columns.exists(c => c == "_ms" || c == "_d"),
+      s"multisetEqual: input columns ${a.columns.mkString(", ")} collide " +
+        "with the helper columns _ms/_d — rename them first")
     val cols = a.columns.map(col).toSeq
     a.select(cols: _*).withColumn("_ms", lit(1L))
       .unionAll(b.select(cols: _*).withColumn("_ms", lit(-1L)))
@@ -447,26 +453,19 @@ object SparkEntry {
       val schema = StructType(Seq(
         StructField("_time", TimestampType), StructField("_user", StringType),
         StructField("value", DoubleType), StructField("seen_at", TimestampType)))
+      // Every collection here shares the ONE declared schema, so the
+      // per-collection loop (persist the routing cache + C filtered parse
+      // passes + a distinct-collect of the collection universe, then a
+      // full recompute when the caller materializes the returned frame)
+      // collapses to a single cohort parse pass (guide §1.2 step 1).
+      // withRouting already validated + normalized every collection name
+      // with the same CollectionId.isValid/normalize the old loop applied
+      // driver-side, and parseAllRouted's per-record semantics are exactly
+      // parseCollection's — same parseEvent, same schema.
       val routed = JsonIngest.withRouting(wire, JsonDialect.Rakam)
         .filter($"_project".isNotNull)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // iterate the NORMALIZED routing names (withRouting lowercases and
-      // drops invalid ones) — a raw mixed-case name would probe an empty
-      // collection and surface a zero group the oracle doesn't have
-      val parts = ev.select($"event_type").distinct().as[String].collect()
-        .filter(t => t != null && CollectionId.isValid("demo", t))
-        .map(t => CollectionId.normalize("demo", t).collection)
-        .distinct.sorted
-        .map { t =>
-          JsonIngest.parseCollection(routed, CollectionId("demo", t), schema,
-              JsonDialect.Rakam)
-            .withColumn("collection", lit(t))
-        }
-      val out = (if (parts.isEmpty)
-        emptyResult(s, "collection" -> StringType, "seen_at" -> LongType,
-          "_time" -> TimestampType, "value" -> DoubleType)
-      else parts.reduce(_.unionByName(_)))
-        .groupBy($"collection").agg(
+      JsonIngest.parseAllRouted(routed, schema, JsonDialect.Rakam)
+        .groupBy($"_collection".as("collection")).agg(
           count(lit(1)).as("n_events"),
           count($"seen_at").as("n_seen"),                     // numeric → null
           // `div` truncates toward zero like the oracle's `//` — exact
@@ -474,9 +473,6 @@ object SparkEntry {
           sum(expr("unix_millis(_time) div 1000")).as("sum_time_s"),
           sumRound($"value", 2).as("sum_value"))
         .orderBy($"collection")
-      out.collect() // materialize before unpersist
-      routed.unpersist()
-      out
     }),
 
     // D3+K1 corner: DECIMAL and BINARY through the full JSON ingest →
@@ -530,14 +526,16 @@ object SparkEntry {
         StructField("eid", LongType),
         StructField("amount", DecimalType(38, 18)),
         StructField("payload", BinaryType)))
+      // no persist: the routed frame feeds exactly ONE consumer (the
+      // parse → parquet write below), so caching it only paid a full
+      // cache-build pass for zero reuse — wire → route → parse → write
+      // now fuses into one codegen'd pass (guide §5: cache only on reuse)
       val routed = JsonIngest.withRouting(wire, JsonDialect.Fabric)
         .filter($"_project".isNotNull)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val parsed = JsonIngest.parseCollection(routed, id, schema,
         JsonDialect.Fabric)
       val base = java.nio.file.Files.createTempDirectory("graft_dbin").toString
       parsed.write.mode("overwrite").parquet(base)
-      routed.unpersist()
       s.read.parquet(base).select(
           $"eid",
           $"amount".cast("string").as("amount_str"),
@@ -562,8 +560,11 @@ object SparkEntry {
       // read back PER COLLECTION (the reference's access pattern — one
       // table per collection): a cross-collection mergeSchema read can
       // legitimately fail when two collections infer incompatible nested
-      // types for the same field name
-      val parts = parsed.keys.toSeq.sortBy(_.collection).map { id =>
+      // types for the same field name. Bounded-parallel plan construction
+      // (the mergeSchema load lists + merges footers eagerly per
+      // collection) — see e2e_pipeline's read-back
+      val parts = graft.util.ParallelWrites.run(
+        parsed.keys.toSeq.sortBy(_.collection), 4) { id =>
         sink.read(s, id).agg(
             count(lit(1)).as("n"),
             sumRound($"value", 2).as("sum_value"))
@@ -645,8 +646,13 @@ object SparkEntry {
       }
       routed.unpersist(); dec.unpersist()
       // per-collection read-back (see k1_sink_roundtrip): incompatible
-      // nested types across collections must not fail the whole read
-      val parts = parsed.keys.toSeq.sortBy(_.collection).map { id =>
+      // nested types across collections must not fail the whole read.
+      // Plan construction itself is driver-blocking per collection (the
+      // mergeSchema load lists files and reads footers eagerly), so build
+      // the per-collection frames from the same bounded pool the inserts
+      // use — read-only, order restored by the final orderBy
+      val parts = graft.util.ParallelWrites.run(
+        parsed.keys.toSeq.sortBy(_.collection), 4) { id =>
         sink.read(s, id).agg(count(lit(1)).as("n"))
           .select(lit(id.collection).as("collection"), $"n")
       }
@@ -1045,8 +1051,15 @@ object SparkEntry {
         parsed.toSeq.sortBy(_._1.collection), 4) { case (id, df) =>
         sink.insert(id, df)
       }
+      // explicit read schema: the aggregate touches only `value`, and an
+      // inferred read pays a FULL decompress+parse of every gzip NDJSON
+      // file at plan time (per collection, serial on the driver) before
+      // the real scan parses it all again. PERMISSIVE mode keeps the row
+      // semantics identical: every line yields a row (count unchanged),
+      // `value` is null where absent/null, and numeric JSON widens to
+      // double exactly as the inferred-then-summed path did.
       val parts = parsed.keys.toSeq.sortBy(_.collection).map { id =>
-        s.read.json(sink.path(id))
+        s.read.schema("value DOUBLE").json(sink.path(id))
           .agg(count(lit(1)).as("n"), sumRound($"value", 2).as("sum_value"))
           .select(lit(id.collection).as("collection"), $"n", $"sum_value")
       }
@@ -2427,6 +2440,11 @@ object SparkEntry {
       // without it each action re-reads and re-filters the parquet scan
       val usable = emb.where(SimilarityFunctions.finiteVec("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // unpersisted on EVERY exit (finally): the returned certificate frame
+      // reads the materialized index parquet + the base table, never
+      // `usable`, so dropping the cache before returning is free — and
+      // leaving it would accumulate blocks across the suite (ADVICE r14)
+      try {
       if (usable.isEmpty)
         emptyAnnIncrementalResult(s)
       else {
@@ -2468,6 +2486,7 @@ object SparkEntry {
           .withColumn("n_appended", lit(nAppended))
           .withColumn("identical", lit(if (identical) 1L else 0L))
       }
+      } finally usable.unpersist(false)
     }),
 
     // The retrain+rebuild act that closes the incremental lifecycle:
@@ -2495,7 +2514,9 @@ object SparkEntry {
         $"vec_id".isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the emptiness gate and the later n_union count were two separate
-      // jobs; one count up front serves both (n == 0 ⇔ isEmpty)
+      // jobs; one count up front serves both (n == 0 ⇔ isEmpty).
+      // unpersisted on every exit — see ann_ivf_incremental
+      try {
       val nUnion = usable.count()
       if (nUnion == 0)
         Seq((0L, 0L, 5000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
@@ -2544,6 +2565,7 @@ object SparkEntry {
           .withColumn("swap_identity", lit(if (identity) 1L else 0L))
           .withColumn("quantizer_roundtrip", lit(if (roundtrip) 1L else 0L))
       }
+      } finally usable.unpersist(false)
     }),
 
     // The PQ arm of the retrain act (r12 verdict task 3): drift response
@@ -2558,10 +2580,12 @@ object SparkEntry {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
       // persisted + counted once up front — see ann_ivf_retrain (the same
-      // ~8-action fan-out over the usable set, plus the two PQ trainers)
+      // ~8-action fan-out over the usable set, plus the two PQ trainers);
+      // unpersisted on every exit — see ann_ivf_incremental
       val usable = emb.where(SimilarityFunctions.finiteVec("embedding") &&
         $"vec_id".isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val nUnion = usable.count()
       if (nUnion == 0)
         Seq((0L, 0L, 4000L, 1L, 0L, 1L, 1L, 1L)).toDF("n_queries", "n_exact",
@@ -2620,6 +2644,7 @@ object SparkEntry {
           .withColumn("swap_identity", lit(if (identity) 1L else 0L))
           .withColumn("quantizer_roundtrip", lit(if (roundtrip) 1L else 0L))
       }
+      } finally usable.unpersist(false)
     }),
 
     // Multi-probe LSH ANN. Recall certificate vs in-query brute force

@@ -149,6 +149,31 @@ object JsonIngest {
       }(enc)
   }
 
+  /** [[parseCohort]] over EVERY routed row: when the whole batch shares
+    * one fixed schema, the member set is redundant — [[withRouting]] has
+    * already validated and normalized each row's collection
+    * (JsonEventParser.routing applies CollectionId.isValid + normalize),
+    * so filtering the cohort to "all valid collections" is a no-op. One
+    * scan, no membership broadcast, no per-collection loop.
+    */
+  def parseAllRouted(routed: DataFrame, schema: StructType,
+                     dialect: JsonDialect,
+                     names: FieldNames = FieldNames()): DataFrame = {
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("_project", StringType, nullable = false),
+      StructField("_collection", StringType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    routed.select(col("value"), col("_project"), col("_collection"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val p = r.getString(1); val c = r.getString(2)
+          if (p == null || c == null) Iterator.empty
+          else JsonEventParser.parseEvent(r.getString(0), dialect, schema, names)
+            .map(t => Row.fromSeq(t._2.toSeq :+ p :+ c)).iterator
+        }
+      }(enc)
+  }
+
   /** Full batch ingest: route → infer → evolve registry → per-collection
     * parse. Registry order is authoritative (metastore semantics D8/D9):
     * existing columns first in registered order, new columns appended.
