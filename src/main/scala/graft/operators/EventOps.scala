@@ -52,17 +52,32 @@ object EventOps {
     val orderable = rest.forall(c =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(df.schema(c).dataType))
-    val keyed =
-      if (rest.isEmpty || !orderable)
-        df.where(hasKey).dropDuplicates(keyCols)
-      else
-        df.where(hasKey)
-          .groupBy(keyCols.map(col): _*)
-          .agg(min(struct(rest.map(col): _*)).as("_graft_rest"))
-          .select(df.columns.toSeq.map(c =>
-            if (keyCols.contains(c)) col(c)
-            else col("_graft_rest").getField(c).as(c)): _*)
-    keyed.unionByName(df.where(!hasKey))
+    // ONE scan for both populations: the old shape unioned the
+    // aggregated keyed rows with `df.where(!hasKey)` — a SECOND full
+    // evaluation of the input (for the ingest queries that is a second
+    // full JSON parse of every record). Instead, null-key rows ride the
+    // same aggregate as their own singleton groups via a synthetic group
+    // id that is null for keyed rows and globally unique for null-key
+    // rows (partition id ⊕ offset — uniqueness, not the value, is what
+    // matters, and a singleton group's min(struct(rest)) is the row
+    // itself). Grouping on (user, time, uid) cannot mix the two
+    // populations: keyed rows have uid null, null-key rows never share a
+    // uid.
+    require(!df.columns.contains("_graft_uid"),
+      "dedupExact: input already carries the synthetic _graft_uid column")
+    val uid = when(!hasKey, monotonically_increasing_id())
+    val grouped = keyCols :+ "_graft_uid"
+    if (rest.isEmpty || !orderable)
+      df.withColumn("_graft_uid", uid)
+        .dropDuplicates(grouped)
+        .drop("_graft_uid")
+    else
+      df.withColumn("_graft_uid", uid)
+        .groupBy(grouped.map(col): _*)
+        .agg(min(struct(rest.map(col): _*)).as("_graft_rest"))
+        .select(df.columns.toSeq.map(c =>
+          if (keyCols.contains(c)) col(c)
+          else col("_graft_rest").getField(c).as(c)): _*)
   }
 
   /** Result of the real-time/historical split (F4). */

@@ -93,6 +93,37 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupExact single-scan: null-key rows survive verbatim in both branches") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // orderable branch: null-user duplicates (same _time, same value) must
+    // BOTH survive with their original values — the synthetic singleton
+    // groups may not collapse or mutate them
+    val df = Seq(
+      (Option("u1"), Option(t), 5.0), (Option("u1"), Option(t), 2.0),
+      (None, Option(t), 7.0), (None, Option(t), 7.0),
+      (Option("u2"), Option.empty[java.sql.Timestamp], 9.0))
+      .toDF("_user", "_time", "v").repartition(4)
+    val out = EventOps.dedupExact(df).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)), r.getDouble(2)))
+    assert(out.length == 4)
+    assert(out.count(x => x._1.isEmpty && x._3 == 7.0) == 2)   // both null-user rows
+    assert(out.count(x => x._2.isEmpty && x._3 == 9.0) == 1)   // null-time row
+    assert(out.count(x => x._1.contains("u1")) == 1 &&
+      out.find(_._1.contains("u1")).get._3 == 2.0)             // deterministic keeper
+    // non-orderable branch (map column → dropDuplicates fallback): same
+    // null-key pass-through, keyed dups still collapse
+    val m = Seq(
+      ("u1", Option(t), Map("a" -> 1)), ("u1", Option(t), Map("a" -> 2)),
+      (null.asInstanceOf[String], Option(t), Map("b" -> 3)),
+      (null.asInstanceOf[String], Option(t), Map("b" -> 4)))
+      .toDF("_user", "_time", "props").repartition(4)
+    val outM = EventOps.dedupExact(m)
+    assert(outM.count() == 3)
+    assert(outM.where($"_user".isNull).count() == 2)
+    assert(!outM.columns.contains("_graft_uid"))
+  }
+
   test("concatBatches aligns evolving schemas by name") {
     import spark.implicits._
     val a = Seq((1.0, "x")).toDF("v", "s")
