@@ -61,6 +61,36 @@ class EventOpsSpec extends SparkSpec {
     assert(s2.promotedDays.isEmpty && s2.realTime.count() == 2 && s2.historical.count() == 3)
   }
 
+  test("daySplit runs ONE histogram job (r14 single-pass fusion pin)") {
+    import spark.implicits._
+    val today = java.sql.Date.valueOf("2024-03-12")
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val df = ((1 to 50).map(_ => ts("2024-03-12")) ++
+      (1 to 30).map(_ => ts("2024-01-05"))).toDF("_time")
+    df.count() // materialize scan-side caches before counting jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      EventOps.daySplit(df, col("_time"), today = lit(today))
+      // listener delivery is async; wait for the bus to drain (bounded)
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(250) // settle: catch any SECOND job's start event
+      // ONE action: the full-day histogram collect (AQE splits one
+      // aggregate action into at most 2 jobs — shuffle stage + result
+      // stage). The pre-r14 shape ran a SECOND action (the in-window
+      // count), which lands at 3-4 jobs under the same accounting.
+      assert(jobs.get() <= 2, s"daySplit ran ${jobs.get()} jobs — a second " +
+        "histogram/count action is back (expected <=2: one AQE-staged collect)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dedupExact drops repeated (_user,_time) pairs; null keys all pass") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -23,6 +23,35 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"exact-distinct no longer broadcast:\n$p")
   }
 
+  test("sketch query: ONE fused exact-percentile buffer, not two") {
+    val p = plan("agg_approx_sketch")
+    // r14 fused percentile(x, 0.85) + percentile(x, 0.95) into one
+    // percentile(x, array(0.85, 0.95)) — the Percentile aggregate holds a
+    // per-group value-counts map PER BUFFER, so a revert doubles that
+    // state on every group
+    assert(p.contains("[0.85,0.95]"),
+      s"exact percentiles no longer share one buffer:\n$p")
+  }
+
+  test("rakam ingest: one cohort parse pass — no per-collection union or cache") {
+    val p = plan("d2_rakam_ingest")
+    // r15 collapsed the per-collection loop (routing cache + C filtered
+    // parse passes unioned back together) into a single parseAllRouted
+    // pass; a Union or InMemoryTableScan here means the loop came back
+    assert(!p.contains("Union"), s"d2 regained the per-collection union:\n$p")
+    assert(!p.contains("InMemoryTableScan"), s"d2 regained the routing cache:\n$p")
+  }
+
+  test("exact dedup: single scan — null-key passthrough rides the aggregate") {
+    val p = plan("f2_dedup_exact")
+    // r15 fused dedupExact's null-key union branch into the keyed
+    // aggregate via a synthetic singleton-group id; the only Union left
+    // is the per-collection ingest union (ONE occurrence). Two means the
+    // second full parse of every record is back.
+    val unions = p.sliding("Union".length).count(_ == "Union")
+    assert(unions <= 1, s"dedup re-grew the second input scan ($unions Unions):\n$p")
+  }
+
   test("decontamination probes broadcast; no shuffle of the corpus against itself") {
     val p = plan("decontam_hits")
     assert(p.contains("BroadcastHashJoin"), s"probe grams not broadcast:\n$p")
