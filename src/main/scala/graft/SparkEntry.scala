@@ -1848,9 +1848,12 @@ object SparkEntry {
         .select($"doc_id".as("vec_id")).distinct()
       val keptBase = baseEmb.join(removedIds, Seq("vec_id"), "left_anti")
         .cache()
-      val nBase = baseEmb.count()
-      val nKeptBase = keptBase.count()
-      val nIndexed = incEmb.count()
+      // three INDEPENDENT counts (disjoint cached frames) overlap on the
+      // idle-tail pool instead of serializing three job latencies
+      // (guide §2.6); each count also materializes its frame's cache
+      val Seq(nBase, nKeptBase, nIndexed) =
+        graft.util.ParallelWrites.run(
+          Seq(baseEmb, keptBase, incEmb), 3)(_.count())
       val counts = (df: DataFrame) => df
         .withColumn("n_added", lit(nAdded))
         .withColumn("n_changed", lit(nChanged))
